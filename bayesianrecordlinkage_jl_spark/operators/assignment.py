@@ -1,0 +1,186 @@
+"""One-to-one resolution per block (the max_C_cluster_* analog).
+
+Reference semantics (re-expressed, not ported):
+  - decompose the LSAP by connected component, with 1x1 / 1xn / nx1 fast
+    paths (/root/reference/src/maximization_functions.jl:203-244)
+  - exact LSAP solvers (Hungarian/auction) wrapped from AssignmentSolver.jl
+    (/root/reference/src/maximization_functions.jl:137-189) — here a clean
+    numpy Kuhn-Munkres (potentials formulation) written from the standard
+    public algorithm, plus a vectorized greedy
+  - zero-weight assignments stripped (:148-153): only links with w > 0 kept
+  - the north_rule replaces the reference's MCMC with this deterministic
+    per-block greedy/Hungarian resolution
+
+Spark shape: blocks are disjoint connected components of the positive-weight
+graph, so per-block solves are embarrassingly parallel —
+groupBy(block_id).applyInPandas with Arrow batching. Deterministic
+tie-break everywhere: (w desc, id_a asc, id_b asc).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+MATCH_SCHEMA = "id_a long, id_b long, w double, block_id long"
+
+
+def hungarian_max(weights: np.ndarray) -> list[tuple[int, int]]:
+    """Max-weight one-to-one assignment on a dense weight matrix, rows may
+    stay unmatched (equivalent to padding with zero-weight dummy columns).
+    Kuhn-Munkres with row/col potentials, O(n^2 m). Returns [(row, col)]
+    for assignments with weight > 0 only."""
+    n, m = weights.shape
+    # minimize cost = -w, padded with n dummy columns of cost 0 (= weight 0)
+    cost = np.full((n, m + n), 0.0)
+    cost[:, :m] = -weights
+    INF = float("inf")
+    mt = m + n
+    u = np.zeros(n + 1)
+    v = np.zeros(mt + 1)
+    p = np.zeros(mt + 1, dtype=np.int64)  # p[j] = row matched to col j (1-based)
+    way = np.zeros(mt + 1, dtype=np.int64)
+    for i in range(1, n + 1):
+        p[0] = i
+        j0 = 0
+        minv = np.full(mt + 1, INF)
+        used = np.zeros(mt + 1, dtype=bool)
+        while True:
+            used[j0] = True
+            i0 = p[j0]
+            cur = cost[i0 - 1, :] - u[i0] - v[1:]
+            better = (~used[1:]) & (cur < minv[1:])
+            minv[1:][better] = cur[better]
+            way[1:][better] = j0
+            free = ~used[1:]
+            if not free.any():
+                break
+            j1 = int(np.argmin(np.where(free, minv[1:], INF))) + 1
+            delta = minv[j1]
+            u[p[used]] += delta
+            v[used] -= delta
+            minv[1:][free] -= delta
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while j0:
+            j1 = way[j0]
+            p[j0] = p[j1]
+            j0 = j1
+    out = []
+    for j in range(1, m + 1):  # ignore dummy columns
+        if p[j] != 0 and weights[p[j] - 1, j - 1] > 0:
+            out.append((int(p[j] - 1), int(j - 1)))
+    return out
+
+
+def greedy_max(pairs: pd.DataFrame) -> pd.DataFrame:
+    """Greedy one-to-one: repeatedly take the best remaining pair under the
+    total order (w desc, id_a asc, id_b asc)."""
+    df = pairs.sort_values(
+        ["w", "id_a", "id_b"], ascending=[False, True, True]
+    ).reset_index(drop=True)
+    used_a: set = set()
+    used_b: set = set()
+    keep = []
+    for row in df.itertuples(index=False):
+        if row.id_a not in used_a and row.id_b not in used_b:
+            used_a.add(row.id_a)
+            used_b.add(row.id_b)
+            keep.append(row)
+    return pd.DataFrame(keep, columns=df.columns) if keep else df.iloc[0:0]
+
+
+def _solve_block(pdf: pd.DataFrame, exact_max_pairs: int) -> pd.DataFrame:
+    """Per-block solve with the reference's fast paths."""
+    pdf = pdf[pdf["w"] > 0]
+    if len(pdf) == 0:
+        return pdf[["id_a", "id_b", "w", "block_id"]]
+    if len(pdf) == 1:  # 1x1 fast path (singleton block)
+        return pdf[["id_a", "id_b", "w", "block_id"]]
+    na, nb = pdf["id_a"].nunique(), pdf["id_b"].nunique()
+    if na == 1 or nb == 1:  # 1xn / nx1 fast path: argmax with tie-break
+        best = pdf.sort_values(
+            ["w", "id_a", "id_b"], ascending=[False, True, True]
+        ).iloc[:1]
+        return best[["id_a", "id_b", "w", "block_id"]]
+    if len(pdf) > exact_max_pairs:
+        out = greedy_max(pdf[["id_a", "id_b", "w", "block_id"]])
+        return out
+    # exact Hungarian on the dense block matrix
+    ra = {v: i for i, v in enumerate(sorted(pdf["id_a"].unique()))}
+    rb = {v: i for i, v in enumerate(sorted(pdf["id_b"].unique()))}
+    wmat = np.zeros((na, nb))
+    for row in pdf.itertuples(index=False):
+        wmat[ra[row.id_a], rb[row.id_b]] = row.w
+    inv_a = {i: v for v, i in ra.items()}
+    inv_b = {i: v for v, i in rb.items()}
+    picks = hungarian_max(wmat)
+    block_id = pdf["block_id"].iloc[0]
+    rows = [
+        {
+            "id_a": inv_a[i],
+            "id_b": inv_b[j],
+            "w": wmat[i, j],
+            "block_id": block_id,
+        }
+        for i, j in picks
+    ]
+    return pd.DataFrame(rows, columns=["id_a", "id_b", "w", "block_id"])
+
+
+def one_to_one(
+    pairs: DataFrame,
+    method: str = "hungarian",
+    exact_max_pairs: int = 10_000,
+) -> DataFrame:
+    """Per-block one-to-one matching.
+
+    pairs: DataFrame(id_a long, id_b long, w double, block_id long) —
+    block_id must partition the positive-weight graph (connected components),
+    which guarantees GLOBAL one-to-one-ness of the union of per-block
+    solutions (SURVEY 7.4 risk 1).
+    """
+    p = pairs.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("w").cast("double"),
+        F.col("block_id").cast("long"),
+    ).where(F.col("w") > 0)
+
+    if method == "greedy":
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            sub = pdf[pdf["w"] > 0]
+            return greedy_max(sub[["id_a", "id_b", "w", "block_id"]])
+    elif method == "hungarian":
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _solve_block(pdf, exact_max_pairs)
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    return p.repartition("block_id").groupBy("block_id").applyInPandas(
+        fn, schema=MATCH_SCHEMA
+    )
+
+
+def mutual_best(pairs: DataFrame) -> DataFrame:
+    """One round of mutual-argmax (pure DataFrame; SQL-oracle-able): keep
+    pairs ranked 1 within BOTH their id_a and id_b partitions under
+    (w desc, other-id asc). This is the distributed fast path covering the
+    vast majority of links; the applyInPandas solver handles the rest."""
+    wa = Window.partitionBy("id_a").orderBy(F.desc("w"), F.asc("id_b"))
+    wb = Window.partitionBy("id_b").orderBy(F.desc("w"), F.asc("id_a"))
+    return (
+        pairs.withColumn("_ra", F.row_number().over(wa))
+        .withColumn("_rb", F.row_number().over(wb))
+        .where((F.col("_ra") == 1) & (F.col("_rb") == 1))
+        .drop("_ra", "_rb")
+    )
+
+
+def assert_one_to_one(matches: DataFrame) -> bool:
+    """Invariant check: no id appears twice on a side."""
+    dup_a = matches.groupBy("id_a").count().where("count > 1").limit(1).count()
+    dup_b = matches.groupBy("id_b").count().where("count > 1").limit(1).count()
+    return dup_a == 0 and dup_b == 0

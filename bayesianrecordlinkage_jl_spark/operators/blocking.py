@@ -1,0 +1,145 @@
+"""Blocking: candidate-pair generation without materializing the cross product.
+
+Reference analog: SparseComparisonSummary candidate indexing
+(/root/reference/src/comparisonsummary.jl:326-410, README.md:160-183) — the
+reference takes user-provided index lists; here blocking is first-class:
+
+  * composite-key equi-self-join blocking (host/lang/source keys)
+  * MinHash-LSH band blocking over shingled text (hand-rolled, deterministic)
+  * explicit hot-key salting that caps block sizes (the scalable analog of
+    iterative_bipartite_cluster2's size-capped re-clustering,
+    /root/reference/src/clustering_functions.jl:390-489; where the reference
+    warns on an unsplittable block (:465) we sub-split by salt, trading
+    bounded recall for bounded executor memory)
+
+All joins are equi-joins (shuffle hash / sort-merge with AQE skew handling);
+never a theta cross-join. Pair orientation: id_a < id_b everywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions import text as T
+
+
+def key_blocking(
+    df: DataFrame,
+    id_col: str,
+    key_cols: list[str],
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """Equi-self-join on composite key -> candidate pairs (id_a < id_b).
+
+    Emits one row per (pair, block); `block_key` is the string form of the
+    composite key. Carry columns come through with _a/_b suffixes.
+    """
+    carry = carry_cols or []
+    sel = [F.col(id_col).alias("_id"), *[F.col(c) for c in key_cols + carry]]
+    base = df.select(*sel)
+    a = base.select(
+        F.col("_id").alias("id_a"),
+        *[F.col(k) for k in key_cols],
+        *[F.col(c).alias(f"{c}_a") for c in carry],
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"),
+        *[F.col(k) for k in key_cols],
+        *[F.col(c).alias(f"{c}_b") for c in carry],
+    )
+    pairs = a.join(b, on=key_cols, how="inner").where(F.col("id_a") < F.col("id_b"))
+    return pairs.withColumn(
+        "block_key", F.concat_ws("|", *[F.col(k).cast("string") for k in key_cols])
+    )
+
+
+def lsh_band_keys(
+    df: DataFrame,
+    text_col: str,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Append an array column `lsh_bands` of deterministic MinHash-LSH band
+    keys (hand-rolled portable hashing, no pyspark.ml dependency)."""
+    bands = F.array(
+        *[
+            T.minhash_band(F.col(text_col), band, rows_per_band, shingle_k)
+            for band in range(n_bands)
+        ]
+    )
+    return df.withColumn("lsh_bands", bands)
+
+
+def lsh_blocking(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+    carry_cols: list[str] | None = None,
+) -> DataFrame:
+    """MinHash-LSH candidate pairs: docs sharing any band key.
+
+    explode(bands) -> equi-self-join on band key -> distinct pairs.
+    """
+    carry = carry_cols or []
+    banded = (
+        lsh_band_keys(df, text_col, n_bands, rows_per_band, shingle_k)
+        .select(F.col(id_col).alias("_id"), "lsh_bands", *carry)
+        .withColumn("band_key", F.explode("lsh_bands"))
+        .drop("lsh_bands")
+    )
+    a = banded.select(
+        F.col("_id").alias("id_a"),
+        "band_key",
+        *[F.col(c).alias(f"{c}_a") for c in carry],
+    )
+    b = banded.select(
+        F.col("_id").alias("id_b"),
+        "band_key",
+        *[F.col(c).alias(f"{c}_b") for c in carry],
+    )
+    pairs = a.join(b, on="band_key", how="inner").where(F.col("id_a") < F.col("id_b"))
+    # A pair can collide in several bands: keep one row, the smallest band key
+    # (deterministic), as its block_key.
+    gcols = ["id_a", "id_b", *[f"{c}_a" for c in carry], *[f"{c}_b" for c in carry]]
+    return (
+        pairs.groupBy(*gcols)
+        .agg(F.min("band_key").alias("block_key"))
+        .select(*gcols, "block_key")
+    )
+
+
+def salt_hot_keys(
+    df: DataFrame,
+    id_col: str,
+    key_cols: list[str],
+    max_block_rows: int,
+) -> DataFrame:
+    """Cap block sizes by salting hot composite keys.
+
+    Adds `_salt` (0..n_salts-1, n_salts = ceil(block_rows / max_block_rows),
+    deterministic per id) — include `_salt` in the blocking key to bound the
+    per-block pair count at roughly max_block_rows^2. Members landing in
+    different salt buckets are not compared (the explicit recall/memory
+    trade the reference's unsplittable-block warning punts on).
+    """
+    sizes = df.groupBy(*key_cols).agg(F.count(F.lit(1)).alias("_block_rows"))
+    out = df.join(F.broadcast(sizes), on=key_cols, how="left")
+    n_salts = F.ceil(F.col("_block_rows") / F.lit(max_block_rows)).cast("int")
+    return out.withColumn(
+        "_salt",
+        F.pmod(T.phash(F.col(id_col).cast("string")), n_salts).cast("int"),
+    ).drop("_block_rows")
+
+
+def block_pair_stats(pairs: DataFrame) -> DataFrame:
+    """Per-block candidate-pair counts (skew diagnostic; PosthocBlocks-style
+    bookkeeping, /root/reference/src/posthocblocks.jl:89-116)."""
+    return (
+        pairs.groupBy("block_key")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy(F.desc("n_pairs"))
+    )

@@ -1,0 +1,227 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+All of these are compositions of built-in DataFrame ops over the shared
+dual-emitter functions (functions.text), so every one is DuckDB-oracle
+checkable. At 100 TB: the groupBys shuffle on content hashes (uniformly
+distributed — no skew); LSH/SimHash candidate joins are equi-joins on band/
+bucket keys with bounded bucket sizes.
+
+  - exact_dedup: md5-hash groupBy, canonical representative = min id
+  - ngram_jaccard_pairs: near-dup pairs by distinct-token Jaccard within
+    equi-join blocks
+  - minhash_lsh_pairs: shingle -> minhash -> band -> bucket equi-self-join
+  - simhash_pairs: simhash fingerprint + banded Hamming candidate join
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import text as T
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """-> (content_hash, n_dups, canonical_id): exact duplicate groups."""
+    return (
+        df.select(F.col(id_col).alias("_id"), F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.count(F.lit(1)).alias("n_dups"),
+            F.min("_id").alias("canonical_id"),
+        )
+    )
+
+
+def exact_dedup_sql(table: str, id_col: str, text_col: str) -> str:
+    return (
+        f"SELECT content_hash, CAST(count(*) AS BIGINT) AS n_dups, "
+        f"min({id_col}) AS canonical_id "
+        f"FROM (SELECT {id_col}, md5({text_col}) AS content_hash FROM {table}) "
+        f"GROUP BY content_hash"
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    min_jaccard_pct: int = 50,
+) -> DataFrame:
+    """Near-dup pairs within equi-join blocks by distinct-token Jaccard
+    (integer-threshold: |I|*100 >= |U|*pct). Returns (id_a, id_b, jac_pct)."""
+    toks = F.array_distinct(T.tokens(F.col(text_col)))
+    base = df.select(
+        F.col(id_col).alias("_id"), *block_cols, toks.alias("_toks")
+    )
+    a = base.select(
+        F.col("_id").alias("id_a"), *block_cols, F.col("_toks").alias("toks_a")
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"), *block_cols, F.col("_toks").alias("toks_b")
+    )
+    i = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    u = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
+    return (
+        a.join(b, on=block_cols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(i * 100 >= u * min_jaccard_pct)
+        .select(
+            "id_a",
+            "id_b",
+            (i * 100 / u).cast("double").alias("jac_pct"),
+        )
+    )
+
+
+def ngram_jaccard_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    block_cols: list[str],
+    min_jaccard_pct: int = 50,
+) -> str:
+    toks = f"list_distinct({T.tokens_sql(text_col)})"
+    bc = ", ".join(block_cols)
+    on = " AND ".join(f"a.{c} = b.{c}" for c in block_cols)
+    i = "len(list_intersect(a._toks, b._toks))"
+    u = "len(list_distinct(list_concat(a._toks, b._toks)))"
+    return f"""
+    WITH base AS (SELECT {id_col} AS _id, {bc}, {toks} AS _toks FROM {table})
+    SELECT a._id AS id_a, b._id AS id_b,
+           CAST({i} * 100 / {u} AS DOUBLE) AS jac_pct
+    FROM base a JOIN base b ON {on} AND a._id < b._id
+    WHERE {i} * 100 >= {u} * {min_jaccard_pct}
+    """
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """MinHash-LSH candidate near-dup pairs: (id_a, id_b, n_bands_hit)."""
+    banded = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    T.minhash_band(F.col(text_col), band, rows_per_band, shingle_k)
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    a = banded.select(F.col("_id").alias("id_a"), "band_key")
+    b = banded.select(F.col("_id").alias("id_b"), "band_key")
+    return (
+        a.join(b, on="band_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_bands_hit"))
+    )
+
+
+def minhash_lsh_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> str:
+    bands = ", ".join(
+        T.minhash_band_sql(text_col, band, rows_per_band, shingle_k)
+        for band in range(n_bands)
+    )
+    return f"""
+    WITH banded AS (
+      SELECT {id_col} AS _id, unnest([{bands}]) AS band_key FROM {table}
+    )
+    SELECT a._id AS id_a, b._id AS id_b, CAST(count(*) AS BIGINT) AS n_bands_hit
+    FROM banded a JOIN banded b ON a.band_key = b.band_key AND a._id < b._id
+    GROUP BY a._id, b._id
+    """
+
+
+def simhash_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    n_chunks: int = 4,
+    nbits: int = T.SIMHASH_BITS,
+) -> DataFrame:
+    """SimHash near-dup pairs: candidates share at least one fingerprint
+    chunk (pigeonhole: hamming <= max_hamming with n_chunks > max_hamming/
+    (nbits/n_chunks) guarantees a shared chunk for close docs), verified by
+    exact Hamming distance. Returns (id_a, id_b, hamming)."""
+    chunk_bits = nbits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    sh = df.select(
+        F.col(id_col).alias("_id"), T.simhash(F.col(text_col), nbits).alias("_sh")
+    )
+    chunks = sh.select(
+        "_id",
+        "_sh",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":",
+                        F.lit(str(c)),
+                        F.shiftright(F.col("_sh"), c * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .cast("string"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("chunk_key"),
+    )
+    a = chunks.select(
+        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "chunk_key"
+    )
+    b = chunks.select(
+        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "chunk_key"
+    )
+    return (
+        a.join(b, on="chunk_key")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "sh_a", "sh_b")
+        .agg(F.count(F.lit(1)).alias("_hits"))
+        .withColumn("hamming", T.hamming64(F.col("sh_a"), F.col("sh_b")).cast("int"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def simhash_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 6,
+    n_chunks: int = 4,
+    nbits: int = T.SIMHASH_BITS,
+) -> str:
+    chunk_bits = nbits // n_chunks
+    mask = (1 << chunk_bits) - 1
+    sh = T.simhash_sql(text_col, nbits)
+    chunk_exprs = ", ".join(
+        f"concat_ws(':', '{c}', CAST((_sh >> {c * chunk_bits}) & {mask} AS VARCHAR))"
+        for c in range(n_chunks)
+    )
+    return f"""
+    WITH sh AS (SELECT {id_col} AS _id, {sh} AS _sh FROM {table}),
+    chunks AS (SELECT _id, _sh, unnest([{chunk_exprs}]) AS chunk_key FROM sh),
+    cand AS (
+      SELECT a._id AS id_a, b._id AS id_b, a._sh AS sh_a, b._sh AS sh_b
+      FROM chunks a JOIN chunks b ON a.chunk_key = b.chunk_key AND a._id < b._id
+      GROUP BY a._id, b._id, a._sh, b._sh
+    )
+    SELECT id_a, id_b, CAST({T.hamming64_sql('sh_a', 'sh_b')} AS INT) AS hamming
+    FROM cand WHERE {T.hamming64_sql('sh_a', 'sh_b')} <= {max_hamming}
+    """

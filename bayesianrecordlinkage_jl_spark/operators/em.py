@@ -1,0 +1,159 @@
+"""EM and Dirichlet-MAP parameter estimation on aggregated counts.
+
+Reference semantics (re-expressed, not ported):
+  - E_step / M_step / estimate_EM (/root/reference/src/em_functions.jl:7-101):
+    responsibilities per DISTINCT comparison vector, missing levels (0)
+    integrated out; EM to tol 1e-6 / maxIter 5000
+  - prior_mode (/root/reference/src/maximization_functions.jl:6-11)
+  - max_MU: Dirichlet-MAP pM,pU given a current matching's match counts
+    (/root/reference/src/maximization_functions.jl:18-133)
+  - weights_vector: FS log-likelihood-ratio per distinct vector
+    (/root/reference/src/weight_functions.jl:159-173)
+
+Everything here is driver-side numpy over the distinct-vector table (tiny
+after the groupBy dedup) — the whole point of the comparison-vector dedup is
+that parameter estimation NEVER touches the pairs table. The outputs
+(per-vector weights) go back to Spark via a broadcast join on vec_id.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+
+
+@dataclass
+class FSParams:
+    """pM/pU[field][level-1] for levels 1..nlevels[field]; p = match prob."""
+
+    pM: dict[str, np.ndarray]
+    pU: dict[str, np.ndarray]
+    p: float
+    iterations: int = 0
+    converged: bool = True
+
+    def log_ratio(self, field: str) -> np.ndarray:
+        return np.log(self.pM[field]) - np.log(self.pU[field])
+
+
+def prior_mode(prior: np.ndarray) -> np.ndarray:
+    """Dirichlet prior mode: (a_i - 1) / (sum a - K)."""
+    return (prior - 1.0) / (prior.sum() - len(prior))
+
+
+def _loglik(dvecs: pd.DataFrame, gcols: list[str], probs: dict[str, np.ndarray]) -> np.ndarray:
+    """Per-distinct-vector log-likelihood, level 0 (missing) contributes 0."""
+    out = np.zeros(len(dvecs))
+    for g in gcols:
+        lv = dvecs[g].to_numpy().astype(int)
+        obs = lv > 0
+        out[obs] += np.log(probs[g][lv[obs] - 1])
+    return out
+
+
+def estimate_em(
+    dvecs: pd.DataFrame,
+    gcols: list[str],
+    nlevels: dict[str, int],
+    p0: float = 0.1,
+    pM0: dict[str, np.ndarray] | None = None,
+    pU0: dict[str, np.ndarray] | None = None,
+    tol: float = 1e-6,
+    max_iter: int = 5000,
+    prior_pseudo: float = 1.01,
+) -> FSParams:
+    """EM over the distinct-vector table (columns gcols + n_pairs)."""
+    n = dvecs["n_pairs"].to_numpy().astype(float)
+    ntot = n.sum()
+
+    def init(field: str, matchy: bool) -> np.ndarray:
+        k = nlevels[field]
+        v = np.ones(k)
+        if matchy:
+            v[0] = 4.0 * k  # mass on agreement for M-class
+        else:
+            v[-1] = 4.0 * k  # mass on disagreement for U-class
+        return v / v.sum()
+
+    pM = {g: np.array(pM0[g], float) for g in gcols} if pM0 else {g: init(g, True) for g in gcols}
+    pU = {g: np.array(pU0[g], float) for g in gcols} if pU0 else {g: init(g, False) for g in gcols}
+    p = p0
+    it = 0
+    converged = False
+    for it in range(1, max_iter + 1):
+        # E-step (per distinct vector)
+        lm = _loglik(dvecs, gcols, pM) + np.log(p)
+        lu = _loglik(dvecs, gcols, pU) + np.log1p(-p)
+        mx = np.maximum(lm, lu)
+        gm = np.exp(lm - mx) / (np.exp(lm - mx) + np.exp(lu - mx))
+        gu = 1.0 - gm
+        # M-step with Dirichlet pseudocounts
+        new_p = float((gm * n).sum() / ntot)
+        new_pM, new_pU = {}, {}
+        for g in gcols:
+            k = nlevels[g]
+            lv = dvecs[g].to_numpy().astype(int)
+            cm = np.full(k, prior_pseudo - 1.0)
+            cu = np.full(k, prior_pseudo - 1.0)
+            for lvl in range(1, k + 1):
+                sel = lv == lvl
+                cm[lvl - 1] += (gm[sel] * n[sel]).sum()
+                cu[lvl - 1] += (gu[sel] * n[sel]).sum()
+            new_pM[g] = cm / cm.sum()
+            new_pU[g] = cu / cu.sum()
+        delta = abs(new_p - p)
+        for g in gcols:
+            delta = max(delta, np.abs(new_pM[g] - pM[g]).max(), np.abs(new_pU[g] - pU[g]).max())
+        pM, pU, p = new_pM, new_pU, new_p
+        if delta <= tol:
+            converged = True
+            break
+    return FSParams(pM=pM, pU=pU, p=p, iterations=it, converged=converged)
+
+
+def max_mu(
+    match_counts: dict[str, np.ndarray],
+    total_counts: dict[str, np.ndarray],
+    gcols: list[str],
+    priorM: float = 1.01,
+    priorU: float = 1.01,
+) -> tuple[dict[str, np.ndarray], dict[str, np.ndarray]]:
+    """Dirichlet-MAP closed form given per-(field,level) matched counts and
+    total observed counts (levels 1..K only; level 0 excluded upstream)."""
+    pM, pU = {}, {}
+    for g in gcols:
+        mc = match_counts[g].astype(float)
+        uc = total_counts[g].astype(float) - mc
+        am = mc + (priorM - 1.0)
+        au = uc + (priorU - 1.0)
+        pM[g] = am / am.sum()
+        pU[g] = au / au.sum()
+    return pM, pU
+
+
+def weights_vector(
+    dvecs: pd.DataFrame, gcols: list[str], params: FSParams
+) -> pd.DataFrame:
+    """FS weight per distinct vector -> DataFrame(vec_id, w) for broadcast
+    join back to pairs. Missing levels contribute 0."""
+    w = np.zeros(len(dvecs))
+    for g in gcols:
+        lr = params.log_ratio(g)
+        lv = dvecs[g].to_numpy().astype(int)
+        obs = lv > 0
+        w[obs] += lr[lv[obs] - 1]
+    return pd.DataFrame({"vec_id": dvecs["vec_id"].to_numpy(), "w": w})
+
+
+def maximum_weights_vector(
+    dvecs: pd.DataFrame, gcols: list[str], params_path: list[FSParams]
+) -> pd.DataFrame:
+    """Max weight per vector across a sequence of parameter estimates —
+    edge weights for post-hoc blocking
+    (/root/reference/src/weight_functions.jl:248-263)."""
+    ws = np.stack(
+        [weights_vector(dvecs, gcols, prm)["w"].to_numpy() for prm in params_path]
+    )
+    return pd.DataFrame({"vec_id": dvecs["vec_id"].to_numpy(), "w": ws.max(axis=0)})

@@ -1,0 +1,97 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads ride as opaque `binary` columns with typed metadata structs;
+decode / feature-extract / resize / frame-sample run as Arrow-batched
+pandas UDFs over mapInPandas. The image/audio codecs are NOT available in
+this environment, so the decode kernels are stubbed (deterministic fake or
+NotImplementedError) — the Spark-side plumbing (schemas, batch iteration,
+partitioning, UDF signatures) is real and tested.
+
+At scale: media tables are partitioned by content-hash prefix so batches are
+size-uniform; metadata-only predicates (width/duration/mime) prune at the
+parquet scan WITHOUT touching the binary column (column pruning) — keep
+metadata in separate top-level columns, never inside the blob.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+MEDIA_SCHEMA = (
+    "media_id long, payload binary, mime string, width int, height int, "
+    "duration_ms int"
+)
+
+FEATURE_SCHEMA = "media_id long, feature array<float>, n_bytes long"
+
+
+def synthesize_media(spark, n: int = 64, payload_bytes: int = 256) -> DataFrame:
+    """Deterministic fake media table (payload = repeated md5 bytes)."""
+    return spark.range(n).select(
+        F.col("id").alias("media_id"),
+        F.repeat(F.unhex(F.md5(F.col("id").cast("string"))), payload_bytes // 16)
+        .cast("binary")
+        .alias("payload"),
+        F.when(F.col("id") % 3 == 0, "image/png")
+        .when(F.col("id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4")
+        .alias("mime"),
+        (F.pmod(F.col("id") * 37, 1920) + 1).cast("int").alias("width"),
+        (F.pmod(F.col("id") * 53, 1080) + 1).cast("int").alias("height"),
+        (F.pmod(F.col("id") * 97, 60_000) + 1).cast("int").alias("duration_ms"),
+    )
+
+
+def decode_image(payload: bytes) -> "np.ndarray":
+    """Real codec not available in this container — see module docstring."""
+    raise NotImplementedError(
+        "image decode requires PIL/opencv (not installed); "
+        "use fake_feature for plumbing tests"
+    )
+
+
+def fake_feature(payload: bytes, dim: int = 8) -> np.ndarray:
+    """Deterministic stand-in for a decode+embed kernel: byte histogram
+    folded to `dim` float32 buckets, L1-normalized."""
+    arr = np.frombuffer(payload, dtype=np.uint8)
+    hist = np.bincount(arr % dim, minlength=dim).astype(np.float32)
+    total = hist.sum()
+    return hist / total if total else hist
+
+
+def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches in, one feature row per
+    media item out. The batch loop is the real production shape; only the
+    kernel (fake_feature) is a stub."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = [fake_feature(p, dim) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "feature": [f.tolist() for f in feats],
+                    "n_bytes": [len(p) for p in pdf["payload"]],
+                }
+            )
+
+    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plan: one row per (media_id, frame_ts_ms) —
+    pure Catalyst sequence explode; the decode of each frame would be a
+    downstream mapInPandas with the same batch shape as extract_features."""
+    return (
+        media.where(F.col("mime").startswith("video/"))
+        .select(
+            "media_id",
+            F.explode(
+                F.sequence(F.lit(0), F.col("duration_ms"), F.lit(every_ms))
+            ).alias("frame_ts_ms"),
+        )
+    )

@@ -1,0 +1,153 @@
+"""Similarity search over embedding columns (array<float>).
+
+  - brute_force_topk: exact cosine top-k via JVM-side F.aggregate/zip_with
+    dot products (no Python in the hot path); the baseline.
+  - lsh_bucketed_topk: random-hyperplane (sign-LSH) bucketing, exact rerank
+    within buckets — the scale path (equi-join on bucket key instead of the
+    full cross product; at 100 TB buckets bound the join fan-out).
+
+Dot products run on doubles with left-to-right array order in BOTH engines
+(Spark F.aggregate over zip_with; DuckDB list_sum over list_transform) so
+the oracle compare is bit-stable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions.text import phash
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def _dot_sql(a: str, b: str) -> str:
+    # element-wise via index map to keep left-to-right order identical
+    return (
+        f"list_sum(list_transform(generate_series(1, len({a})), "
+        f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+    )
+
+
+def _norm_sql(a: str) -> str:
+    return f"sqrt(list_sum(list_transform({a}, v -> CAST(v AS DOUBLE) * CAST(v AS DOUBLE))))"
+
+
+def cosine_sql(a: str, b: str) -> str:
+    return f"({_dot_sql(a, b)} / ({_norm_sql(a)} * {_norm_sql(b)}))"
+
+
+def brute_force_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Exact cosine top-k of `queries` against `df`.
+
+    queries: (id_col, vec_col) subset. Broadcast the (small) query side and
+    scan the corpus once; rank per query with a window.
+    """
+    corpus = df.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("_v"))
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q"))
+    joined = corpus.crossJoin(F.broadcast(q)).where(
+        F.col("item_id") != F.col("query_id")
+    )
+    scored = joined.select(
+        "query_id",
+        "item_id",
+        cosine(F.col("_q"), F.col("_v")).alias("sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "item_id", "sim", "rank")
+    )
+
+
+def brute_force_topk_sql(
+    table: str, id_col: str, vec_col: str, query_filter: str, k: int = 5
+) -> str:
+    cos = cosine_sql("q._q", "c._v")
+    return f"""
+    WITH corpus AS (SELECT {id_col} AS item_id, {vec_col} AS _v FROM {table}),
+    q AS (SELECT {id_col} AS query_id, {vec_col} AS _q FROM {table} WHERE {query_filter}),
+    scored AS (
+      SELECT q.query_id, c.item_id, {cos} AS sim
+      FROM corpus c CROSS JOIN q WHERE c.item_id != q.query_id
+    )
+    SELECT query_id, item_id, sim, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item_id ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
+def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
+    """Sign-LSH bucket key: bit b = (dot(vec, h_b) > 0) with deterministic
+    pseudo-random hyperplanes h_b[i] = phash('hp{seed}:{b}:{i}') scaled to
+    [-1, 1]. Pure Catalyst."""
+    bits = []
+    for b in range(n_planes):
+        plane = F.array(
+            *[
+                (
+                    phash(F.lit(f"hp{seed}:{b}:{i}")) % F.lit(2_000_001) / F.lit(1_000_000.0)
+                    - F.lit(1.0)
+                )
+                for i in range(dim)
+            ]
+        )
+        bits.append(F.when(_dot(vec, plane) > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    out = bits[0]
+    for x in bits[1:]:
+        out = out + x
+    return out.cast("int")
+
+
+def lsh_bucketed_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+) -> DataFrame:
+    """ANN: exact rerank within sign-LSH buckets (equi-join on bucket)."""
+    bucket = hyperplane_bucket(F.col(vec_col), dim, n_planes)
+    corpus = df.select(
+        F.col(id_col).alias("item_id"), F.col(vec_col).alias("_v"), bucket.alias("_bk")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q"), bucket.alias("_bk")
+    )
+    joined = corpus.join(q, on="_bk").where(F.col("item_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id", "item_id", cosine(F.col("_q"), F.col("_v")).alias("sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "item_id", "sim", "rank")
+    )

@@ -1,0 +1,119 @@
+"""Per-block one-to-one assignment: exact Hungarian vs brute force,
+greedy/Hungarian agreement on unique-optimum blocks, fast paths, and the
+global one-to-one invariant (FIXTURES.md §7)."""
+
+import itertools
+import random
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bayesianrecordlinkage_jl_spark.operators import assignment as A
+
+
+def _brute_force_max(w: np.ndarray) -> float:
+    n, m = w.shape
+    best = 0.0
+    cols = list(range(m))
+    for k in range(0, min(n, m) + 1):
+        for rows in itertools.combinations(range(n), k):
+            for perm in itertools.permutations(cols, k):
+                s = sum(w[r, c] for r, c in zip(rows, perm) if w[r, c] > 0)
+                best = max(best, s)
+    return best
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_hungarian_matches_brute_force(seed):
+    rng = np.random.default_rng(seed)
+    n, m = rng.integers(1, 5, size=2)
+    w = rng.uniform(-1, 3, size=(n, m)).round(3)
+    picks = A.hungarian_max(w)
+    total = sum(w[i, j] for i, j in picks)
+    assert all(w[i, j] > 0 for i, j in picks)
+    rows = [i for i, _ in picks]
+    cols = [j for _, j in picks]
+    assert len(set(rows)) == len(rows) and len(set(cols)) == len(cols)
+    assert total == pytest.approx(_brute_force_max(w), abs=1e-9)
+
+
+def test_hungarian_rectangular_and_padding():
+    w = np.array([[5.0, 1.0]])
+    assert A.hungarian_max(w) == [(0, 0)]
+    w = np.array([[5.0], [4.0]])  # 2 rows, 1 col -> best row wins
+    assert A.hungarian_max(w) == [(0, 0)]
+    w = np.array([[-1.0, -2.0]])  # all negative -> unmatched
+    assert A.hungarian_max(w) == []
+
+
+def test_greedy_total_order():
+    pairs = pd.DataFrame(
+        {
+            "id_a": [1, 1, 2, 2],
+            "id_b": [10, 11, 10, 11],
+            "w": [2.0, 2.0, 2.0, 1.0],
+            "block_id": [1, 1, 1, 1],
+        }
+    )
+    out = A.greedy_max(pairs)
+    # tie-break (w desc, id_a asc, id_b asc): (1,10) first, then (2,11)
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert got == {(1, 10), (2, 11)}
+
+
+def _random_blocks(rng, n_blocks=6):
+    rows = []
+    for b in range(n_blocks):
+        na, nb = rng.randint(1, 6), rng.randint(1, 6)
+        for i in range(na):
+            for j in range(nb):
+                if rng.random() < 0.7:
+                    rows.append(
+                        {
+                            "id_a": b * 100 + i,
+                            "id_b": 10_000 + b * 100 + j,
+                            "w": round(rng.uniform(-0.5, 2.0), 3),
+                            "block_id": b,
+                        }
+                    )
+    return pd.DataFrame(rows)
+
+
+def test_one_to_one_invariants_and_optimality(spark):
+    rng = random.Random(3)
+    pdf = _random_blocks(rng)
+    df = spark.createDataFrame(pdf)
+    links = A.one_to_one(df, method="hungarian").toPandas()
+    assert links["id_a"].is_unique and links["id_b"].is_unique
+    assert (links["w"] > 0).all()
+    # per-block optimality vs brute force
+    for b, grp in pdf[pdf["w"] > 0].groupby("block_id"):
+        ia = {v: i for i, v in enumerate(sorted(grp["id_a"].unique()))}
+        ib = {v: i for i, v in enumerate(sorted(grp["id_b"].unique()))}
+        w = np.zeros((len(ia), len(ib)))
+        for r in grp.itertuples():
+            w[ia[r.id_a], ib[r.id_b]] = r.w
+        want = _brute_force_max(w)
+        got = links[links["block_id"] == b]["w"].sum()
+        assert got == pytest.approx(want, abs=1e-9), f"block {b}"
+
+
+def test_one_to_one_greedy_method(spark):
+    rng = random.Random(4)
+    df = spark.createDataFrame(_random_blocks(rng))
+    links = A.one_to_one(df, method="greedy").toPandas()
+    assert links["id_a"].is_unique and links["id_b"].is_unique
+    assert (links["w"] > 0).all()
+
+
+def test_mutual_best(spark):
+    pdf = pd.DataFrame(
+        {
+            "id_a": [1, 1, 2],
+            "id_b": [10, 11, 10],
+            "w": [3.0, 2.0, 1.0],
+        }
+    )
+    out = A.mutual_best(spark.createDataFrame(pdf)).toPandas()
+    assert set(zip(out["id_a"], out["id_b"])) == {(1, 10)}

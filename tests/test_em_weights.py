@@ -1,0 +1,93 @@
+"""EM / max_MU / weights_vector on aggregated counts (em_functions.jl and
+weight_functions.jl analogs): hand-computed weight sums with missing levels
+skipped, EM separation recovery, Dirichlet-MAP closed form."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bayesianrecordlinkage_jl_spark.operators import em
+
+GCOLS = ["g1", "g2"]
+NLEV = {"g1": 2, "g2": 3}
+
+
+def test_weights_vector_hand_computed():
+    params = em.FSParams(
+        pM={"g1": np.array([0.9, 0.1]), "g2": np.array([0.7, 0.2, 0.1])},
+        pU={"g1": np.array([0.2, 0.8]), "g2": np.array([0.1, 0.3, 0.6])},
+        p=0.1,
+    )
+    dv = pd.DataFrame(
+        {"vec_id": [1, 2, 3], "g1": [1, 0, 2], "g2": [1, 2, 0], "n_pairs": [5, 5, 5]}
+    )
+    w = em.weights_vector(dv, GCOLS, params)["w"].tolist()
+    assert w[0] == pytest.approx(math.log(0.9 / 0.2) + math.log(0.7 / 0.1))
+    # missing g1 (level 0) contributes nothing
+    assert w[1] == pytest.approx(math.log(0.2 / 0.3))
+    assert w[2] == pytest.approx(math.log(0.1 / 0.8))
+
+
+def test_em_recovers_separation():
+    """Construct counts from known m/u mixture; EM must separate: matches
+    (agree-heavy vectors) get pM(agree) high."""
+    rng = np.random.default_rng(0)
+    pM = {
+        "g1": np.array([0.92, 0.08]),
+        "g2": np.array([0.85, 0.10, 0.05]),
+        "g3": np.array([0.95, 0.05]),
+    }
+    pU = {
+        "g1": np.array([0.10, 0.90]),
+        "g2": np.array([0.05, 0.15, 0.80]),
+        "g3": np.array([0.05, 0.95]),
+    }
+    p = 0.05
+    rows = {}
+    for _ in range(200_000):
+        is_m = rng.random() < p
+        src = pM if is_m else pU
+        v = (
+            1 + rng.choice(2, p=src["g1"]),
+            1 + rng.choice(3, p=src["g2"]),
+            1 + rng.choice(2, p=src["g3"]),
+        )
+        rows[v] = rows.get(v, 0) + 1
+    dv = pd.DataFrame(
+        [
+            {"vec_id": i + 1, "g1": k[0], "g2": k[1], "g3": k[2], "n_pairs": n}
+            for i, (k, n) in enumerate(sorted(rows.items()))
+        ]
+    )
+    gcols = ["g1", "g2", "g3"]
+    nlev = {"g1": 2, "g2": 3, "g3": 2}
+    est = em.estimate_em(dv, gcols, nlev, p0=0.2)
+    assert est.converged
+    assert est.p == pytest.approx(p, abs=0.02)
+    assert est.pM["g1"][0] == pytest.approx(0.92, abs=0.05)
+    assert est.pU["g1"][1] == pytest.approx(0.90, abs=0.05)
+    assert est.pM["g2"][0] == pytest.approx(0.85, abs=0.07)
+
+
+def test_max_mu_closed_form():
+    mc = {"g1": np.array([90.0, 10.0])}
+    tc = {"g1": np.array([100.0, 900.0])}
+    pM, pU = em.max_mu(mc, tc, ["g1"], priorM=1.0, priorU=1.0)
+    assert pM["g1"] == pytest.approx([0.9, 0.1])
+    assert pU["g1"] == pytest.approx([10.0 / 900.0, 890.0 / 900.0])
+
+
+def test_prior_mode():
+    out = em.prior_mode(np.array([2.0, 2.0, 2.0]))
+    assert out == pytest.approx([1 / 3, 1 / 3, 1 / 3])
+
+
+def test_maximum_weights_vector():
+    p1 = em.FSParams(pM={"g1": np.array([0.9, 0.1])}, pU={"g1": np.array([0.5, 0.5])}, p=0.1)
+    p2 = em.FSParams(pM={"g1": np.array([0.6, 0.4])}, pU={"g1": np.array([0.1, 0.9])}, p=0.1)
+    dv = pd.DataFrame({"vec_id": [1, 2], "g1": [1, 2], "n_pairs": [1, 1]})
+    w = em.maximum_weights_vector(dv, ["g1"], [p1, p2])["w"].tolist()
+    assert w[0] == pytest.approx(max(math.log(0.9 / 0.5), math.log(0.6 / 0.1)))
+    assert w[1] == pytest.approx(max(math.log(0.1 / 0.5), math.log(0.4 / 0.9)))

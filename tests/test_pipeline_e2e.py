@@ -1,0 +1,82 @@
+"""End-to-end golden test (SURVEY.md §5 item 3): deterministic synthetic
+pages table with planted duplicate clusters -> full pipeline -> pairwise
+F1 >= 0.99; extraction byte-identity per url; checkpoint resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bayesianrecordlinkage_jl_spark.plans.pipeline import (
+    LinkageConfig,
+    pairwise_f1,
+    run_linkage,
+)
+from bayesianrecordlinkage_jl_spark.sources.pages import (
+    extract_text,
+    generate_pages,
+    labeled_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def pages(spark):
+    return generate_pages(spark, n_clusters=400, seed=42).cache()
+
+
+def test_pages_schema_and_determinism(spark, pages):
+    assert dict(pages.dtypes) == {
+        "url": "string",
+        "warc_ts": "timestamp",
+        "html": "binary",
+        "text": "string",
+        "lang": "string",
+        "host": "string",
+        "cluster_id": "bigint",
+    }
+    again = generate_pages(spark, n_clusters=400, seed=42)
+    assert pages.exceptAll(again).count() == 0
+    assert again.exceptAll(pages).count() == 0
+    n = pages.count()
+    assert n == pages.select("url").distinct().count()
+    sizes = pages.groupBy("cluster_id").count().toPandas()["count"]
+    assert sizes.min() >= 1 and sizes.max() <= 5
+
+
+def test_extraction_byte_identity(pages):
+    """BASELINE.json input_hint: extracted text byte-identical per url."""
+    bad = pages.where(
+        extract_text(F.col("html")).cast("binary") != F.col("text").cast("binary")
+    ).count()
+    assert bad == 0
+
+
+def test_zipfian_hosts(pages):
+    hosts = pages.groupBy("host").count().orderBy(F.desc("count")).toPandas()
+    # hot head: top host much larger than median host
+    assert hosts["count"].iloc[0] >= 10 * hosts["count"].median()
+
+
+def test_pipeline_f1(spark, pages):
+    truth = labeled_pairs(pages)
+    res = run_linkage(spark, pages.drop("cluster_id", "host"), LinkageConfig())
+    stats = pairwise_f1(res.clusters, truth)
+    assert stats["f1"] >= 0.99, stats
+    # one-to-one invariant on the links artifact
+    from bayesianrecordlinkage_jl_spark.operators.assignment import assert_one_to_one
+
+    assert assert_one_to_one(res.links)
+    # EM found a high-m agreement signal
+    assert res.params is not None and res.params.converged
+
+
+def test_checkpoint_resume(spark, pages, tmp_path):
+    cfg = LinkageConfig(checkpoint_dir=str(tmp_path / "ckpt"))
+    inp = pages.drop("cluster_id", "host").limit(300)
+    r1 = run_linkage(spark, inp, cfg)
+    n1 = r1.clusters.count()
+    c1 = r1.counters
+    assert set(c1) >= {"docs", "candidates", "components", "links", "clusters"}
+    assert all("partition_rows" in v for v in c1.values())
+    # second run resumes from checkpoints (counters unchanged, same output)
+    r2 = run_linkage(spark, inp, cfg)
+    assert r2.clusters.count() == n1
+    assert r2.counters["links"]["completed_at"] == c1["links"]["completed_at"]
