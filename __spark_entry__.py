@@ -1,38 +1,41 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark): flagship linkage query — candidate-pair blocking over the
+sf0.001 documents table, Fellegi-Sunter scoring, connected-components
+entity clustering — returning the cluster assignment table.
+
+queries()/oracle_sql(): the operator catalog from
+bayesianrecordlinkage_jl_spark.plans.oracle_queries — every SQL-expressible
+stage of the SURVEY.md §2 inventory has a DuckDB oracle generated from the
+same constants as the Spark implementation (value-identical incl. doubles).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from pyspark.sql import DataFrame, SparkSession
 
+from bayesianrecordlinkage_jl_spark.plans.oracle_queries import build_catalog
+
+_CATALOG = build_catalog()
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: FS-scored candidate pairs
+    -> positive-weight graph -> connected-components entity clusters."""
+    return _CATALOG["connected_components"]["spark"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: ent["spark"] for name, ent in _CATALOG.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: ent["sql"] for name, ent in _CATALOG.items() if ent.get("sql")
+    }

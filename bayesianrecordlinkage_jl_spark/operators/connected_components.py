@@ -76,18 +76,29 @@ def connected_components(
     component = own id (matching the reference's label-0-isolated
     convention, /root/reference/src/clustering_functions.jl:30).
     """
+    def _sig(df: DataFrame) -> tuple:
+        """Edge-set signature in ONE map-side aggregate (count + order-
+        insensitive hash sum) — convergence check without the full-shuffle
+        exceptAll comparison, which would dominate at scale."""
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(F.col("src"), F.col("dst")).cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
     e = _canon(
         edges.select(F.col(src).cast("long").alias("src"), F.col(dst).cast("long").alias("dst"))
     ).localCheckpoint()
+    sig = _sig(e)
     for _ in range(max_iter):
         e2 = _canon(_small_star(_large_star(e))).localCheckpoint()
-        # converged when edge sets identical: same count and same sym-diff 0
-        if e2.count() == e.count():
-            diff = e2.exceptAll(e).limit(1).count()
-            if diff == 0:
-                e = e2
-                break
+        sig2 = _sig(e2)
         e = e2
+        if sig2 == sig:
+            break
+        sig = sig2
     # at fixpoint every edge is (node, root)
     comp = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
     roots = e.select(F.col("dst").alias("node")).distinct().withColumn(
@@ -106,6 +117,91 @@ def components_with_isolated(
         allnodes.join(cc, on="node", how="left")
         .select("node", F.coalesce("component", F.col("node")).alias("component"))
     )
+
+
+def size_capped_components(
+    weighted_edges: DataFrame,
+    max_pairs: int,
+    threshold: float = 0.0,
+    incr: float = 0.01,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """iterative_bipartite_cluster2 analog
+    (/root/reference/src/clustering_functions.jl:390-489): cluster at the
+    base threshold, then re-cluster every oversized component (pair count >
+    max_pairs) at progressively higher thresholds until all components fit
+    or an unsplittable hot block remains (the reference warns, :465 — we
+    return it flagged with `capped = true` so callers can salt/prune it).
+
+    This IS the skew-splitting stage: at web scale a boilerplate-heavy hot
+    block would otherwise blow up the per-block solver.
+
+    weighted_edges: (src, dst, w). Returns (node, component, capped).
+    """
+    e = weighted_edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long"), F.col("w")
+    ).localCheckpoint()
+    done_parts: list[DataFrame] = []
+    cur_t = threshold
+    active = e
+    spark = weighted_edges.sparkSession
+    for _ in range(max_rounds):
+        cc = connected_components(active.where(F.col("w") > cur_t))
+        # pair count per component = edges above threshold per component
+        ec = (
+            active.where(F.col("w") > cur_t)
+            .join(cc.withColumnRenamed("node", "src"), on="src")
+            .groupBy("component")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+        )
+        labeled = cc.join(ec, on="component")
+        ok = labeled.where(F.col("n_pairs") <= max_pairs).select(
+            "node", "component", F.lit(False).alias("capped")
+        )
+        done_parts.append(ok.localCheckpoint())
+        over = labeled.where(F.col("n_pairs") > max_pairs).select("node")
+        if over.limit(1).count() == 0:
+            break
+        # restrict to edges inside oversized components; raise threshold
+        active = (
+            active.join(over.withColumnRenamed("node", "src"), on="src", how="left_semi")
+            .localCheckpoint()
+        )
+        new_t = cur_t + incr
+        # unsplittable: no edge would be dropped by the higher threshold
+        if active.where((F.col("w") > cur_t) & (F.col("w") <= new_t)).limit(1).count() == 0 and \
+           active.where(F.col("w") <= cur_t).limit(1).count() == 0:
+            cc_rest = connected_components(active)
+            done_parts.append(
+                cc_rest.select("node", "component", F.lit(True).alias("capped"))
+            )
+            break
+        cur_t = new_t
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def threshold_sensitivity(
+    weighted_edges: DataFrame, thresholds: list[float]
+) -> list[dict]:
+    """threshold_sensitivity analog
+    (/root/reference/src/weight_functions.jl:471-484): component-size
+    statistics at each candidate blocking threshold (driver diagnostic)."""
+    out = []
+    for t in thresholds:
+        cc = connected_components(weighted_edges.where(F.col("w") > t))
+        row = summarize_components(cc).collect()[0]
+        out.append({"threshold": t, **row.asDict()})
+    return out
+
+
+def get_mids(values: list[float]) -> list[float]:
+    """Midpoints between sorted distinct values (threshold grid,
+    /root/reference/src/connectedcomponents.jl:116-119). Driver-side."""
+    s = sorted(set(values))
+    return [(a + b) / 2.0 for a, b in zip(s, s[1:])]
 
 
 def summarize_components(components: DataFrame) -> DataFrame:

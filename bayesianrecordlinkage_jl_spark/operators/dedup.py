@@ -20,6 +20,14 @@ from pyspark.sql import DataFrame, functions as F
 from ..functions import text as T
 
 
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition for CPU-bound per-row work: these tables are small in
+    bytes but heavy per row (shingling/hashing), so byte-based AQE
+    coalescing would serialize them onto one core."""
+    n = df.sparkSession.sparkContext.defaultParallelism * 2
+    return df.repartition(n, *cols)
+
+
 def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """-> (content_hash, n_dups, canonical_id): exact duplicate groups."""
     return (
@@ -51,7 +59,7 @@ def ngram_jaccard_pairs(
     """Near-dup pairs within equi-join blocks by distinct-token Jaccard
     (integer-threshold: |I|*100 >= |U|*pct). Returns (id_a, id_b, jac_pct)."""
     toks = F.array_distinct(T.tokens(F.col(text_col)))
-    base = df.select(
+    base = _spread(df, id_col).select(
         F.col(id_col).alias("_id"), *block_cols, toks.alias("_toks")
     )
     a = base.select(
@@ -104,7 +112,7 @@ def minhash_lsh_pairs(
     shingle_k: int = 3,
 ) -> DataFrame:
     """MinHash-LSH candidate near-dup pairs: (id_a, id_b, n_bands_hit)."""
-    banded = df.select(
+    banded = _spread(df, id_col).select(
         F.col(id_col).alias("_id"),
         F.explode(
             F.array(
@@ -161,7 +169,7 @@ def simhash_pairs(
     exact Hamming distance. Returns (id_a, id_b, hamming)."""
     chunk_bits = nbits // n_chunks
     mask = (1 << chunk_bits) - 1
-    sh = df.select(
+    sh = _spread(df, id_col).select(
         F.col(id_col).alias("_id"), T.simhash(F.col(text_col), nbits).alias("_sh")
     )
     chunks = sh.select(

@@ -147,6 +147,42 @@ def weights_vector(
     return pd.DataFrame({"vec_id": dvecs["vec_id"].to_numpy(), "w": w})
 
 
+def minimum_margin(weights, digits: int = 5) -> float:
+    """Min gap between distinct rounded weights (auction epsilon tuning,
+    /root/reference/src/weight_functions.jl:4-8). Driver-side."""
+    s = np.unique(np.round(np.asarray(weights, dtype=float), digits))
+    if len(s) < 2:
+        return 0.0
+    return float(np.diff(s).min())
+
+
+def one_hot_counts(
+    dvecs: pd.DataFrame, gcols: list[str], nlevels: dict[str, int]
+) -> np.ndarray:
+    """get_obsidxcounts analog (/root/reference/src/comparisonsummary.jl:503-511):
+    one-hot expansion of each distinct vector over the flattened
+    (field, level) axis — level 0 (missing) contributes no column."""
+    width = sum(nlevels[g] for g in gcols)
+    out = np.zeros((len(dvecs), width), dtype=np.int64)
+    off = 0
+    for g in gcols:
+        lv = dvecs[g].to_numpy().astype(int)
+        obs = lv > 0
+        out[np.where(obs)[0], off + lv[obs] - 1] = 1
+        off += nlevels[g]
+    return out
+
+
+def observed_mask(
+    dvecs: pd.DataFrame, gcols: list[str]
+) -> np.ndarray:
+    """get_obsidxobs analog (:521-529): 0/1 per (vector, field) observed."""
+    return np.stack(
+        [(dvecs[g].to_numpy().astype(int) > 0).astype(np.int64) for g in gcols],
+        axis=1,
+    )
+
+
 def maximum_weights_vector(
     dvecs: pd.DataFrame, gcols: list[str], params_path: list[FSParams]
 ) -> pd.DataFrame:

@@ -1,0 +1,215 @@
+"""Penalized-likelihood MAP coordinate ascent + penalty-path search.
+
+Reference semantics (re-expressed, not ported):
+  - penalized_likelihood_* coordinate ascent: alternate {weights -> CC ->
+    per-block LSAP} with {max_MU Dirichlet-MAP update} until pM/pU stable
+    (/root/reference/src/map_functions.jl:1-324, tol/maxIter :6,103)
+  - incr_penalty: next penalty = midpoint between surrounding distinct
+    weights above the current one (/root/reference/src/sequence_map_functions.jl:13-89)
+  - penalized_likelihood_search_*: penalty-path driver recording a
+    ParameterChain of [id_a id_b start stop] link-persistence intervals +
+    per-step (pM, pU, nlinks) (/root/reference/src/sequence_map_functions.jl:91-240)
+
+Spark decomposition: per iteration, ONLY two distributed jobs run — the
+positive-edge CC and the per-block assignment; everything else (weights,
+match counts, max_MU) is driver numpy over the distinct-vector table.
+Match counts per field/level come from the matched pairs' vec_ids
+(matches2veccounts / veccounts2matchcounts analog) — a groupBy on the small
+links table. Chain tables checkpoint per penalty step for resume.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import assignment, em
+from .connected_components import connected_components
+
+
+@dataclass
+class ParameterChain:
+    """Chain of penalty-path steps (ParameterChain analog,
+    /root/reference/src/parameterchain.jl:14-37)."""
+
+    links: pd.DataFrame  # id_a, id_b, start, stop (step indices, 1-based)
+    nlinks: list[int] = field(default_factory=list)
+    penalties: list[float] = field(default_factory=list)
+    pM: list[dict] = field(default_factory=list)
+    pU: list[dict] = field(default_factory=list)
+
+    def steplinks(self, step: int) -> pd.DataFrame:
+        """Links alive at a step (get_steplinks analog)."""
+        m = (self.links["start"] <= step) & (self.links["stop"] >= step)
+        return self.links[m][["id_a", "id_b"]]
+
+    def link_counts(self, burnin: int = 0) -> pd.DataFrame:
+        """Per-pair persistence counts with burn-in (get_linkcounts analog)."""
+        eff = self.links["start"].clip(lower=burnin + 1)
+        keep = self.links["stop"] >= eff
+        out = self.links[keep].copy()
+        out["n_steps"] = self.links["stop"][keep] - eff[keep] + 1
+        return out.groupby(["id_a", "id_b"], as_index=False)["n_steps"].sum()
+
+
+def incr_penalty(
+    weights: np.ndarray, penalty: float, min_incr: float, frac: float = 0.5
+) -> tuple[float, int]:
+    """Next penalty on the path (reference semantics,
+    /root/reference/src/sequence_map_functions.jl:13-89): among weights above
+    the current penalty, step to at least minnext = max(penalty+min_incr,
+    smallest such weight); the new penalty is the frac-average of the two
+    weights surrounding minnext (>= minnext). Returns (new_penalty, n_above)."""
+    wv = np.sort(weights[weights > penalty])
+    if len(wv) == 0:
+        return penalty + min_incr, 0
+    minnext = max(penalty + min_incr, float(wv[0]))
+    above = wv[wv > minnext]
+    if len(above) == 0:
+        return minnext, 0
+    if above[0] == wv[0]:  # every remaining weight already above minnext
+        return minnext, len(wv)
+    below = float(wv[wv <= minnext].max())
+    new_pen = max((1.0 - frac) * below + frac * float(above[0]), minnext)
+    return float(new_pen), int(len(above))
+
+
+def _match_counts(
+    links: DataFrame, dvecs: pd.DataFrame, gcols: list[str], nlevels: dict[str, int]
+) -> dict[str, np.ndarray]:
+    """Matched-pair counts per (field, level) from the links' vec_ids
+    (matches2veccounts + veccounts2matchcounts analog,
+    /root/reference/src/weight_functions.jl:16-56)."""
+    vc = (
+        links.groupBy("vec_id").agg(F.count(F.lit(1)).alias("n"))
+        .toPandas()
+        .set_index("vec_id")["n"]
+    )
+    out = {g: np.zeros(nlevels[g]) for g in gcols}
+    dv = dvecs.set_index("vec_id")
+    for vec_id, n in vc.items():
+        for g in gcols:
+            lvl = int(dv.loc[vec_id, g])
+            if lvl > 0:
+                out[g][lvl - 1] += n
+    return out
+
+
+def _total_counts(
+    dvecs: pd.DataFrame, gcols: list[str], nlevels: dict[str, int]
+) -> dict[str, np.ndarray]:
+    out = {g: np.zeros(nlevels[g]) for g in gcols}
+    for g in gcols:
+        lv = dvecs[g].to_numpy().astype(int)
+        n = dvecs["n_pairs"].to_numpy()
+        for lvl in range(1, nlevels[g] + 1):
+            out[g][lvl - 1] = n[lv == lvl].sum()
+    return out
+
+
+def penalized_likelihood(
+    spark: SparkSession,
+    pairs: DataFrame,
+    dvecs: pd.DataFrame,
+    gcols: list[str],
+    nlevels: dict[str, int],
+    params: em.FSParams,
+    penalty: float = 0.0,
+    tol: float = 1e-5,
+    max_iter: int = 100,
+    method: str = "hungarian",
+) -> tuple[DataFrame, em.FSParams, int]:
+    """One coordinate-ascent solve at a fixed penalty
+    (penalized_likelihood_auction analog). pairs must carry (id_a, id_b,
+    vec_id). Returns (links, params, n_iter)."""
+    total = _total_counts(dvecs, gcols, nlevels)
+    links = None
+    for it in range(1, max_iter + 1):
+        wpd = em.weights_vector(dvecs, gcols, params)
+        wpd["w"] = wpd["w"] - penalty  # shrink
+        wdf = spark.createDataFrame(wpd, schema="vec_id long, w double")
+        pos = pairs.join(F.broadcast(wdf), on="vec_id").where(F.col("w") > 0)
+        comps = connected_components(
+            pos.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        )
+        blocked = pos.join(
+            comps.withColumnRenamed("node", "id_a"), on="id_a"
+        ).withColumnRenamed("component", "block_id")
+        links = assignment.one_to_one(
+            blocked.select("id_a", "id_b", "w", "block_id"), method=method
+        ).join(blocked.select("id_a", "id_b", "vec_id"), on=["id_a", "id_b"])
+        links = links.localCheckpoint()
+        mc = _match_counts(links, dvecs, gcols, nlevels)
+        pM, pU = em.max_mu(mc, total, gcols)
+        delta = 0.0
+        for g in gcols:
+            delta = max(
+                delta,
+                np.abs(pM[g] - params.pM[g]).max(),
+                np.abs(pU[g] - params.pU[g]).max(),
+            )
+        params = em.FSParams(pM=pM, pU=pU, p=params.p)
+        if delta <= tol:
+            return links, params, it
+    return links, params, max_iter
+
+
+def penalized_likelihood_search(
+    spark: SparkSession,
+    pairs: DataFrame,
+    dvecs: pd.DataFrame,
+    gcols: list[str],
+    nlevels: dict[str, int],
+    params0: em.FSParams,
+    penalty0: float = 0.0,
+    min_incr: float = 0.5,
+    max_steps: int = 20,
+    method: str = "hungarian",
+    checkpoint_store=None,
+) -> ParameterChain:
+    """Penalty-path driver (penalized_likelihood_search_auction analog):
+    solve at each penalty, record link persistence intervals, raise the
+    penalty between distinct weight values, stop when no links survive."""
+    chain_rows: dict[tuple, list] = {}
+    chain = ParameterChain(links=pd.DataFrame(columns=["id_a", "id_b", "start", "stop"]))
+    params = params0
+    penalty = penalty0
+    step = 0
+    while step < max_steps:
+        step += 1
+        links, params, _ = penalized_likelihood(
+            spark, pairs, dvecs, gcols, nlevels, params, penalty, method=method
+        )
+        lp = links.select("id_a", "id_b").toPandas()
+        cur = set(zip(lp["id_a"], lp["id_b"]))
+        for key in cur:
+            if key in chain_rows and chain_rows[key][-1][1] == step - 1:
+                chain_rows[key][-1][1] = step  # extend open interval
+            else:
+                chain_rows.setdefault(key, []).append([step, step])
+        chain.nlinks.append(len(cur))
+        chain.penalties.append(penalty)
+        chain.pM.append({g: params.pM[g].copy() for g in gcols})
+        chain.pU.append({g: params.pU[g].copy() for g in gcols})
+        if checkpoint_store is not None:
+            checkpoint_store.write(
+                f"chain_step_{step}",
+                links.select("id_a", "id_b", "w", "block_id"),
+                {"penalty": penalty, "step": step},
+            )
+        if len(cur) == 0:
+            break
+        w = em.weights_vector(dvecs, gcols, params)["w"].to_numpy()
+        penalty, n_above = incr_penalty(w, penalty, min_incr)
+        if n_above == 0:
+            break
+    rows = [
+        {"id_a": k[0], "id_b": k[1], "start": s, "stop": e}
+        for k, ivals in chain_rows.items()
+        for s, e in ivals
+    ]
+    chain.links = pd.DataFrame(rows, columns=["id_a", "id_b", "start", "stop"])
+    return chain

@@ -66,7 +66,10 @@ def brute_force_topk(
     queries: (id_col, vec_col) subset. Broadcast the (small) query side and
     scan the corpus once; rank per query with a window.
     """
-    corpus = df.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("_v"))
+    n_part = df.sparkSession.sparkContext.defaultParallelism * 2
+    corpus = df.repartition(n_part, id_col).select(
+        F.col(id_col).alias("item_id"), F.col(vec_col).alias("_v")
+    )
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q"))
     joined = corpus.crossJoin(F.broadcast(q)).where(
         F.col("item_id") != F.col("query_id")

@@ -1,0 +1,574 @@
+"""Operator catalog over the driver's testdata tables, with DuckDB oracles.
+
+Each entry exposes the Spark implementation (a (spark, sf_dir) -> DataFrame
+callable built from the library operators) AND the equivalent DuckDB SQL,
+generated from the SAME shared constants/emitters so values match exactly —
+including bit-identical doubles (fixed literal tables + fixed left-to-right
+association order).
+
+The `documents` table plays the record-table role (doc_id = record id,
+(lang, source) = the blocking key); `embeddings` backs similarity search;
+`events` backs the windowed-aggregation query. Every query name maps to a
+reference operator group from SURVEY.md §2 (noted per entry).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..functions import comparators as C
+from ..functions import text as T
+from ..functions import weights as W
+from ..functions.text import phash
+from ..operators import dedup, similarity
+from ..operators.comparison_summary import distinct_vectors, marginal_counts
+
+# ---------------------------------------------------------------------------
+# shared constants (single source of truth for Spark AND SQL sides)
+# ---------------------------------------------------------------------------
+
+LEV_PREFIX = 64
+NCHAR_CUTS = [50]
+FIELD_KINDS = [("g1", "lev"), ("g2", "jac"), ("g3", "band")]
+GCOLS = ["g1", "g2", "g3"]
+PENALTY = 5.0
+POSTERIOR_P = 0.01
+EDGE_THRESHOLD = 0.0
+CHAIN_BURNIN = 10
+CHAIN_STEP = 15
+JACCARD_MIN_PCT = 30
+SIMHASH_MAX_HAMMING = 8
+TOPK = 5
+TOPK_QUERY_MAX_ID = 10
+
+
+def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# -- comparison-vector expressions (documents self-pairs) -------------------
+
+
+def _g_exprs_spark() -> dict:
+    return {
+        "g1": C.lev_ord(
+            F.substring("text_a", 1, LEV_PREFIX), F.substring("text_b", 1, LEV_PREFIX)
+        ),
+        "g2": C.token_jaccard_ord(F.col("text_a"), F.col("text_b")),
+        "g3": C.num_band_ord(F.col("n_chars_a"), F.col("n_chars_b"), NCHAR_CUTS),
+    }
+
+
+def _g_exprs_sql(a: str = "a", b: str = "b") -> dict:
+    return {
+        "g1": C.lev_ord_sql(
+            f"substr({a}.text,1,{LEV_PREFIX})", f"substr({b}.text,1,{LEV_PREFIX})"
+        ),
+        "g2": C.token_jaccard_ord_sql(f"{a}.text", f"{b}.text"),
+        "g3": C.num_band_ord_sql(f"{a}.n_chars", f"{b}.n_chars", NCHAR_CUTS),
+    }
+
+
+def _pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs by (lang, source) equi-self-join blocking.
+
+    The pair table is small in BYTES but the downstream comparators
+    (levenshtein / token-jaccard) are CPU-heavy per ROW. Catalyst pushes
+    weight filters down INTO the join stage, so parallelism must exist
+    UPSTREAM of the join: repartition the probe side before joining
+    (a post-join repartition would be bypassed by predicate pushdown and
+    the scoring would serialize onto the single parquet-scan task)."""
+    d = load(spark, sf_dir, "documents")
+    n_part = spark.sparkContext.defaultParallelism * 2
+    a = d.repartition(n_part, "doc_id").select(
+        F.col("doc_id").alias("id_a"), "lang", "source",
+        F.col("text").alias("text_a"), F.col("n_chars").alias("n_chars_a"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("id_b"), "lang", "source",
+        F.col("text").alias("text_b"), F.col("n_chars").alias("n_chars_b"),
+    )
+    return (
+        a.join(F.broadcast(b), on=["lang", "source"])
+        .where(F.col("id_a") < F.col("id_b"))
+    )
+
+
+_PAIRS_SQL = """
+SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.lang, a.source,
+       a.text AS text_a, b.text AS text_b,
+       a.n_chars AS n_chars_a, b.n_chars AS n_chars_b
+FROM documents a JOIN documents b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+"""
+
+
+def _vectors_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _pairs_spark(spark, sf_dir).withColumns(_g_exprs_spark()).select(
+        "id_a", "id_b", *GCOLS
+    )
+
+
+def _vectors_sql() -> str:
+    g = _g_exprs_sql()
+    return f"""
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           {g['g1']} AS g1, {g['g2']} AS g2, {g['g3']} AS g3
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    """
+
+
+_WEIGHT_EXPR_SQL = W.fs_weight_sql(FIELD_KINDS)
+
+
+def _weighted_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = _vectors_spark(spark, sf_dir)
+    return v.withColumn(
+        "w", W.fs_weight([(F.col(g), k) for g, k in FIELD_KINDS])
+    )
+
+
+def _scored_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted pairs with the comparators evaluated EXACTLY once.
+
+    A naive withColumn(w)+filter(w>0) lets Catalyst substitute the weight
+    CASE (and thus every comparator expression) into the pushed-down
+    predicate — measured 4x the single-pass cost. The pair-key aggregate
+    below is a shuffle barrier predicates cannot cross: comparators run
+    once before the shuffle; downstream filters/windows see only tinyint
+    g-columns and the cheap CASE weight. (id_a, id_b) is unique, so the
+    first() aggregate is the identity."""
+    v = _vectors_spark(spark, sf_dir)
+    agg = v.groupBy("id_a", "id_b").agg(
+        *[F.first(g).alias(g) for g in GCOLS]
+    )
+    return agg.withColumn(
+        "w", W.fs_weight([(F.col(g), k) for g, k in FIELD_KINDS])
+    ).select("id_a", "id_b", *GCOLS, "w")
+
+
+def _weighted_pairs_sql() -> str:
+    return f"SELECT id_a, id_b, {_WEIGHT_EXPR_SQL} AS w FROM ({_vectors_sql()})"
+
+
+def _edges_sql() -> str:
+    return f"SELECT id_a, id_b FROM ({_weighted_pairs_sql()}) WHERE w > {EDGE_THRESHOLD!r}e0"
+
+
+_CC_SQL_TEMPLATE = """
+WITH RECURSIVE edges AS ({edges}),
+nodes AS (SELECT DISTINCT doc_id AS node FROM documents),
+bi AS (SELECT id_a AS a, id_b AS b FROM edges
+       UNION SELECT id_b AS a, id_a AS b FROM edges),
+walk(node, comp) AS (
+  SELECT node, node FROM nodes
+  UNION
+  SELECT bi.b, walk.comp FROM walk JOIN bi ON bi.a = walk.node
+  WHERE walk.comp < bi.b
+)
+SELECT node, min(comp) AS component FROM walk GROUP BY node
+"""
+
+
+def _cc_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.connected_components import components_with_isolated
+
+    wp = _scored_pairs_spark(spark, sf_dir)
+    edges = wp.where(F.col("w") > EDGE_THRESHOLD).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    nodes = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
+    return components_with_isolated(edges, nodes)
+
+
+def _cc_sql() -> str:
+    return _CC_SQL_TEMPLATE.format(edges=_edges_sql())
+
+
+# ---------------------------------------------------------------------------
+# the catalog: name -> (spark_fn, oracle_sql or None, survey ref)
+# ---------------------------------------------------------------------------
+
+
+def _chain_sql() -> str:
+    """Deterministic synthetic ParameterChain from candidate pairs: link
+    persistence intervals [start, stop] derived from portable hashes."""
+    h1 = T.phash_sql("concat_ws(':', 'cs', id_a, id_b)")
+    h2 = T.phash_sql("concat_ws(':', 'ce', id_a, id_b)")
+    return f"""
+    SELECT id_a, id_b,
+           CAST(({h1} % 20) + 1 AS BIGINT) AS start,
+           CAST(({h1} % 20) + 1 + ({h2} % 30) AS BIGINT) AS stop
+    FROM (SELECT id_a, id_b FROM ({_PAIRS_SQL}))
+    """
+
+
+def _chain_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _pairs_spark(spark, sf_dir).select("id_a", "id_b")
+    h1 = phash(F.concat_ws(":", F.lit("cs"), F.col("id_a"), F.col("id_b")))
+    h2 = phash(F.concat_ws(":", F.lit("ce"), F.col("id_a"), F.col("id_b")))
+    return p.select(
+        "id_a",
+        "id_b",
+        ((h1 % 20) + 1).cast("long").alias("start"),
+        ((h1 % 20) + 1 + (h2 % 30)).cast("long").alias("stop"),
+    )
+
+
+def build_catalog() -> dict[str, dict]:
+    """name -> {spark: callable(spark, sf_dir)->DataFrame, sql: str|None,
+    ref: 'reference file:line'}."""
+    cat: dict[str, dict] = {}
+
+    # --- sources / scans (SURVEY 2.1) ---
+    cat["scan_documents"] = {
+        "spark": lambda s, d: load(s, d, "documents").select(
+            "doc_id", "lang", "source", "n_chars"
+        ),
+        "sql": "SELECT doc_id, lang, source, n_chars FROM documents",
+        "ref": "vignette/example.jl:10-11 (record-table scan)",
+    }
+
+    # --- blocking (SURVEY 2.1 sparse candidate indexing) ---
+    cat["blocking_key_counts"] = {
+        "spark": lambda s, d: load(s, d, "documents")
+        .groupBy("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs")),
+        "sql": "SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs "
+        "FROM documents GROUP BY lang, source",
+        "ref": "src/comparisonsummary.jl:326-410 (candidate indexing)",
+    }
+    cat["candidate_pairs"] = {
+        "spark": lambda s, d: _pairs_spark(s, d).select("id_a", "id_b", "lang", "source"),
+        "sql": f"SELECT id_a, id_b, lang, source FROM ({_PAIRS_SQL})",
+        "ref": "README.md:160-183 (blocked index lists)",
+    }
+
+    # --- comparison layer (SURVEY 2.2) ---
+    cat["comparison_vectors"] = {
+        "spark": _vectors_spark,
+        "sql": _vectors_sql(),
+        "ref": "vignette/example.jl:21-50 (levOrd/boolOrd comparators)",
+    }
+
+    # --- aggregation layer (SURVEY 2.3) ---
+    cat["distinct_vectors"] = {
+        "spark": lambda s, d: distinct_vectors(_vectors_spark(s, d), GCOLS),
+        "sql": f"""
+        SELECT CAST(row_number() OVER (ORDER BY g1, g2, g3) AS BIGINT) AS vec_id,
+               g1, g2, g3, n_pairs
+        FROM (SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS n_pairs
+              FROM ({_vectors_sql()}) GROUP BY g1, g2, g3)
+        """,
+        "ref": "src/comparisonsummary.jl:84-209 (comparison_variables dedup)",
+    }
+    cat["marginal_counts"] = {
+        "spark": lambda s, d: marginal_counts(
+            distinct_vectors(_vectors_spark(s, d), GCOLS), GCOLS
+        ),
+        "sql": f"""
+        WITH dv AS (SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS n_pairs
+                    FROM ({_vectors_sql()}) GROUP BY g1, g2, g3),
+        stacked AS (
+          SELECT 'g1' AS field, CAST(g1 AS INT) AS level, n_pairs AS n FROM dv
+          UNION ALL SELECT 'g2', CAST(g2 AS INT), n_pairs FROM dv
+          UNION ALL SELECT 'g3', CAST(g3 AS INT), n_pairs FROM dv)
+        SELECT field, level, CAST(sum(n) AS BIGINT) AS n_pairs
+        FROM stacked GROUP BY field, level
+        """,
+        "ref": "src/comparisonsummary.jl:220-252 (count_variables)",
+    }
+
+    # --- weights (SURVEY 2.2/2.7) ---
+    cat["fs_weights"] = {
+        "spark": _weighted_pairs_spark,
+        "sql": f"SELECT id_a, id_b, g1, g2, g3, {_WEIGHT_EXPR_SQL} AS w "
+        f"FROM ({_vectors_sql()})",
+        "ref": "src/weight_functions.jl:159-173 (weights_vector)",
+    }
+    cat["penalized_weights"] = {
+        "spark": lambda s, d: _scored_pairs_spark(s, d)
+        .withColumn("pw", W.shrink_weights(F.col("w"), PENALTY))
+        .where(F.col("pw") > 0)
+        .select("id_a", "id_b", "pw"),
+        "sql": f"""
+        SELECT id_a, id_b, {W.shrink_weights_sql('w', PENALTY)} AS pw
+        FROM ({_weighted_pairs_sql()})
+        WHERE {W.shrink_weights_sql('w', PENALTY)} > 0
+        """,
+        "ref": "src/weight_functions.jl:192-222,296-357 (shrink/penalized matrix)",
+    }
+    # bayesrule_posterior = logistic(logit(p) + w); the oracle compares the
+    # log-odds form (pure addition) because exp() differs in the last ulp
+    # between the JVM and libm — the logistic form is pytest-verified.
+    import math
+
+    logit_p = round(math.log(POSTERIOR_P / (1.0 - POSTERIOR_P)), 12)
+    cat["bayes_posterior_log_odds"] = {
+        "spark": lambda s, d: _scored_pairs_spark(s, d).select(
+            "id_a", "id_b", (F.lit(logit_p) + F.col("w")).alias("log_odds")
+        ),
+        "sql": f"SELECT id_a, id_b, ({logit_p!r}e0 + w) AS log_odds "
+        f"FROM ({_weighted_pairs_sql()})",
+        "ref": "src/weight_functions.jl:451 (bayesrule_posterior)",
+    }
+
+    # --- clustering (SURVEY 2.6) ---
+    cat["connected_components"] = {
+        "spark": _cc_spark,
+        "sql": _cc_sql(),
+        "ref": "src/clustering_functions.jl:15-280 (bipartite_cluster)",
+    }
+    cat["component_summary"] = {
+        "spark": lambda s, d: _cc_spark(s, d)
+        .groupBy("component")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_components"),
+            F.sum(F.when(F.col("n_nodes") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_singletons"),
+            F.max("n_nodes").alias("max_nodes"),
+            F.sum("n_nodes").cast("long").alias("total_nodes"),
+        ),
+        "sql": f"""
+        WITH cc AS ({_cc_sql()}),
+        sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
+                  FROM cc GROUP BY component)
+        SELECT CAST(count(*) AS BIGINT) AS n_components,
+               CAST(sum(CASE WHEN n_nodes = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_singletons,
+               max(n_nodes) AS max_nodes,
+               CAST(sum(n_nodes) AS BIGINT) AS total_nodes
+        FROM sizes
+        """,
+        "ref": "src/connectedcomponents.jl:63-186 (summarize_components)",
+    }
+
+    # --- matching (SURVEY 2.5; single mutual-argmax round is the
+    # SQL-expressible fast path; full per-block LSAP is pytest-verified) ---
+    cat["mutual_best_match"] = {
+        "spark": lambda s, d: (
+            lambda wp: (
+                wp.withColumn(
+                    "_ra",
+                    F.row_number().over(
+                        Window.partitionBy("id_a").orderBy(F.desc("w"), F.asc("id_b"))
+                    ),
+                )
+                .withColumn(
+                    "_rb",
+                    F.row_number().over(
+                        Window.partitionBy("id_b").orderBy(F.desc("w"), F.asc("id_a"))
+                    ),
+                )
+                .where((F.col("_ra") == 1) & (F.col("_rb") == 1))
+                .select("id_a", "id_b", "w")
+            )
+        )(_scored_pairs_spark(s, d).where(F.col("w") > EDGE_THRESHOLD)),
+        "sql": f"""
+        WITH wp AS (SELECT * FROM ({_weighted_pairs_sql()}) WHERE w > {EDGE_THRESHOLD!r}e0)
+        SELECT id_a, id_b, w FROM (
+          SELECT id_a, id_b, w,
+            row_number() OVER (PARTITION BY id_a ORDER BY w DESC, id_b ASC) AS ra,
+            row_number() OVER (PARTITION BY id_b ORDER BY w DESC, id_a ASC) AS rb
+          FROM wp
+        ) WHERE ra = 1 AND rb = 1
+        """,
+        "ref": "src/maximization_functions.jl:203-244 (1xn argmax fast paths)",
+    }
+    cat["match_vec_counts"] = {
+        "spark": lambda s, d: (
+            lambda wp, dv: (
+                wp.withColumn(
+                    "_ra",
+                    F.row_number().over(
+                        Window.partitionBy("id_a").orderBy(F.desc("w"), F.asc("id_b"))
+                    ),
+                )
+                .withColumn(
+                    "_rb",
+                    F.row_number().over(
+                        Window.partitionBy("id_b").orderBy(F.desc("w"), F.asc("id_a"))
+                    ),
+                )
+                .where((F.col("_ra") == 1) & (F.col("_rb") == 1))
+                .join(F.broadcast(dv.select("vec_id", *GCOLS)), on=GCOLS)
+                .groupBy("vec_id")
+                .agg(F.count(F.lit(1)).alias("n_matched"))
+            )
+        )(
+            _scored_pairs_spark(s, d).where(F.col("w") > EDGE_THRESHOLD),
+            distinct_vectors(_vectors_spark(s, d), GCOLS),
+        ),
+        "sql": f"""
+        WITH v AS ({_vectors_sql()}),
+        wp AS (SELECT id_a, id_b, g1, g2, g3, {_WEIGHT_EXPR_SQL} AS w FROM v),
+        m AS (SELECT * FROM (
+            SELECT id_a, id_b, g1, g2, g3,
+              row_number() OVER (PARTITION BY id_a ORDER BY w DESC, id_b ASC) AS ra,
+              row_number() OVER (PARTITION BY id_b ORDER BY w DESC, id_a ASC) AS rb
+            FROM wp WHERE w > {EDGE_THRESHOLD!r}e0
+        ) WHERE ra = 1 AND rb = 1),
+        dv AS (SELECT CAST(row_number() OVER (ORDER BY g1, g2, g3) AS BIGINT) AS vec_id,
+                      g1, g2, g3
+               FROM (SELECT DISTINCT g1, g2, g3 FROM v))
+        SELECT dv.vec_id, CAST(count(*) AS BIGINT) AS n_matched
+        FROM m JOIN dv USING (g1, g2, g3) GROUP BY dv.vec_id
+        """,
+        "ref": "src/weight_functions.jl:16-140 (matches2veccounts/counts_matches)",
+    }
+
+    # --- ParameterChain interval math (SURVEY 2.3) ---
+    cat["chain_link_counts"] = {
+        "spark": lambda s, d: _chain_spark(s, d)
+        .withColumn("eff_start", F.greatest(F.col("start"), F.lit(CHAIN_BURNIN + 1)))
+        .where(F.col("stop") >= F.col("eff_start"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.col("stop") - F.col("eff_start") + 1).alias("n_steps")),
+        "sql": f"""
+        WITH chain AS ({_chain_sql()})
+        SELECT id_a, id_b,
+               CAST(sum(stop - greatest(start, {CHAIN_BURNIN + 1}) + 1) AS BIGINT) AS n_steps
+        FROM chain WHERE stop >= greatest(start, {CHAIN_BURNIN + 1})
+        GROUP BY id_a, id_b
+        """,
+        "ref": "src/parameterchain.jl:89-137 (get_linkcounts with burn-in)",
+    }
+    cat["steplinks"] = {
+        "spark": lambda s, d: _chain_spark(s, d)
+        .where((F.col("start") <= CHAIN_STEP) & (F.col("stop") >= CHAIN_STEP))
+        .select("id_a", "id_b"),
+        "sql": f"SELECT id_a, id_b FROM ({_chain_sql()}) "
+        f"WHERE start <= {CHAIN_STEP} AND stop >= {CHAIN_STEP}",
+        "ref": "src/parameterchain.jl:292-313 (get_steplinks)",
+    }
+
+    # --- dedup suite (training-data ops) ---
+    cat["dedup_exact"] = {
+        "spark": lambda s, d: dedup.exact_dedup(load(s, d, "documents"), "doc_id", "text"),
+        "sql": dedup.exact_dedup_sql("documents", "doc_id", "text"),
+        "ref": "hash-groupBy exact dedup",
+    }
+    cat["dedup_ngram_jaccard"] = {
+        "spark": lambda s, d: dedup.ngram_jaccard_pairs(
+            load(s, d, "documents"), "doc_id", "text", ["lang", "source"], JACCARD_MIN_PCT
+        ),
+        "sql": dedup.ngram_jaccard_pairs_sql(
+            "documents", "doc_id", "text", ["lang", "source"], JACCARD_MIN_PCT
+        ),
+        "ref": "n-gram Jaccard near-dup",
+    }
+    cat["dedup_minhash_lsh"] = {
+        "spark": lambda s, d: dedup.minhash_lsh_pairs(
+            load(s, d, "documents"), "doc_id", "text"
+        ),
+        "sql": dedup.minhash_lsh_pairs_sql("documents", "doc_id", "text"),
+        "ref": "MinHash+LSH near-dup (shingle->minhash->band->bucket join)",
+    }
+    cat["dedup_simhash"] = {
+        "spark": lambda s, d: dedup.simhash_pairs(
+            load(s, d, "documents"), "doc_id", "text", SIMHASH_MAX_HAMMING
+        ),
+        "sql": dedup.simhash_pairs_sql(
+            "documents", "doc_id", "text", SIMHASH_MAX_HAMMING
+        ),
+        "ref": "SimHash near-dup (banded Hamming)",
+    }
+
+    # --- text analysis (training-data ops) ---
+    cat["text_stats"] = {
+        "spark": lambda s, d: load(s, d, "documents")
+        .repartition(s.sparkContext.defaultParallelism * 2, "doc_id")
+        .select(
+            "doc_id",
+            T.token_count(F.col("text")).alias("n_tokens"),
+            T.lang_id(F.col("text")).alias("lang_pred"),
+            T.quality_score(F.col("text")).alias("quality"),
+            T.doc_fingerprint(F.col("text")).alias("fingerprint"),
+            T.simhash(F.col("text")).alias("simhash"),
+        ),
+        "sql": f"""
+        SELECT doc_id, {T.token_count_sql('text')} AS n_tokens,
+               {T.lang_id_sql('text')} AS lang_pred,
+               {T.quality_score_sql('text')} AS quality,
+               {T.doc_fingerprint_sql('text')} AS fingerprint,
+               {T.simhash_sql('text')} AS simhash
+        FROM documents
+        """,
+        "ref": "language-ID / quality / token-count / fingerprint",
+    }
+
+    # --- similarity search (training-data ops) ---
+    cat["embedding_topk"] = {
+        "spark": lambda s, d: similarity.brute_force_topk(
+            load(s, d, "embeddings"),
+            "vec_id",
+            "embedding",
+            load(s, d, "embeddings").where(F.col("vec_id") < TOPK_QUERY_MAX_ID),
+            k=TOPK,
+        ),
+        "sql": similarity.brute_force_topk_sql(
+            "embeddings", "vec_id", "embedding",
+            f"vec_id < {TOPK_QUERY_MAX_ID}", k=TOPK,
+        ),
+        "ref": "brute-force cosine top-k (ANN baseline)",
+    }
+
+    # --- iterative / non-SQL-expressible ops (rows-only driver check; full
+    # verification lives in pytest property tests) ---
+    def _capped_cc(s: SparkSession, d: str) -> DataFrame:
+        from ..operators.connected_components import size_capped_components
+
+        wedges = _scored_pairs_spark(s, d).where(F.col("w") > EDGE_THRESHOLD).select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "w"
+        )
+        return size_capped_components(wedges, max_pairs=50, incr=1.0)
+
+    cat["size_capped_components"] = {
+        "spark": _capped_cc,
+        "sql": None,
+        "ref": "src/clustering_functions.jl:390-489 (iterative_bipartite_cluster2)",
+    }
+
+    def _one_to_one_links(s: SparkSession, d: str) -> DataFrame:
+        from ..operators import assignment
+        from ..operators.connected_components import connected_components
+
+        wp = _scored_pairs_spark(s, d).where(F.col("w") > EDGE_THRESHOLD)
+        comps = connected_components(
+            wp.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        )
+        blocked = wp.join(
+            comps.withColumnRenamed("node", "id_a"), on="id_a"
+        ).withColumnRenamed("component", "block_id")
+        return assignment.one_to_one(
+            blocked.select("id_a", "id_b", "w", "block_id"), method="hungarian"
+        )
+
+    cat["one_to_one_links"] = {
+        "spark": _one_to_one_links,
+        "sql": None,
+        "ref": "src/maximization_functions.jl:137-244 (max_C_cluster_hungarian)",
+    }
+
+    # --- windowed aggregation over events (streaming-shaped, batch oracle) ---
+    cat["event_window_counts"] = {
+        "spark": lambda s, d: load(s, d, "events")
+        .groupBy(
+            F.window("ts", "1 hour").getField("start").alias("win_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        ),
+        "sql": """
+        SELECT time_bucket(INTERVAL '1 hour', ts) AS win_start, event_type,
+               CAST(count(*) AS BIGINT) AS n_events, sum(value) AS sum_value
+        FROM events GROUP BY 1, 2
+        """,
+        "ref": "tumbling-window agg (streaming ingest path; batch oracle)",
+    }
+
+    return cat

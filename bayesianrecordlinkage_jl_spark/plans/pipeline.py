@@ -48,6 +48,11 @@ class LinkageConfig:
     method: str = "hungarian"  # per-block solver
     use_em: bool = True
     em_max_iter: int = 200
+    # cap on pairs per resolution block; oversized components are re-clustered
+    # at rising thresholds (iterative_bipartite_cluster2 analog) so no block
+    # can blow up the per-block solver at scale. None disables.
+    max_block_pairs: int | None = 10_000
+    block_split_incr: float = 0.5
     checkpoint_dir: str | None = None
 
     def as_dict(self) -> dict:
@@ -155,7 +160,15 @@ def run_linkage(
             F.col("text").alias("text_b"),
             F.col("lang").alias("lang_b"),
         )
-        return cand.join(fa, "id_a").join(fb, "id_b")
+        n_part = spark.sparkContext.defaultParallelism * 2
+        # pairs are byte-small but comparator-heavy per row; repartition
+        # UPSTREAM of the field joins (downstream weight filters get pushed
+        # into the join stage, so a post-join repartition would be bypassed)
+        return (
+            cand.repartition(n_part, "id_a", "id_b")
+            .join(fa, "id_a")
+            .join(fb, "id_b")
+        )
 
     pairs = _pairs()
 
@@ -186,11 +199,23 @@ def run_linkage(
     scored = summary.pairs.join(F.broadcast(wdf), on="vec_id", how="left")
 
     # -- positive-weight graph -> connected components -> block ids --------
-    edges = scored.where(F.col("w") > cfg.penalty).select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    )
-
+    # size-capped variant splits hot components at rising thresholds
+    # (skew control for the per-block solver)
     def _blocks() -> DataFrame:
+        if cfg.max_block_pairs is not None:
+            from ..operators.connected_components import size_capped_components
+
+            wedges = scored.where(F.col("w") > cfg.penalty).select(
+                F.col("id_a").alias("src"),
+                F.col("id_b").alias("dst"),
+                (F.col("w") - F.lit(cfg.penalty)).alias("w"),
+            )
+            return size_capped_components(
+                wedges, cfg.max_block_pairs, 0.0, cfg.block_split_incr
+            ).select("node", "component")
+        edges = scored.where(F.col("w") > cfg.penalty).select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
         return connected_components(edges)
 
     comps = stage("components", _blocks)

@@ -1,0 +1,95 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline linkage + training-data queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS]. Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "pairs_scored_per_sec": ...}
+
+Each query is forced end-to-end with the noop sink (count() would let
+Catalyst prune the scored columns away). The north-rule throughput metric
+(candidate-pairs-scored/sec) is derived from the fs_weights query.
+
+Scaling evidence (N vs 4N cores) is produced by scripts/scaling_bench.py,
+which reruns this harness at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from bayesianrecordlinkage_jl_spark.plans.oracle_queries import build_catalog  # noqa: E402
+from bayesianrecordlinkage_jl_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+HEADLINE = [
+    "candidate_pairs",
+    "fs_weights",
+    "connected_components",
+    "mutual_best_match",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "text_stats",
+    "embedding_topk",
+    "event_window_counts",
+]
+
+
+def force(df) -> int:
+    """Materialize every column (noop sink); return row count cheaply after."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    spark = get_spark("brl-bench", cpus=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    cat = build_catalog()
+
+    # warm the JVM + parquet footers once (excluded from timings)
+    spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+
+    timings: dict[str, float] = {}
+    extras: dict[str, float] = {}
+    for name in HEADLINE:
+        t0 = time.time()
+        # build INSIDE the timed section: iterative operators (CC) do their
+        # work eagerly via localCheckpoint during DataFrame construction
+        df = cat[name]["spark"](spark, SF_DIR)
+        force(df)
+        timings[name] = round(time.time() - t0, 3)
+
+    # throughput metric: candidate pairs scored per second
+    n_pairs = cat["candidate_pairs"]["spark"](spark, SF_DIR).count()
+    extras["n_candidate_pairs"] = n_pairs
+    extras["pairs_scored_per_sec"] = round(n_pairs / timings["fs_weights"], 1)
+
+    total = round(sum(timings.values()), 3)
+    sf = SF_DIR.rstrip("/").split("sf")[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": CPUS,
+                **extras,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,127 @@
+"""Dedup suite + similarity search + multimodal plumbing + streaming ingest."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bayesianrecordlinkage_jl_spark.operators import dedup, multimodal, similarity
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(6),
+            "text": [
+                "the quick brown fox jumps over the lazy dog",
+                "the quick brown fox jumps over the lazy dog",  # exact dup of 0
+                "the quick brown fox leaps over the lazy dog",  # near dup
+                "completely different text about spark engines",
+                "spark engines text completely different about",  # token perm of 3
+                "unrelated words entirely here none shared",
+            ],
+            "lang": ["en"] * 6,
+        }
+    )
+    return spark.createDataFrame(pdf).cache()
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs, "doc_id", "text").toPandas()
+    dup = out[out["n_dups"] > 1]
+    assert len(dup) == 1 and dup.iloc[0]["n_dups"] == 2
+    assert dup.iloc[0]["canonical_id"] == 0
+
+
+def test_ngram_jaccard_pairs(docs):
+    out = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", ["lang"], 50).toPandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 1) in got and (0, 2) in got and (1, 2) in got
+    assert (3, 4) in got  # token permutation: identical distinct-token sets
+    assert not any(5 in p for p in got)
+
+
+def test_minhash_lsh_finds_exact_and_near(docs):
+    out = dedup.minhash_lsh_pairs(docs, "doc_id", "text", n_bands=4, rows_per_band=1).toPandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 1) in got  # exact dup always collides
+    assert (0, 2) in got or (1, 2) in got  # near dup collides in >=1 band
+
+
+def test_simhash_pairs(docs):
+    out = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=10).toPandas()
+    got = set(zip(out["id_a"], out["id_b"]))
+    assert (0, 1) in got
+    ham01 = out[(out["id_a"] == 0) & (out["id_b"] == 1)]["hamming"].iloc[0]
+    assert ham01 == 0  # identical text -> identical fingerprint
+    assert (3, 4) in got  # simhash is order-insensitive over distinct tokens
+
+
+def test_brute_force_topk(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.normal(size=(20, 8)).astype("float32")
+    vecs[1] = vecs[0] * 2.0  # colinear with 0 -> cosine 1
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(20), "embedding": [v.tolist() for v in vecs]})
+    )
+    out = similarity.brute_force_topk(
+        df, "vec_id", "embedding", df.where(F.col("vec_id") == 0), k=3
+    ).toPandas()
+    assert out.iloc[0]["item_id"] == 1
+    assert out.iloc[0]["sim"] == pytest.approx(1.0, abs=1e-6)
+    # verify against numpy
+    sims = vecs @ vecs[0] / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(vecs[0]))
+    want = [i for i in np.argsort(-sims) if i != 0][:3]
+    assert list(out.sort_values("rank")["item_id"]) == want
+
+
+def test_lsh_bucketed_topk_recall(spark):
+    rng = np.random.default_rng(1)
+    vecs = rng.normal(size=(60, 8)).astype("float32")
+    vecs[7] = vecs[3] + rng.normal(scale=0.01, size=8).astype("float32")
+    df = spark.createDataFrame(
+        pd.DataFrame({"vec_id": range(60), "embedding": [v.tolist() for v in vecs]})
+    )
+    out = similarity.lsh_bucketed_topk(
+        df, "vec_id", "embedding", df.where(F.col("vec_id") == 3), dim=8, k=3, n_planes=4
+    ).toPandas()
+    # the near-identical vector must share all hyperplane signs -> found
+    assert 7 in set(out["item_id"])
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthesize_media(spark, n=24)
+    feats = multimodal.extract_features(media, dim=8).toPandas()
+    assert len(feats) == 24
+    assert all(len(f) == 8 for f in feats["feature"])
+    assert (feats["n_bytes"] > 0).all()
+    # deterministic: same payload -> same feature
+    again = multimodal.extract_features(media, dim=8).toPandas()
+    a = feats.sort_values("media_id").reset_index(drop=True)
+    b = again.sort_values("media_id").reset_index(drop=True)
+    assert all(np.allclose(x, y) for x, y in zip(a["feature"], b["feature"]))
+    frames = multimodal.frame_sample_plan(media, every_ms=10_000).toPandas()
+    assert (frames["frame_ts_ms"] % 10_000 == 0).all()
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"xx")
+
+
+def test_streaming_ingest(spark, tmp_path):
+    from bayesianrecordlinkage_jl_spark.sources.pages import generate_pages
+    from bayesianrecordlinkage_jl_spark.streaming import ingest
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ck = str(tmp_path / "ck")
+    pages = generate_pages(spark, n_clusters=40, seed=9).select(
+        "url", "warc_ts", "html", F.lit(None).cast("string").alias("text"), "lang"
+    )
+    pages.write.parquet(src)
+    q = ingest.start_ingest(spark, src, out, ck)
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == pages.count()  # all urls distinct -> none dropped
+    assert set(got.columns) >= {"url", "text", "n_tokens", "fingerprint", "simhash"}
+    # extraction populated text from html
+    assert got.where(F.length("text") > 0).count() == pages.count()

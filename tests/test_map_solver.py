@@ -1,0 +1,86 @@
+"""Penalized-likelihood MAP solver + penalty-path search (map_functions.jl /
+sequence_map_functions.jl analogs) on a small two-source problem."""
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from bayesianrecordlinkage_jl_spark.operators import em, map_solver
+from bayesianrecordlinkage_jl_spark.operators.comparison_summary import (
+    attach_vec_ids,
+    distinct_vectors,
+)
+
+GCOLS = ["g1", "g2"]
+NLEV = {"g1": 2, "g2": 2}
+
+
+def _problem(spark):
+    """30 A-records vs 30 B-records; first 20 match (agree on both fields),
+    noise pairs disagree. Dense candidate pairs."""
+    rng = np.random.default_rng(5)
+    rows = []
+    for i in range(30):
+        for j in range(30):
+            match = i == j and i < 20
+            g1 = 1 if match or rng.random() < 0.05 else 2
+            g2 = 1 if match or rng.random() < 0.05 else 2
+            rows.append({"id_a": i, "id_b": 1000 + j, "g1": g1, "g2": g2})
+    pairs = spark.createDataFrame(pd.DataFrame(rows))
+    dv = distinct_vectors(pairs, GCOLS)
+    keyed = attach_vec_ids(pairs, dv, GCOLS)
+    return keyed, dv.orderBy("vec_id").toPandas()
+
+
+def test_incr_penalty():
+    w = np.array([0.0, 1.0, 1.0, 3.0, 5.0])
+    pen, n_above = map_solver.incr_penalty(w, 0.0, 0.5)
+    assert pen == pytest.approx(2.0)  # midpoint between 1 and 3
+    assert n_above == 2
+    pen2, n2 = map_solver.incr_penalty(w, pen, 0.5)
+    assert pen2 == pytest.approx(4.0)
+    assert n2 == 1
+    pen3, n3 = map_solver.incr_penalty(w, 5.0, 0.5)
+    assert n3 == 0
+
+
+def test_penalized_likelihood_fixpoint(spark):
+    pairs, dvecs = _problem(spark)
+    params0 = em.estimate_em(dvecs, GCOLS, NLEV, p0=0.05)
+    links, params, iters = map_solver.penalized_likelihood(
+        spark, pairs, dvecs, GCOLS, NLEV, params0, penalty=0.0
+    )
+    got = links.select("id_a", "id_b").toPandas()
+    matched = set(zip(got["id_a"], got["id_b"]))
+    want = {(i, 1000 + i) for i in range(20)}
+    # recovers the planted matching up to ties (noise pairs can carry an
+    # identical comparison vector, making another maximum matching equally
+    # optimal — the reference solver has the same degeneracy)
+    assert len(want & matched) >= 18
+    # noise pairs with agreeing vectors legitimately carry positive weight
+    # and get matched (any positive-weight link raises the objective)
+    assert len(matched - want) <= 10
+    assert iters < 100
+    # MAP pM puts mass on agreement
+    assert params.pM["g1"][0] > 0.9
+
+
+def test_penalty_path_chain(spark):
+    pairs, dvecs = _problem(spark)
+    params0 = em.estimate_em(dvecs, GCOLS, NLEV, p0=0.05)
+    chain = map_solver.penalized_likelihood_search(
+        spark, pairs, dvecs, GCOLS, NLEV, params0, penalty0=0.0, min_incr=1.0
+    )
+    assert len(chain.nlinks) >= 2
+    # links shrink (weakly) as penalty rises
+    assert chain.nlinks[-1] <= chain.nlinks[0]
+    assert chain.penalties == sorted(chain.penalties)
+    # chain interval bookkeeping: steplinks at step 1 == links of step 1
+    s1 = chain.steplinks(1)
+    assert len(s1) == chain.nlinks[0]
+    # persistent true matches span all steps with links
+    lc = chain.link_counts()
+    n_steps_with_links = sum(1 for n in chain.nlinks if n > 0)
+    persistent = lc[lc["n_steps"] == n_steps_with_links]
+    assert len(persistent) >= 15
