@@ -98,6 +98,28 @@ def token_jaccard_ord(a: Column, b: Column, sep: str = " ") -> Column:
     )
 
 
+def token_jaccard_ord_arrays(ta: Column, tb: Column) -> Column:
+    """token_jaccard_ord over PRE-tokenized distinct-token array columns.
+
+    Value-identical to token_jaccard_ord(a, b) when
+    ta = array_distinct(split(a, sep)) is computed upstream (per record,
+    before the candidate-pair join) — the scale-critical form: tokenization
+    runs once per document instead of once per candidate pair, and the
+    union size is pure arithmetic |A|+|B|-|A∩B| (no union array built).
+    """
+    i = F.size(F.array_intersect(ta, tb))
+    u = F.size(ta) + F.size(tb) - i
+    return (
+        F.when(ta.isNull() | tb.isNull(), F.lit(0))
+        .when(u == 0, F.lit(1))
+        .when(i * 10 >= u * 9, F.lit(1))
+        .when(i * 10 >= u * 6, F.lit(2))
+        .when(i * 10 >= u * 3, F.lit(3))
+        .otherwise(F.lit(4))
+        .cast("tinyint")
+    )
+
+
 def token_jaccard_ord_sql(a: str, b: str, sep: str = " ") -> str:
     ta = f"list_distinct(string_split({a}, '{sep}'))"
     tb = f"list_distinct(string_split({b}, '{sep}'))"
