@@ -74,37 +74,81 @@ def word_shingles_sql(text: str, k: int = 3) -> str:
 
 
 # ---------------------------------------------------------------------------
-# MinHash: signature value j = min over shingles s of phash('mh{j}:' || s).
-# One column per hash function keeps everything codegen'd (no explode).
+# MinHash via universal hashing: shingles are content-hashed ONCE
+# (md5 -> 31-bit), then each hash function j is the affine transform
+# h_j(x) = (a_j*x + b_j) mod p with p = 2^31-1 and (a_j, b_j) derived
+# deterministically in Python from the seed — so the expensive string
+# hashing runs one pass per document regardless of signature width, and
+# products stay < 2^62 (no overflow divergence between engines).
 # ---------------------------------------------------------------------------
+
+MH_PRIME = 2147483647  # 2^31 - 1
+
+
+def _mh_params(seed: int) -> tuple[int, int]:
+    import hashlib
+
+    h = hashlib.md5(f"mh{seed}".encode()).hexdigest()
+    return int(h[:8], 16) % (MH_PRIME - 1) + 1, int(h[8:16], 16) % MH_PRIME
+
+
+def shingle_hashes(text: Column, k: int = 3) -> Column:
+    """array<long>: 31-bit content hash per k-word shingle (one md5 pass)."""
+    return F.transform(word_shingles(text, k), lambda s: phash(s) % MH_PRIME)
+
+
+def shingle_hashes_sql(text: str, k: int = 3) -> str:
+    return (
+        f"list_transform({word_shingles_sql(text, k)}, "
+        f"s -> {phash_sql('s')} % {MH_PRIME})"
+    )
+
+
+def minhash_from_hashes(hs: Column, seed: int) -> Column:
+    a, b = _mh_params(seed)
+    return F.array_min(
+        F.transform(hs, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_PRIME))
+    )
+
+
+def minhash_from_hashes_sql(hs: str, seed: int) -> str:
+    a, b = _mh_params(seed)
+    return f"list_min(list_transform({hs}, h -> ({a} * h + {b}) % {MH_PRIME}))"
 
 
 def minhash_col(text: Column, seed: int, k: int = 3) -> Column:
-    sh = word_shingles(text, k)
-    return F.array_min(F.transform(sh, lambda s: phash(F.concat(F.lit(f"mh{seed}:"), s))))
+    return minhash_from_hashes(shingle_hashes(text, k), seed)
 
 
 def minhash_col_sql(text: str, seed: int, k: int = 3) -> str:
-    sh = word_shingles_sql(text, k)
-    inner = phash_sql(f"'mh{seed}:' || s")
-    return f"list_min(list_transform({sh}, s -> {inner}))"
+    return minhash_from_hashes_sql(shingle_hashes_sql(text, k), seed)
 
 
-def minhash_band(text: Column, band: int, rows_per_band: int = 2, k: int = 3) -> Column:
-    """LSH band key: concat of `rows_per_band` minhash values for this band."""
+def band_key_from_hashes(hs: Column, band: int, rows_per_band: int = 2) -> Column:
+    """LSH band key from a precomputed shingle-hash array column."""
     parts = [
-        minhash_col(text, band * rows_per_band + r, k).cast("string")
+        minhash_from_hashes(hs, band * rows_per_band + r).cast("string")
         for r in range(rows_per_band)
     ]
     return F.concat_ws("_", F.lit(str(band)), *parts)
 
 
-def minhash_band_sql(text: str, band: int, rows_per_band: int = 2, k: int = 3) -> str:
+def band_key_from_hashes_sql(hs: str, band: int, rows_per_band: int = 2) -> str:
     parts = [
-        f"CAST({minhash_col_sql(text, band * rows_per_band + r, k)} AS VARCHAR)"
+        f"CAST({minhash_from_hashes_sql(hs, band * rows_per_band + r)} AS VARCHAR)"
         for r in range(rows_per_band)
     ]
     return f"concat_ws('_', '{band}', " + ", ".join(parts) + ")"
+
+
+def minhash_band(text: Column, band: int, rows_per_band: int = 2, k: int = 3) -> Column:
+    """LSH band key straight from text (callers doing multiple bands should
+    precompute shingle_hashes once and use band_key_from_hashes)."""
+    return band_key_from_hashes(shingle_hashes(text, k), band, rows_per_band)
+
+
+def minhash_band_sql(text: str, band: int, rows_per_band: int = 2, k: int = 3) -> str:
+    return band_key_from_hashes_sql(shingle_hashes_sql(text, k), band, rows_per_band)
 
 
 # ---------------------------------------------------------------------------
@@ -116,25 +160,41 @@ SIMHASH_BITS = 32
 
 
 def simhash(text: Column, nbits: int = SIMHASH_BITS) -> Column:
+    """Single-pass formulation: ONE aggregate over the token-hash array
+    carries all nbits vote counters in an array accumulator, so tokens are
+    hashed exactly once per document (the per-bit formulation re-evaluates
+    the tokenize+hash subtree nbits times — measured ~20x slower). The
+    finish lambda folds votes into the bigint fingerprint; values are
+    identical to the per-bit form (bit b set <=> vote_b > 0)."""
     toks = F.array_distinct(tokens(text))
     hashes = F.transform(toks, lambda t: phash(t))
-
-    def bit_vote(b: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(
-                F.lit(-1)
+    zeros = F.array_repeat(F.lit(0), nbits)
+    # coalesce: NULL text -> 0, matching the per-bit/SQL form (CASE ... ELSE 0)
+    return F.coalesce(F.aggregate(
+        hashes,
+        zeros,
+        # bit b of h via modular arithmetic (shiftright needs a literal
+        # shift in PySpark; 2^b is exact in double for b < 53)
+        lambda acc, h: F.transform(
+            acc,
+            lambda v, b: v
+            + F.when(
+                (h % (F.pow(F.lit(2.0), b + 1).cast("long")))
+                >= F.pow(F.lit(2.0), b).cast("long"),
+                F.lit(1),
+            ).otherwise(F.lit(-1)),
+        ),
+        lambda acc: F.aggregate(
+            F.transform(
+                acc,
+                lambda v, b: F.when(
+                    v > 0, F.pow(F.lit(2.0), b).cast("long")
+                ).otherwise(F.lit(0).cast("long")),
             ),
-        )
-
-    out = F.lit(0).cast("long")
-    for b in range(nbits):
-        out = out + F.when(bit_vote(b) > 0, F.lit(2**b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return out
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        ),
+    ), F.lit(0).cast("long"))
 
 
 def simhash_sql(text: str, nbits: int = SIMHASH_BITS) -> str:

@@ -32,7 +32,12 @@ def _canon(edges: DataFrame) -> DataFrame:
 
 def _large_star(edges: DataFrame) -> DataFrame:
     """large-star: connect every strictly-larger neighbor of u to u's
-    min(neighborhood ∪ {u})."""
+    min(neighborhood ∪ {u}).
+
+    No output distinct: duplicates are tolerated under bag semantics (the
+    downstream small-star groupBy/min is duplicate-insensitive) and the
+    round ends with one distinct — one shuffle per round instead of three.
+    """
     bidir = edges.select("src", "dst").union(
         edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -45,14 +50,19 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .where(F.col("dst") > F.col("src"))
         .select(F.col("dst").alias("src"), F.col("mnn").alias("dst"))
         .where(F.col("src") != F.col("dst"))
-        .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    """small-star: for each u, connect all neighbors <= u (and u) to the min."""
-    # operate on (u > v) canonical orientation: neighbors smaller than u
-    e = _canon(edges)
+    """small-star: for each u, connect all neighbors <= u (and u) to the min.
+
+    Output is canonical (src > dst, no self-loops) and distinct — callers
+    need no extra _canon pass."""
+    # orientation-only canonicalization (no distinct — groupBy dedups)
+    u, v = F.col("src"), F.col("dst")
+    e = edges.select(
+        F.greatest(u, v).alias("src"), F.least(u, v).alias("dst")
+    ).where(F.col("src") != F.col("dst"))
     m = e.groupBy("src").agg(F.min("dst").alias("mnn"))
     out = (
         e.join(m, on="src")
@@ -93,7 +103,8 @@ def connected_components(
     ).localCheckpoint()
     sig = _sig(e)
     for _ in range(max_iter):
-        e2 = _canon(_small_star(_large_star(e))).localCheckpoint()
+        # small-star output is already canonical + distinct
+        e2 = _small_star(_large_star(e)).localCheckpoint()
         sig2 = _sig(e2)
         e = e2
         if sig2 == sig:

@@ -111,13 +111,27 @@ def minhash_lsh_pairs(
     rows_per_band: int = 2,
     shingle_k: int = 3,
 ) -> DataFrame:
-    """MinHash-LSH candidate near-dup pairs: (id_a, id_b, n_bands_hit)."""
-    banded = _spread(df, id_col).select(
-        F.col(id_col).alias("_id"),
+    """MinHash-LSH candidate near-dup pairs: (id_a, id_b, n_bands_hit).
+
+    The shingle-hash array is materialized once per document (an aggregate
+    on the unique id is the projection barrier keeping Catalyst from
+    inlining the md5 pass into every band expression); band keys are then
+    cheap affine transforms of that array."""
+    hashed = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).alias("_id"),
+            T.shingle_hashes(F.col(text_col), shingle_k).alias("_shh"),
+        )
+        .groupBy("_id")
+        .agg(F.first("_shh").alias("_shh"))
+    )
+    banded = hashed.select(
+        "_id",
         F.explode(
             F.array(
                 *[
-                    T.minhash_band(F.col(text_col), band, rows_per_band, shingle_k)
+                    T.band_key_from_hashes(F.col("_shh"), band, rows_per_band)
                     for band in range(n_bands)
                 ]
             )
@@ -142,12 +156,16 @@ def minhash_lsh_pairs_sql(
     shingle_k: int = 3,
 ) -> str:
     bands = ", ".join(
-        T.minhash_band_sql(text_col, band, rows_per_band, shingle_k)
+        T.band_key_from_hashes_sql("_shh", band, rows_per_band)
         for band in range(n_bands)
     )
     return f"""
-    WITH banded AS (
-      SELECT {id_col} AS _id, unnest([{bands}]) AS band_key FROM {table}
+    WITH hashed AS MATERIALIZED (
+      SELECT {id_col} AS _id, {T.shingle_hashes_sql(text_col, shingle_k)} AS _shh
+      FROM {table}
+    ),
+    banded AS (
+      SELECT _id, unnest([{bands}]) AS band_key FROM hashed
     )
     SELECT a._id AS id_a, b._id AS id_b, CAST(count(*) AS BIGINT) AS n_bands_hit
     FROM banded a JOIN banded b ON a.band_key = b.band_key AND a._id < b._id
@@ -169,8 +187,15 @@ def simhash_pairs(
     exact Hamming distance. Returns (id_a, id_b, hamming)."""
     chunk_bits = nbits // n_chunks
     mask = (1 << chunk_bits) - 1
-    sh = _spread(df, id_col).select(
-        F.col(id_col).alias("_id"), T.simhash(F.col(text_col), nbits).alias("_sh")
+    # aggregate on the unique id = projection barrier: without it Catalyst
+    # inlines the simhash subtree into every chunk-key expression (5 evals)
+    sh = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).alias("_id"), T.simhash(F.col(text_col), nbits).alias("_sh")
+        )
+        .groupBy("_id")
+        .agg(F.first("_sh").alias("_sh"))
     )
     chunks = sh.select(
         "_id",
