@@ -105,26 +105,85 @@ def brute_force_topk_sql(
     """
 
 
+def _py_phash(s: str) -> int:
+    """Driver-side replica of functions.text.phash (first 15 hex digits of
+    md5 as int) — lets plane constants be computed once in Python and
+    embedded as identical literals in both emitters."""
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def hyperplanes(dim: int, n_planes: int = 8, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplane components in [-1, 1]."""
+    return [
+        [
+            (_py_phash(f"hp{seed}:{b}:{i}") % 2_000_001) / 1_000_000.0 - 1.0
+            for i in range(dim)
+        ]
+        for b in range(n_planes)
+    ]
+
+
+def _flit(x: float) -> str:
+    """DuckDB double literal robust to exponent reprs."""
+    r = repr(x)
+    return f"CAST('{r}' AS DOUBLE)" if "e" in r or "E" in r else f"{r}e0"
+
+
 def hyperplane_bucket(vec: Column, dim: int, n_planes: int = 8, seed: int = 42) -> Column:
-    """Sign-LSH bucket key: bit b = (dot(vec, h_b) > 0) with deterministic
-    pseudo-random hyperplanes h_b[i] = phash('hp{seed}:{b}:{i}') scaled to
-    [-1, 1]. Pure Catalyst."""
+    """Sign-LSH bucket key: bit b = (dot(vec, h_b) > 0); plane components
+    are Python-computed constants (literals in the plan — zero per-row
+    hashing)."""
     bits = []
-    for b in range(n_planes):
-        plane = F.array(
-            *[
-                (
-                    phash(F.lit(f"hp{seed}:{b}:{i}")) % F.lit(2_000_001) / F.lit(1_000_000.0)
-                    - F.lit(1.0)
-                )
-                for i in range(dim)
-            ]
-        )
-        bits.append(F.when(_dot(vec, plane) > 0, F.lit(1 << b)).otherwise(F.lit(0)))
+    for b, plane in enumerate(hyperplanes(dim, n_planes, seed)):
+        arr = F.array(*[F.lit(x) for x in plane])
+        bits.append(F.when(_dot(vec, arr) > 0, F.lit(1 << b)).otherwise(F.lit(0)))
     out = bits[0]
     for x in bits[1:]:
         out = out + x
     return out.cast("int")
+
+
+def hyperplane_bucket_sql(vec: str, dim: int, n_planes: int = 8, seed: int = 42) -> str:
+    terms = []
+    for b, plane in enumerate(hyperplanes(dim, n_planes, seed)):
+        arr = "[" + ", ".join(_flit(x) for x in plane) + "]"
+        dot = (
+            f"list_sum(list_transform(generate_series(1, {dim}), "
+            f"i -> CAST({vec}[i] AS DOUBLE) * ({arr})[i]))"
+        )
+        terms.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
+    return "CAST((" + " + ".join(terms) + ") AS INT)"
+
+
+def lsh_bucketed_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_filter: str,
+    dim: int,
+    k: int = 5,
+    n_planes: int = 8,
+) -> str:
+    bucket = hyperplane_bucket_sql("_vv", dim, n_planes)
+    cos = cosine_sql("q._q", "c._v")
+    return f"""
+    WITH hashed AS MATERIALIZED (
+      SELECT {id_col} AS _id, {vec_col} AS _vv, {bucket} AS _bk FROM {table}
+    ),
+    corpus AS (SELECT _id AS item_id, _vv AS _v, _bk FROM hashed),
+    q AS (SELECT _id AS query_id, _vv AS _q, _bk FROM hashed
+          WHERE {query_filter.replace(id_col, '_id')}),
+    scored AS (
+      SELECT q.query_id, c.item_id, {cos} AS sim
+      FROM corpus c JOIN q ON c._bk = q._bk AND c.item_id != q.query_id
+    )
+    SELECT query_id, item_id, sim, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item_id ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
 
 
 def lsh_bucketed_topk(

@@ -31,6 +31,7 @@ LEV_PREFIX = 64
 NCHAR_CUTS = [50]
 FIELD_KINDS = [("g1", "lev"), ("g2", "jac"), ("g3", "band")]
 GCOLS = ["g1", "g2", "g3"]
+NLEVELS = {"g1": 4, "g2": 4, "g3": len(NCHAR_CUTS) + 2}
 PENALTY = 5.0
 POSTERIOR_P = 0.01
 EDGE_THRESHOLD = 0.0
@@ -184,15 +185,22 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node
 """
 
 
-def _cc_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cc_from_scored(
+    spark: SparkSession, sf_dir: str, wp: DataFrame
+) -> DataFrame:
+    """Components of the positive-weight pair graph (isolated docs labeled
+    by their own id), given an already-scored pairs DataFrame."""
     from ..operators.connected_components import components_with_isolated
 
-    wp = _scored_pairs_spark(spark, sf_dir)
     edges = wp.where(F.col("w") > EDGE_THRESHOLD).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     nodes = load(spark, sf_dir, "documents").select(F.col("doc_id").alias("node"))
     return components_with_isolated(edges, nodes)
+
+
+def _cc_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cc_from_scored(spark, sf_dir, _scored_pairs_spark(spark, sf_dir))
 
 
 def _cc_sql() -> str:
@@ -566,6 +574,343 @@ def build_catalog() -> dict[str, dict]:
         "spark": _one_to_one_links,
         "sql": None,
         "ref": "src/maximization_functions.jl:137-244 (max_C_cluster_hungarian)",
+    }
+
+    # --- cost normalization (SURVEY 2.2 compute_costs_shrunk) ---
+    cat["shrunk_costs"] = {
+        "spark": lambda s, d: _scored_pairs_spark(s, d)
+        .where(F.col("w") > 0)
+        .withColumn(
+            "cost", F.max("w").over(Window.partitionBy("id_a")) - F.col("w")
+        )
+        .select("id_a", "id_b", "cost"),
+        "sql": f"""
+        SELECT id_a, id_b, (max(w) OVER (PARTITION BY id_a) - w) AS cost
+        FROM ({_weighted_pairs_sql()}) WHERE w > 0e0
+        """,
+        "ref": "src/weight_functions.jl:426-432 (compute_costs_shrunk)",
+    }
+
+    # --- balancing transforms (SURVEY 2.2, Zanella-2019 log-space forms;
+    # the exp-free subset is oracle-checked, barker is pytest-verified) ---
+    cat["balancing_transforms"] = {
+        "spark": lambda s, d: _scored_pairs_spark(s, d).select(
+            "id_a",
+            "id_b",
+            (F.col("w") * 0.5).alias("lsqrt"),
+            F.least(F.col("w"), F.lit(0.0)).alias("lmin1"),
+            F.greatest(F.col("w"), F.lit(0.0)).alias("lmax1"),
+        ),
+        "sql": f"""
+        SELECT id_a, id_b, (w * 0.5e0) AS lsqrt,
+               least(w, 0e0) AS lmin1, greatest(w, 0e0) AS lmax1
+        FROM ({_weighted_pairs_sql()})
+        """,
+        "ref": "src/balancing_functions.jl:8-99 (lsqrt/lmin1/lmax1 log forms)",
+    }
+
+    # --- matching diffs (SURVEY 2.4 row2col_removed/added/difference) ---
+    _MB_SQL = """
+        SELECT id_a, id_b FROM (
+          SELECT id_a, id_b,
+            row_number() OVER (PARTITION BY id_a ORDER BY w DESC, id_b ASC) AS ra,
+            row_number() OVER (PARTITION BY id_b ORDER BY w DESC, id_a ASC) AS rb
+          FROM wp WHERE w > {thr}
+        ) WHERE ra = 1 AND rb = 1
+    """
+
+    def _mb_at(wp: DataFrame, thr: float) -> DataFrame:
+        return (
+            wp.where(F.col("w") > thr)
+            .withColumn(
+                "_ra",
+                F.row_number().over(
+                    Window.partitionBy("id_a").orderBy(F.desc("w"), F.asc("id_b"))
+                ),
+            )
+            .withColumn(
+                "_rb",
+                F.row_number().over(
+                    Window.partitionBy("id_b").orderBy(F.desc("w"), F.asc("id_a"))
+                ),
+            )
+            .where((F.col("_ra") == 1) & (F.col("_rb") == 1))
+            .select("id_a", "id_b")
+        )
+
+    def _links_diff(s: SparkSession, d: str) -> DataFrame:
+        from ..operators.linkmatrix import links_difference
+
+        wp = _scored_pairs_spark(s, d).localCheckpoint()
+        return links_difference(
+            _mb_at(wp, EDGE_THRESHOLD), _mb_at(wp, PENALTY)
+        )
+
+    cat["links_diff"] = {
+        "spark": _links_diff,
+        "sql": f"""
+        WITH wp AS ({_weighted_pairs_sql()}),
+        old AS ({_MB_SQL.format(thr=f"{EDGE_THRESHOLD!r}e0")}),
+        new AS ({_MB_SQL.format(thr=f"{PENALTY!r}e0")})
+        SELECT coalesce(old.id_a, new.id_a) AS id_a,
+               coalesce(old.id_b, new.id_b) AS id_b,
+               CASE WHEN old.id_a IS NOT NULL AND new.id_a IS NOT NULL THEN 'kept'
+                    WHEN old.id_a IS NOT NULL THEN 'removed'
+                    ELSE 'added' END AS status
+        FROM old FULL OUTER JOIN new
+          ON old.id_a = new.id_a AND old.id_b = new.id_b
+        """,
+        "ref": "src/linkmatrix.jl:344-427 (row2col_removed/added/difference)",
+    }
+
+    # --- summary merge (SURVEY 2.3 merge_comparisonsummary) ---
+    def _merged_summaries(s: SparkSession, d: str) -> DataFrame:
+        from ..operators.comparison_summary import merge_summaries
+
+        v = _vectors_spark(s, d)
+        half_a = distinct_vectors(v.where((F.col("id_a") + F.col("id_b")) % 2 == 0), GCOLS)
+        half_b = distinct_vectors(v.where((F.col("id_a") + F.col("id_b")) % 2 == 1), GCOLS)
+        return merge_summaries(half_a, half_b, GCOLS)
+
+    cat["merged_summaries"] = {
+        "spark": _merged_summaries,
+        "sql": f"""
+        WITH v AS ({_vectors_sql()}),
+        ha AS (SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS n_pairs
+               FROM v WHERE (id_a + id_b) % 2 = 0 GROUP BY g1, g2, g3),
+        hb AS (SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS n_pairs
+               FROM v WHERE (id_a + id_b) % 2 = 1 GROUP BY g1, g2, g3),
+        merged AS (SELECT g1, g2, g3, CAST(sum(n_pairs) AS BIGINT) AS n_pairs
+                   FROM (SELECT * FROM ha UNION ALL SELECT * FROM hb)
+                   GROUP BY g1, g2, g3)
+        SELECT CAST(row_number() OVER (ORDER BY g1, g2, g3) AS BIGINT) AS vec_id,
+               g1, g2, g3, n_pairs
+        FROM merged
+        """,
+        "ref": "src/comparisonsummary.jl:422-488 (merge_comparisonsummary)",
+    }
+
+    # --- chain per-step counts (SURVEY 2.3 get_groupidcounts/linkstagecounts) ---
+    cat["chain_stage_counts"] = {
+        "spark": lambda s, d: _chain_spark(s, d)
+        .select(F.explode(F.sequence(F.col("start"), F.col("stop"))).alias("step"))
+        .groupBy("step")
+        .agg(F.count(F.lit(1)).alias("n_links")),
+        "sql": f"""
+        SELECT step, CAST(count(*) AS BIGINT) AS n_links
+        FROM (SELECT unnest(generate_series(start, stop)) AS step
+              FROM ({_chain_sql()}))
+        GROUP BY step
+        """,
+        "ref": "src/parameterchain.jl:146-285 (get_groupidcounts/get_linkstagecounts)",
+    }
+
+    # --- post-hoc blocks (SURVEY 2.6 PosthocBlocks + dropoutside) ---
+    def _posthoc_blocks(s: SparkSession, d: str) -> DataFrame:
+        from ..operators.linkmatrix import drop_outside
+
+        wp = _scored_pairs_spark(s, d).localCheckpoint()
+        cc = _cc_from_scored(s, d, wp)
+        inside = drop_outside(wp.select("id_a", "id_b", "w"), cc)
+        bp = inside.groupBy("block_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+        nodes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))
+        return (
+            nodes.withColumnRenamed("component", "block_id")
+            .join(bp, on="block_id", how="left")
+            .select(
+                "block_id",
+                "n_nodes",
+                F.coalesce("n_pairs", F.lit(0)).cast("long").alias("n_pairs"),
+            )
+        )
+
+    cat["posthoc_blocks"] = {
+        "spark": _posthoc_blocks,
+        "sql": f"""
+        WITH cc AS ({_cc_sql()}),
+        wp AS ({_weighted_pairs_sql()}),
+        inside AS (
+          SELECT ca.component AS block_id
+          FROM wp JOIN cc ca ON wp.id_a = ca.node JOIN cc cb ON wp.id_b = cb.node
+          WHERE ca.component = cb.component
+        ),
+        bp AS (SELECT block_id, CAST(count(*) AS BIGINT) AS n_pairs
+               FROM inside GROUP BY block_id)
+        SELECT cc.component AS block_id, CAST(count(*) AS BIGINT) AS n_nodes,
+               CAST(coalesce(any_value(bp.n_pairs), 0) AS BIGINT) AS n_pairs
+        FROM cc LEFT JOIN bp ON cc.component = bp.block_id
+        GROUP BY cc.component
+        """,
+        "ref": "src/posthocblocks.jl:89-116 + src/mcmc.jl:12-54 (dropoutside)",
+    }
+
+    # --- matched distinct vectors (SURVEY 2.3 matched_comparisons) ---
+    def _matched_vectors(s: SparkSession, d: str) -> DataFrame:
+        from ..operators.comparison_summary import attach_vec_ids
+        from ..operators.linkmatrix import matched_comparisons
+
+        wp = _scored_pairs_spark(s, d).localCheckpoint()
+        dv = distinct_vectors(wp.select("id_a", "id_b", *GCOLS), GCOLS)
+        links = attach_vec_ids(_mb_at(wp, EDGE_THRESHOLD).join(
+            wp.select("id_a", "id_b", *GCOLS), on=["id_a", "id_b"]
+        ), dv, GCOLS)
+        return matched_comparisons(dv, links)
+
+    cat["matched_vectors"] = {
+        "spark": _matched_vectors,
+        "sql": f"""
+        WITH v AS ({_vectors_sql()}),
+        wp AS (SELECT id_a, id_b, g1, g2, g3, {_WEIGHT_EXPR_SQL} AS w FROM v),
+        m AS (SELECT * FROM (
+            SELECT id_a, id_b, g1, g2, g3,
+              row_number() OVER (PARTITION BY id_a ORDER BY w DESC, id_b ASC) AS ra,
+              row_number() OVER (PARTITION BY id_b ORDER BY w DESC, id_a ASC) AS rb
+            FROM wp WHERE w > {EDGE_THRESHOLD!r}e0
+        ) WHERE ra = 1 AND rb = 1),
+        dv AS (SELECT CAST(row_number() OVER (ORDER BY g1, g2, g3) AS BIGINT) AS vec_id,
+                      g1, g2, g3, CAST(count(*) AS BIGINT) AS n_pairs
+               FROM v GROUP BY g1, g2, g3)
+        SELECT dv.* FROM dv
+        WHERE EXISTS (SELECT 1 FROM m
+                      WHERE m.g1 = dv.g1 AND m.g2 = dv.g2 AND m.g3 = dv.g3)
+        """,
+        "ref": "src/linkmatrix.jl:435-447 (matched_comparisons)",
+    }
+
+    # --- EM estimation (SURVEY 2.7; iterative driver numpy on aggregated
+    # counts — rows-only driver check, exact values pytest-verified) ---
+    def _em_estimates(s: SparkSession, d: str) -> DataFrame:
+        import pandas as pd
+
+        from ..operators import em
+
+        dv = (
+            distinct_vectors(_vectors_spark(s, d), GCOLS)
+            .orderBy("vec_id")
+            .toPandas()
+        )
+        params = em.estimate_em(dv, GCOLS, NLEVELS)
+        rows = [
+            {
+                "field": g,
+                "level": lvl + 1,
+                "pM": float(params.pM[g][lvl]),
+                "pU": float(params.pU[g][lvl]),
+            }
+            for g in GCOLS
+            for lvl in range(NLEVELS[g])
+        ]
+        return s.createDataFrame(
+            pd.DataFrame(rows), schema="field string, level int, pM double, pU double"
+        )
+
+    cat["em_estimates"] = {
+        "spark": _em_estimates,
+        "sql": None,
+        "ref": "src/em_functions.jl:72-101 (estimate_EM on distinct vectors)",
+    }
+
+    # --- penalty-path MAP search (SURVEY 2.7; iterative — rows-only) ---
+    def _penalty_path(s: SparkSession, d: str) -> DataFrame:
+        import pandas as pd
+
+        from ..operators import em, map_solver
+        from ..operators.comparison_summary import attach_vec_ids
+
+        v = _vectors_spark(s, d)
+        dvdf = distinct_vectors(v, GCOLS)
+        pairs = attach_vec_ids(v, dvdf, GCOLS).select(
+            "id_a", "id_b", "vec_id"
+        ).localCheckpoint()
+        dv = dvdf.orderBy("vec_id").toPandas()
+        params = em.estimate_em(dv, GCOLS, NLEVELS)
+        chain = map_solver.penalized_likelihood_search(
+            s, pairs, dv, GCOLS, NLEVELS, params,
+            penalty0=0.0, min_incr=4.0, max_steps=3, method="greedy",
+        )
+        links = chain.links if len(chain.links) else pd.DataFrame(
+            [], columns=["id_a", "id_b", "start", "stop"]
+        )
+        return s.createDataFrame(
+            links, schema="id_a long, id_b long, start long, stop long"
+        )
+
+    cat["penalty_path_chain"] = {
+        "spark": _penalty_path,
+        "sql": None,
+        "ref": "src/sequence_map_functions.jl:91-240 (penalized_likelihood_search)",
+    }
+
+    # --- ANN scale path: sign-LSH bucketed top-k ---
+    EMB_DIM = 64
+    cat["embedding_topk_lsh"] = {
+        "spark": lambda s, d: similarity.lsh_bucketed_topk(
+            load(s, d, "embeddings"),
+            "vec_id",
+            "embedding",
+            load(s, d, "embeddings").where(F.col("vec_id") < TOPK_QUERY_MAX_ID),
+            dim=EMB_DIM,
+            k=TOPK,
+        ),
+        "sql": similarity.lsh_bucketed_topk_sql(
+            "embeddings", "vec_id", "embedding",
+            f"vec_id < {TOPK_QUERY_MAX_ID}", dim=EMB_DIM, k=TOPK,
+        ),
+        "ref": "IVF/LSH-bucketed ANN (scale path for brute-force cosine top-k)",
+    }
+
+    # --- multimodal plumbing (decode kernel stubbed; rows-only) ---
+    def _multimodal(s: SparkSession, d: str) -> DataFrame:
+        from ..operators import multimodal
+
+        media = multimodal.synthesize_media(s, n=64)
+        return multimodal.extract_features(media, dim=8)
+
+    cat["multimodal_features"] = {
+        "spark": _multimodal,
+        "sql": None,
+        "ref": "mapInPandas media feature extraction (stubbed decode kernel)",
+    }
+
+    # --- threshold sensitivity diagnostic (SURVEY 2.7; driver loop) ---
+    def _threshold_sensitivity(s: SparkSession, d: str) -> DataFrame:
+        import pandas as pd
+
+        from ..operators.connected_components import threshold_sensitivity
+
+        wedges = (
+            _scored_pairs_spark(s, d)
+            .where(F.col("w") > EDGE_THRESHOLD)
+            .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "w")
+            .localCheckpoint()
+        )
+        stats = threshold_sensitivity(wedges, [0.0, 2.0, 5.0])
+        return s.createDataFrame(
+            pd.DataFrame(stats),
+            schema="threshold double, n_components long, n_singletons long, "
+            "max_nodes long, total_nodes long",
+        )
+
+    cat["threshold_sensitivity"] = {
+        "spark": _threshold_sensitivity,
+        "sql": None,
+        "ref": "src/weight_functions.jl:471-484 (threshold_sensitivity)",
+    }
+
+    # --- pages extraction surface (input_hint contract; byte-identity of
+    # extract_text vs text is pytest-asserted) ---
+    def _pages_extract(s: SparkSession, d: str) -> DataFrame:
+        from ..sources.pages import extract_text, generate_pages
+
+        pages = generate_pages(s, n_clusters=100)
+        return pages.select(
+            "url", extract_text(F.col("html")).alias("extracted_text")
+        )
+
+    cat["pages_extract_text"] = {
+        "spark": _pages_extract,
+        "sql": None,
+        "ref": "input_hint html->text extraction (byte-identical per url)",
     }
 
     # --- windowed aggregation over events (streaming-shaped, batch oracle) ---

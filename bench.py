@@ -40,6 +40,7 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "text_stats",
     "embedding_topk",
+    "embedding_topk_lsh",
     "event_window_counts",
 ]
 
