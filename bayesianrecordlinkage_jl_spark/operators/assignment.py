@@ -75,6 +75,62 @@ def hungarian_max(weights: np.ndarray) -> list[tuple[int, int]]:
     return out
 
 
+def auction_max(
+    weights: np.ndarray, eps_min: float = 1e-8, scaling: float = 0.2
+) -> list[tuple[int, int]]:
+    """Max-weight assignment by forward auction with epsilon-scaling
+    (Bertsekas), the reference's preferred solver family
+    (/root/reference/src/maximization_functions.jl:157-189; auction
+    recommended over Hungarian at README.md:21).
+
+    The rectangular allow-unmatched problem is padded to a COMPLETE
+    (n+m)x(n+m) problem (dummy rows/cols at value 0, negatives floored to
+    0) — completeness keeps every positive price owned at phase ends, which
+    is what makes the textbook "clear assignment, keep prices" scaling
+    sound. Result is within (n+m)*eps_min of optimal; dummy and
+    non-positive assignments are stripped, matching hungarian_max on any
+    block whose weight margins exceed ~(n+m)*eps_min."""
+    n, m = weights.shape
+    if n == 0 or m == 0:
+        return []
+    size = n + m
+    W = np.zeros((size, size))
+    W[:n, :m] = np.maximum(weights, 0.0)
+    wmax = float(W.max())
+    if wmax <= 0:
+        return []
+    prices = np.zeros(size)
+    row2col = np.full(size, -1, dtype=np.int64)
+    col2row = np.full(size, -1, dtype=np.int64)
+    eps = max(wmax / 2.0, eps_min)
+    while True:
+        row2col[:] = -1
+        col2row[:] = -1
+        unassigned = list(range(size))
+        while unassigned:
+            i = unassigned.pop()
+            net = W[i, :] - prices
+            j = int(np.argmax(net))
+            best = net[j]
+            net[j] = -np.inf
+            second = float(net.max())
+            prices[j] += best - second + eps
+            prev = col2row[j]
+            col2row[j] = i
+            row2col[i] = j
+            if prev >= 0:
+                row2col[prev] = -1
+                unassigned.append(int(prev))
+        if eps <= eps_min:
+            break
+        eps = max(eps * scaling, eps_min)
+    return [
+        (int(i), int(row2col[i]))
+        for i in range(n)
+        if 0 <= row2col[i] < m and weights[i, row2col[i]] > 0
+    ]
+
+
 def greedy_max(pairs: pd.DataFrame) -> pd.DataFrame:
     """Greedy one-to-one: repeatedly take the best remaining pair under the
     total order (w desc, id_a asc, id_b asc)."""
@@ -92,7 +148,9 @@ def greedy_max(pairs: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(keep, columns=df.columns) if keep else df.iloc[0:0]
 
 
-def _solve_block(pdf: pd.DataFrame, exact_max_pairs: int) -> pd.DataFrame:
+def _solve_block(
+    pdf: pd.DataFrame, exact_max_pairs: int, solver=hungarian_max
+) -> pd.DataFrame:
     """Per-block solve with the reference's fast paths."""
     pdf = pdf[pdf["w"] > 0]
     if len(pdf) == 0:
@@ -116,7 +174,7 @@ def _solve_block(pdf: pd.DataFrame, exact_max_pairs: int) -> pd.DataFrame:
         wmat[ra[row.id_a], rb[row.id_b]] = row.w
     inv_a = {i: v for v, i in ra.items()}
     inv_b = {i: v for v, i in rb.items()}
-    picks = hungarian_max(wmat)
+    picks = solver(wmat)
     block_id = pdf["block_id"].iloc[0]
     rows = [
         {
@@ -156,6 +214,9 @@ def one_to_one(
     elif method == "hungarian":
         def fn(pdf: pd.DataFrame) -> pd.DataFrame:
             return _solve_block(pdf, exact_max_pairs)
+    elif method == "auction":
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _solve_block(pdf, exact_max_pairs, solver=auction_max)
     else:
         raise ValueError(f"unknown method {method!r}")
 

@@ -71,8 +71,10 @@ def _g_exprs_sql(a: str = "a", b: str = "b") -> dict:
     }
 
 
-def _pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate pairs by (lang, source) equi-self-join blocking.
+def _pairs_spark(
+    spark: SparkSession, sf_dir: str, block_cols: tuple = ("lang", "source")
+) -> DataFrame:
+    """Candidate pairs by equi-self-join blocking on `block_cols`.
 
     The pair table is small in BYTES but the downstream comparators
     (levenshtein / token-jaccard) are CPU-heavy per ROW. Catalyst pushes
@@ -80,7 +82,12 @@ def _pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     UPSTREAM of the join: repartition the probe side before joining
     (a post-join repartition would be bypassed by predicate pushdown and
     the scoring would serialize onto the single parquet-scan task)."""
-    d = load(spark, sf_dir, "documents")
+    return _pairs_from_docs(spark, load(spark, sf_dir, "documents"), block_cols)
+
+
+def _pairs_from_docs(
+    spark: SparkSession, d: DataFrame, block_cols: tuple = ("lang", "source")
+) -> DataFrame:
     n_part = spark.sparkContext.defaultParallelism * 2
     # Comparator inputs are precomputed ONCE PER DOCUMENT below the join
     # (tokenize + prefix), so per-pair comparator cost is a hash-set
@@ -93,18 +100,57 @@ def _pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_distinct(F.split("text", " ")).alias("toks"),
     )
     a = proj.repartition(n_part, "doc_id").select(
-        F.col("doc_id").alias("id_a"), "lang", "source",
+        F.col("doc_id").alias("id_a"), *block_cols,
         F.col("t64").alias("t64_a"), F.col("toks").alias("toks_a"),
         F.col("n_chars").alias("n_chars_a"),
     )
     b = proj.select(
-        F.col("doc_id").alias("id_b"), "lang", "source",
+        F.col("doc_id").alias("id_b"), *block_cols,
         F.col("t64").alias("t64_b"), F.col("toks").alias("toks_b"),
         F.col("n_chars").alias("n_chars_b"),
     )
     return (
-        a.join(F.broadcast(b), on=["lang", "source"])
+        a.join(F.broadcast(b), on=list(block_cols))
         .where(F.col("id_a") < F.col("id_b"))
+    )
+
+
+def _replicated_documents(spark: SparkSession, sf_dir: str, replicate: int) -> DataFrame:
+    """documents unioned `replicate` times with disjoint doc_id ranges —
+    deterministic input scaling for throughput measurement (pair count
+    grows ~replicate^2 under the same blocking key)."""
+    d = load(spark, sf_dir, "documents")
+    parts = [
+        d.withColumn("doc_id", F.col("doc_id") + F.lit(r * 1_000_000_000))
+        for r in range(replicate)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def scoring_throughput_job(
+    spark: SparkSession,
+    sf_dir: str,
+    block_cols: tuple = ("lang",),
+    replicate: int = 1,
+) -> DataFrame:
+    """North-rule throughput workload: candidate pairs under a COARSER
+    blocking key (lang-only ~20x more pairs than (lang, source)) scored
+    end-to-end — enough work per job to measure candidate-pairs-scored/sec
+    without fixed scheduling overhead dominating. Same operators as
+    fs_weights, so the measured rate is the production scoring rate.
+    `replicate` scales the corpus (disjoint id ranges) to push the job long
+    enough that fixed startup is amortized in scaling measurements."""
+    d = _replicated_documents(spark, sf_dir, replicate) if replicate > 1 else None
+    pairs = _pairs_spark(spark, sf_dir, block_cols) if d is None else _pairs_from_docs(
+        spark, d, block_cols
+    )
+    v = pairs.withColumns(_g_exprs_spark())
+    agg = v.groupBy("id_a", "id_b").agg(*[F.first(g).alias(g) for g in GCOLS])
+    return agg.withColumn(
+        "w", W.fs_weight([(F.col(g), k) for g, k in FIELD_KINDS])
     )
 
 

@@ -117,3 +117,33 @@ def test_mutual_best(spark):
     )
     out = A.mutual_best(spark.createDataFrame(pdf)).toPandas()
     assert set(zip(out["id_a"], out["id_b"])) == {(1, 10)}
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_auction_matches_brute_force(seed):
+    rng = np.random.default_rng(100 + seed)
+    n, m = rng.integers(1, 5, size=2)
+    w = rng.uniform(-1, 3, size=(n, m)).round(3)
+    picks = A.auction_max(w)
+    total = sum(w[i, j] for i, j in picks)
+    assert all(w[i, j] > 0 for i, j in picks)
+    rows = [i for i, _ in picks]
+    cols = [j for _, j in picks]
+    assert len(set(rows)) == len(rows) and len(set(cols)) == len(cols)
+    assert total == pytest.approx(_brute_force_max(w), abs=1e-6)
+
+
+@pytest.mark.parametrize("seed", range(5))
+def test_auction_agrees_with_hungarian_larger(seed):
+    rng = np.random.default_rng(200 + seed)
+    n, m = int(rng.integers(5, 20)), int(rng.integers(5, 20))
+    w = rng.uniform(-1, 3, size=(n, m)).round(3)
+    th = sum(w[i, j] for i, j in A.hungarian_max(w))
+    ta = sum(w[i, j] for i, j in A.auction_max(w))
+    assert ta == pytest.approx(th, abs=1e-6)
+
+
+def test_auction_edge_cases():
+    assert A.auction_max(np.array([[-1.0, -2.0]])) == []
+    assert A.auction_max(np.array([[5.0, 1.0]])) == [(0, 0)]
+    assert A.auction_max(np.zeros((0, 3))) == []

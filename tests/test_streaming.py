@@ -1,0 +1,67 @@
+"""Structured Streaming ingest: availableNow end-to-end over a parquet
+staging dir — extraction parity with batch, stateful url dedup, and
+watermarked windowed stats (complete-mode memory sink)."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from bayesianrecordlinkage_jl_spark.sources.pages import generate_pages
+from bayesianrecordlinkage_jl_spark.streaming import ingest
+
+
+@pytest.fixture(scope="module")
+def stream_dirs(spark):
+    root = tempfile.mkdtemp(prefix="brl_stream_")
+    inp, out, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+    pages = generate_pages(spark, n_clusters=40).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    # two file drops to exercise multi-batch reads; duplicate the first
+    # drop's urls in the second to exercise streaming dedup
+    pages.write.mode("overwrite").parquet(inp)
+    pages.limit(10).write.mode("append").parquet(inp)
+    yield {"in": inp, "out": out, "ckpt": ckpt, "pages": pages}
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def test_ingest_availablenow(spark, stream_dirs):
+    q = ingest.start_ingest(
+        spark, stream_dirs["in"], stream_dirs["out"], stream_dirs["ckpt"]
+    )
+    q.awaitTermination(120)
+    out = spark.read.parquet(stream_dirs["out"])
+    n_urls = stream_dirs["pages"].select("url").distinct().count()
+    # stateful dropDuplicates removed the re-crawled urls
+    assert out.select("url").distinct().count() == n_urls
+    assert out.count() == n_urls
+    # extraction parity with the batch path: byte-identical text per url
+    joined = out.select("url", F.col("text").alias("stream_text")).join(
+        stream_dirs["pages"].select("url", "text"), on="url"
+    )
+    assert joined.where(F.col("stream_text") != F.col("text")).count() == 0
+    assert out.where(F.col("n_tokens") <= 0).count() == 0
+    assert "simhash" in out.columns and "fingerprint" in out.columns
+
+
+def test_windowed_crawl_stats(spark, stream_dirs):
+    stream = ingest.enrich(
+        ingest.read_page_stream(spark, stream_dirs["in"])
+    )
+    stats = ingest.windowed_crawl_stats(stream, "1 hour")
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("crawl_stats")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM crawl_stats")
+    assert got.count() > 0
+    assert set(got.columns) == {"win_start", "lang", "n_pages", "n_tokens"}
+    # the windowed totals must account for every input row (incl. re-crawls)
+    total_rows = spark.read.parquet(stream_dirs["in"]).count()
+    assert got.agg(F.sum("n_pages")).collect()[0][0] == total_rows
