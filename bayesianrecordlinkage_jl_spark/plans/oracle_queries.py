@@ -887,6 +887,26 @@ def build_catalog() -> dict[str, dict]:
         "ref": "src/sequence_map_functions.jl:91-240 (penalized_likelihood_search)",
     }
 
+    # --- restricted MCMC surrogate (SURVEY 2.8; per-block chains in
+    # applyInPandas, deterministic seeding — rows-only) ---
+    def _mcmc_counts(s: SparkSession, d: str) -> DataFrame:
+        from ..operators import mcmc
+        from ..operators.linkmatrix import drop_outside
+
+        wp = _scored_pairs_spark(s, d).localCheckpoint()
+        cc = _cc_from_scored(s, d, wp)
+        blocked = drop_outside(
+            wp.where(F.col("w") > EDGE_THRESHOLD).select("id_a", "id_b", "w"), cc
+        )
+        counts = mcmc.mh_gibbs_count(blocked, nsteps=400, burnin=50, seed=42)
+        return mcmc.bayes_estimate_links(counts, 400, burnin=50)
+
+    cat["mcmc_bayes_links"] = {
+        "spark": _mcmc_counts,
+        "sql": None,
+        "ref": "src/mcmc.jl:87-137 + README.md:148-151 (mh_gibbs_count Bayes estimate)",
+    }
+
     # --- ANN scale path: sign-LSH bucketed top-k ---
     EMB_DIM = 64
     cat["embedding_topk_lsh"] = {

@@ -1,0 +1,112 @@
+"""Restricted MCMC surrogate: singleton-Gibbs exactness, determinism,
+one-to-one invariance of the Bayes estimate, and agreement with the MAP
+matching on well-separated blocks (FIXTURES-style synthetic blocks)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from bayesianrecordlinkage_jl_spark.operators import assignment, mcmc
+
+
+def _pairs_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "id_a long, id_b long, w double, block_id long"
+    )
+
+
+def test_singleton_gibbs_frequency(spark):
+    """1x1 block: empirical link frequency ~ logistic(w + lp) (exact Gibbs)."""
+    w, lp, n = 1.0, -0.5, 8000
+    df = _pairs_df(spark, [(1, 101, w, 7)])
+    out = mcmc.mh_gibbs_count(df, nsteps=n, lp_link=lp, seed=1).collect()[0]
+    p = 1.0 / (1.0 + math.exp(-(w + lp)))
+    se = math.sqrt(p * (1 - p) / n)
+    assert abs(out["n_linked"] / n - p) < 5 * se
+
+
+def test_deterministic_across_runs(spark):
+    rows = [
+        (1, 101, 2.0, 1), (1, 102, 0.5, 1), (2, 101, 0.3, 1), (2, 102, 1.8, 1),
+        (5, 201, 4.0, 2),
+    ]
+    df = _pairs_df(spark, rows)
+    a = sorted(map(tuple, mcmc.mh_gibbs_count(df, nsteps=500, seed=9).collect()))
+    b = sorted(map(tuple, mcmc.mh_gibbs_count(df, nsteps=500, seed=9).collect()))
+    assert a == b
+    c = sorted(map(tuple, mcmc.mh_gibbs_count(df, nsteps=500, seed=10).collect()))
+    assert a != c  # different seed -> different chain
+
+
+def test_bayes_estimate_matches_map_on_separated_block(spark):
+    """Well-separated weights: the posterior mode dominates, so the Bayes
+    estimate (>50% linked) equals the MAP (Hungarian) matching."""
+    rows = [
+        (1, 101, 6.0, 1), (1, 102, -2.0, 1),
+        (2, 101, -2.5, 1), (2, 102, 5.5, 1),
+        (3, 103, 7.0, 1), (3, 101, -1.0, 1),
+    ]
+    df = _pairs_df(spark, rows)
+    n = 3000
+    counts = mcmc.mh_gibbs_count(df, nsteps=n, burnin=200, seed=3)
+    est = mcmc.bayes_estimate_links(counts, n, burnin=200)
+    got = {(r["id_a"], r["id_b"]) for r in est.collect()}
+    hung = assignment.one_to_one(df, method="hungarian")
+    want = {(r["id_a"], r["id_b"]) for r in hung.collect()}
+    assert got == want == {(1, 101), (2, 102), (3, 103)}
+
+
+def test_bayes_estimate_one_to_one(spark):
+    """Posterior >50% links cannot double-use an id within a block (two
+    pairs sharing a row are never simultaneously linked, so their linked
+    step counts sum to <= nsteps)."""
+    rows = [
+        (1, 101, 2.0, 1), (1, 102, 2.0, 1), (2, 101, 2.0, 1), (2, 102, 2.0, 1),
+    ]
+    df = _pairs_df(spark, rows)
+    n = 2000
+    est = mcmc.bayes_estimate_links(mcmc.mh_gibbs_count(df, nsteps=n, seed=5), n)
+    assert assignment.assert_one_to_one(est)
+
+
+def test_counts_bounded_and_burnin(spark):
+    rows = [(1, 101, 3.0, 1), (2, 201, 3.0, 2)]
+    df = _pairs_df(spark, rows)
+    out = mcmc.mh_gibbs_count(df, nsteps=100, burnin=40, seed=2).collect()
+    for r in out:
+        assert 0 <= r["n_linked"] <= 60
+
+
+def test_outer_gibbs_driver(spark):
+    """mh_gibbs end-to-end: counts accumulate across rounds and parameters
+    stay valid probability vectors."""
+    import numpy as np
+    import pandas as pd
+
+    from bayesianrecordlinkage_jl_spark.operators import em
+
+    dvecs = pd.DataFrame(
+        {"vec_id": [1, 2], "g1": [1, 4], "n_pairs": [3, 3]}
+    )
+    gcols, nlevels = ["g1"], {"g1": 4}
+    params = em.FSParams(
+        pM={"g1": np.array([0.85, 0.05, 0.05, 0.05])},
+        pU={"g1": np.array([0.05, 0.05, 0.05, 0.85])},
+        p=0.1,
+    )
+    pairs = spark.createDataFrame(
+        [(1, 101, 1, 1), (2, 102, 1, 1), (3, 103, 2, 1)],
+        "id_a long, id_b long, vec_id long, block_id long",
+    )
+    rounds, nsteps = 2, 300
+    acc, (pM, pU) = mcmc.mh_gibbs(
+        spark, pairs, pairs, dvecs, gcols, nlevels, params,
+        rounds=rounds, nsteps_per_round=nsteps, seed=11,
+    )
+    got = {(r["id_a"], r["id_b"]): r["n_linked"] for r in acc.collect()}
+    assert all(0 <= v <= rounds * nsteps for v in got.values())
+    # agreeing vector (vec 1) pairs linked far more often than disagreeing
+    assert got[(1, 101)] > got[(3, 103)]
+    assert pM["g1"].sum() == pytest.approx(1.0) and pU["g1"].sum() == pytest.approx(1.0)
+    assert (pM["g1"] > 0).all() and (pU["g1"] > 0).all()
