@@ -62,6 +62,42 @@ def lev_ord(a: Column, b: Column) -> Column:
     )
 
 
+def lev_ord_from_raw(lev: Column, mx: Column) -> Column:
+    """lev_ord binning from precomputed raw measures: lev from
+    F.levenshtein(a, b, threshold) — banded DP with early abandon, where
+    -1 means distance > threshold — and mx = greatest(length(a),
+    length(b)). Value-identical to lev_ord whenever threshold >= mx/2
+    (every bin boundary is at distance <= mx/2; beyond it the level is 4
+    regardless of the exact distance). Splitting raw-measure computation
+    from binning lets the expensive DP run exactly once per pair (the
+    binning CASE references lev/mx several times; inlined, each reference
+    re-evaluates the whole DP)."""
+    return (
+        F.when(lev.isNull(), F.lit(0))
+        .when(lev == 0, F.lit(1))  # covers mx == 0 (both empty)
+        .when(lev < 0, F.lit(4))  # early-abandoned: distance > mx/2
+        .when((mx - lev) * 4 >= mx * 3, F.lit(2))
+        .when((mx - lev) * 2 >= mx, F.lit(3))
+        .otherwise(F.lit(4))
+        .cast("tinyint")
+    )
+
+
+def token_jaccard_ord_from_counts(i: Column, u: Column) -> Column:
+    """token_jaccard_ord binning from precomputed intersection size i and
+    union size u (= |A|+|B|-i for distinct arrays); i NULL marks a missing
+    side. Same single-evaluation rationale as lev_ord_from_raw."""
+    return (
+        F.when(i.isNull(), F.lit(0))
+        .when(u == 0, F.lit(1))
+        .when(i * 10 >= u * 9, F.lit(1))
+        .when(i * 10 >= u * 6, F.lit(2))
+        .when(i * 10 >= u * 3, F.lit(3))
+        .otherwise(F.lit(4))
+        .cast("tinyint")
+    )
+
+
 def lev_ord_sql(a: str, b: str) -> str:
     lev = f"levenshtein({a}, {b})"
     mx = f"greatest(length({a}), length({b}))"

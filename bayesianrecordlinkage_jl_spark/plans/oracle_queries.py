@@ -147,9 +147,13 @@ def scoring_throughput_job(
     pairs = _pairs_spark(spark, sf_dir, block_cols) if d is None else _pairs_from_docs(
         spark, d, block_cols
     )
-    v = pairs.withColumns(_g_exprs_spark())
-    agg = v.groupBy("id_a", "id_b").agg(*[F.first(g).alias(g) for g in GCOLS])
-    return agg.withColumn(
+    raw = _raw_measures(pairs)
+    agg = raw.groupBy("id_a", "id_b").agg(
+        *[F.first(c).alias(c) for c in _RAW_COLS]
+    )
+    b = _bin_exprs()
+    binned = agg.select("id_a", "id_b", *[b[g].alias(g) for g in GCOLS])
+    return binned.withColumn(
         "w", W.fs_weight([(F.col(g), k) for g, k in FIELD_KINDS])
     )
 
@@ -163,10 +167,47 @@ FROM documents a JOIN documents b
 """
 
 
-def _vectors_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _pairs_spark(spark, sf_dir).withColumns(_g_exprs_spark()).select(
-        "id_a", "id_b", *GCOLS
+LEV_THRESHOLD = LEV_PREFIX // 2  # all bin boundaries are at distance <= mx/2
+
+
+def _raw_measures(pairs: DataFrame) -> DataFrame:
+    """Per-pair raw comparator measures, each expression evaluated exactly
+    once: banded levenshtein with early abandon (-1 beyond threshold),
+    greatest length, token-intersection size (+ side sizes). The binning
+    CASEs run AFTER the pair-key aggregate barrier, so the expensive
+    kernels are never inlined into multiple CASE branches."""
+    return pairs.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("t64_a", "t64_b", LEV_THRESHOLD).alias("_lev"),
+        F.greatest(F.length("t64_a"), F.length("t64_b")).alias("_mx"),
+        F.size(F.array_intersect("toks_a", "toks_b")).alias("_i"),
+        (F.size("toks_a") + F.size("toks_b")).alias("_nab"),
+        "n_chars_a",
+        "n_chars_b",
     )
+
+
+_RAW_COLS = ["_lev", "_mx", "_i", "_nab", "n_chars_a", "n_chars_b"]
+
+
+def _bin_exprs() -> dict:
+    return {
+        "g1": C.lev_ord_from_raw(F.col("_lev"), F.col("_mx")),
+        "g2": C.token_jaccard_ord_from_counts(
+            F.col("_i"), F.col("_nab") - F.col("_i")
+        ),
+        "g3": C.num_band_ord(F.col("n_chars_a"), F.col("n_chars_b"), NCHAR_CUTS),
+    }
+
+
+def _vectors_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = _raw_measures(_pairs_spark(spark, sf_dir))
+    agg = raw.groupBy("id_a", "id_b").agg(
+        *[F.first(c).alias(c) for c in _RAW_COLS]
+    )
+    b = _bin_exprs()
+    return agg.select("id_a", "id_b", *[b[g].alias(g) for g in GCOLS])
 
 
 def _vectors_sql() -> str:
@@ -182,30 +223,23 @@ def _vectors_sql() -> str:
 _WEIGHT_EXPR_SQL = W.fs_weight_sql(FIELD_KINDS)
 
 
-def _weighted_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _scored_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted pairs with the comparator kernels evaluated EXACTLY once.
+
+    _vectors_spark computes raw measures (banded levenshtein, intersect
+    size) in one pre-shuffle projection, crosses the pair-key aggregate
+    barrier (which Catalyst predicates/projections cannot cross — a naive
+    withColumn(w)+filter(w>0) inlines every comparator subtree into the
+    pushed-down predicate, measured 4x the single-pass cost), then bins.
+    Downstream filters/windows see only tinyint g-columns and the cheap
+    CASE weight."""
     v = _vectors_spark(spark, sf_dir)
     return v.withColumn(
         "w", W.fs_weight([(F.col(g), k) for g, k in FIELD_KINDS])
-    )
-
-
-def _scored_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted pairs with the comparators evaluated EXACTLY once.
-
-    A naive withColumn(w)+filter(w>0) lets Catalyst substitute the weight
-    CASE (and thus every comparator expression) into the pushed-down
-    predicate — measured 4x the single-pass cost. The pair-key aggregate
-    below is a shuffle barrier predicates cannot cross: comparators run
-    once before the shuffle; downstream filters/windows see only tinyint
-    g-columns and the cheap CASE weight. (id_a, id_b) is unique, so the
-    first() aggregate is the identity."""
-    v = _vectors_spark(spark, sf_dir)
-    agg = v.groupBy("id_a", "id_b").agg(
-        *[F.first(g).alias(g) for g in GCOLS]
-    )
-    return agg.withColumn(
-        "w", W.fs_weight([(F.col(g), k) for g, k in FIELD_KINDS])
     ).select("id_a", "id_b", *GCOLS, "w")
+
+
+_weighted_pairs_spark = _scored_pairs_spark
 
 
 def _weighted_pairs_sql() -> str:
