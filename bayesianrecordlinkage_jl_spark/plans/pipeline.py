@@ -80,6 +80,37 @@ def _field_exprs(cfg: LinkageConfig) -> dict:
     }
 
 
+def _score_vectors(spark: SparkSession, pairs: DataFrame, cfg: LinkageConfig) -> DataFrame:
+    """Comparison vectors with each comparator kernel evaluated exactly
+    once per pair: raw measures (banded levenshtein on per-doc prefixes,
+    token-set intersect on per-doc distinct-token arrays) in one pre-shuffle
+    projection, pair-key aggregate barrier, then integer bin CASEs. The
+    result is localCheckpointed because both the distinct-vector dedup and
+    the vec_id attach branch from it (without materialization each branch
+    would re-run the comparators). Value-identical to _field_exprs."""
+    raw = pairs.select(
+        "id_a",
+        "id_b",
+        F.levenshtein("t_pre_a", "t_pre_b", cfg.lev_prefix // 2).alias("_lev"),
+        F.greatest(F.length("t_pre_a"), F.length("t_pre_b")).alias("_mx"),
+        F.size(F.array_intersect("toks_a", "toks_b")).alias("_i"),
+        (F.size("toks_a") + F.size("toks_b")).alias("_nab"),
+        "lang_a",
+        "lang_b",
+    )
+    rawcols = ["_lev", "_mx", "_i", "_nab", "lang_a", "lang_b"]
+    agg = raw.groupBy("id_a", "id_b").agg(*[F.first(c).alias(c) for c in rawcols])
+    return agg.select(
+        "id_a",
+        "id_b",
+        C.lev_ord_from_raw(F.col("_lev"), F.col("_mx")).alias("g_lev"),
+        C.token_jaccard_ord_from_counts(
+            F.col("_i"), F.col("_nab") - F.col("_i")
+        ).alias("g_jac"),
+        C.bool_ord(F.col("lang_a"), F.col("lang_b")).alias("g_lang"),
+    ).localCheckpoint()
+
+
 @dataclass
 class LinkageResult:
     docs: DataFrame
@@ -148,16 +179,24 @@ def run_linkage(
 
     # -- fetch fields + comparison vectors ---------------------------------
     def _pairs() -> DataFrame:
-        fa = docs.select(
+        # per-document derived columns (prefix + distinct tokens) computed
+        # ONCE below the field joins — only narrow arrays cross the shuffle
+        proj = docs.select(
+            "node",
+            "lang",
+            F.substring("text", 1, cfg.lev_prefix).alias("t_pre"),
+            F.array_distinct(F.split("text", " ")).alias("toks"),
+        )
+        fa = proj.select(
             F.col("node").alias("id_a"),
-            F.col("url").alias("url_a"),
-            F.col("text").alias("text_a"),
+            F.col("t_pre").alias("t_pre_a"),
+            F.col("toks").alias("toks_a"),
             F.col("lang").alias("lang_a"),
         )
-        fb = docs.select(
+        fb = proj.select(
             F.col("node").alias("id_b"),
-            F.col("url").alias("url_b"),
-            F.col("text").alias("text_b"),
+            F.col("t_pre").alias("t_pre_b"),
+            F.col("toks").alias("toks_b"),
             F.col("lang").alias("lang_b"),
         )
         n_part = spark.sparkContext.defaultParallelism * 2
@@ -170,9 +209,10 @@ def run_linkage(
             .join(fb, "id_b")
         )
 
-    pairs = _pairs()
-
-    summary = ComparisonSummary.build(pairs, _field_exprs(cfg), NLEVELS)
+    vectors = _score_vectors(spark, _pairs(), cfg)
+    summary = ComparisonSummary.build(
+        vectors, {g: F.col(g) for g, _ in FIELDS}, NLEVELS
+    )
     gcols = summary.gcols
     dvecs_pd = summary.dvecs_pd()
 
