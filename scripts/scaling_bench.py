@@ -47,7 +47,11 @@ def run_level(cpus: int, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    # Default N=2 (so 4N=8): this sandbox VM's vCPUs stop scaling near ~16
+    # threads for ANY workload (a pure-JVM md5 microbenchmark scales only
+    # 2.4x from 8 to 32 threads — see BENCH/BASELINE.md), so the honest
+    # algorithmic-scaling measurement runs below that contention knee.
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 2
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else os.environ.get(
         "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"
     )
