@@ -353,6 +353,21 @@ def build_catalog() -> dict[str, dict]:
         "ref": "vignette/example.jl:21-50 (levOrd/boolOrd comparators)",
     }
 
+    cat["comparison_vectors_jw"] = {
+        "spark": lambda s, d: _pairs_spark(s, d).select(
+            "id_a",
+            "id_b",
+            C.jaro_winkler_ord(F.col("t64_a"), F.col("t64_b")).alias("g_jw"),
+        ),
+        "sql": f"""
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               {C.jaro_winkler_ord_sql(f'substr(a.text,1,{LEV_PREFIX})', f'substr(b.text,1,{LEV_PREFIX})')} AS g_jw
+        FROM documents a JOIN documents b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        """,
+        "ref": "north_star Jaro-Winkler comparator (pandas UDF, bit-exact vs DuckDB)",
+    }
+
     # --- aggregation layer (SURVEY 2.3) ---
     cat["distinct_vectors"] = {
         "spark": lambda s, d: distinct_vectors(_vectors_spark(s, d), GCOLS),
