@@ -68,6 +68,62 @@ def start_ingest(
     )
 
 
+def dedup_on_fingerprint(
+    stream: DataFrame,
+    watermark: str = "1 hour",
+    state_timeout_ms: int = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Custom stateful streaming operator (applyInPandasWithState): emit
+    only the FIRST page seen per content fingerprint — streaming exact
+    near-dup suppression by content, beyond what dropDuplicates offers
+    (which keys on a column but cannot carry custom per-key state or
+    per-key emission logic).
+
+    State per fingerprint: (first_url, n_dups_suppressed). Re-crawls and
+    mirrors of already-seen content are counted into state and dropped.
+    State expires via processing-time timeout so the store is bounded; the
+    batch exact-dedup pass catches anything beyond the horizon (same
+    tiered design as dedup_on_url).
+
+    Input must carry (fingerprint, url, warc_ts, text, lang).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "fingerprint string, url string, warc_ts timestamp, "
+        "text string, lang string, n_dups long"
+    )
+    state_schema = "first_url string, n_dups long"
+
+    def fn(key, pdfs, state: GroupState):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["warc_ts", "url"], ignore_index=True)
+        if state.exists:
+            first_url, n_dups = state.get
+            n_dups += len(rows)
+            state.update((first_url, n_dups))
+            state.setTimeoutDuration(state_timeout_ms)
+            return iter(())  # all duplicates of already-emitted content
+        first = rows.iloc[:1].copy()
+        first["n_dups"] = len(rows) - 1
+        state.update((str(first["url"].iloc[0]), int(len(rows) - 1)))
+        state.setTimeoutDuration(state_timeout_ms)
+        return iter([first[["fingerprint", "url", "warc_ts", "text", "lang", "n_dups"]]])
+
+    return (
+        stream.withWatermark("warc_ts", watermark)
+        .groupBy("fingerprint")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
 def windowed_crawl_stats(stream: DataFrame, window: str = "1 hour") -> DataFrame:
     """Watermarked tumbling-window crawl stats by lang (late data handled)."""
     return (

@@ -65,3 +65,34 @@ def test_windowed_crawl_stats(spark, stream_dirs):
     # the windowed totals must account for every input row (incl. re-crawls)
     total_rows = spark.read.parquet(stream_dirs["in"]).count()
     assert got.agg(F.sum("n_pages")).collect()[0][0] == total_rows
+
+
+def test_stateful_fingerprint_dedup(spark, stream_dirs):
+    """applyInPandasWithState: exactly one emission per content fingerprint
+    across the whole stream (re-crawled urls share fingerprints)."""
+    from pyspark.sql import functions as F
+
+    from bayesianrecordlinkage_jl_spark.functions.text import doc_fingerprint
+
+    stream = ingest.read_page_stream(spark, stream_dirs["in"]).withColumn(
+        "fingerprint", doc_fingerprint(F.col("text")).cast("string")
+    )
+    deduped = ingest.dedup_on_fingerprint(stream)
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("fp_dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM fp_dedup")
+    batch = spark.read.parquet(stream_dirs["in"]).withColumn(
+        "fingerprint", doc_fingerprint(F.col("text")).cast("string")
+    )
+    n_fp = batch.select("fingerprint").distinct().count()
+    assert got.count() == n_fp
+    assert got.select("fingerprint").distinct().count() == n_fp
+    # suppressed-duplicate accounting covers every input row
+    total = batch.count()
+    assert got.agg(F.sum(F.col("n_dups") + 1)).collect()[0][0] == total
