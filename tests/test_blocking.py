@@ -1,0 +1,76 @@
+"""Blocking operators: key blocking, LSH blocking recall, hot-key salting
+block-size caps, and pair-orientation invariants."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from bayesianrecordlinkage_jl_spark.operators import blocking
+from bayesianrecordlinkage_jl_spark.sources.pages import generate_pages
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pages = generate_pages(spark, n_clusters=120)
+    return pages.select(
+        F.monotonically_increasing_id().alias("rid"),
+        "url", "text", "lang", "host", "cluster_id",
+    ).localCheckpoint()
+
+
+def test_key_blocking_pairs_oriented_and_complete(spark, docs):
+    pairs = blocking.key_blocking(docs, "rid", ["lang"])
+    assert pairs.where(F.col("id_a") >= F.col("id_b")).count() == 0
+    # per-key pair count == n*(n-1)/2
+    sizes = {r["lang"]: r["n"] for r in docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    got = {
+        r["block_key"]: r["n_pairs"]
+        for r in blocking.block_pair_stats(pairs).collect()
+    }
+    for lang, n in sizes.items():
+        expected = n * (n - 1) // 2
+        if expected:
+            assert got[lang] == expected
+
+
+def test_lsh_blocking_finds_planted_duplicates(spark, docs):
+    """Cluster members are near-duplicates (one typo + one swapped token of
+    40) — LSH with 1-row bands must recover a large majority of the
+    within-cluster pairs without the cross product."""
+    pairs = blocking.lsh_blocking(
+        docs, "rid", "text", n_bands=6, rows_per_band=1, carry_cols=["cluster_id"]
+    )
+    n_docs = docs.count()
+    n_pairs = pairs.count()
+    assert n_pairs < n_docs * (n_docs - 1) // 4  # nowhere near cross product
+    truth = (
+        docs.alias("a")
+        .join(docs.alias("b"), F.col("a.cluster_id") == F.col("b.cluster_id"))
+        .where(F.col("a.rid") < F.col("b.rid"))
+        .count()
+    )
+    found = pairs.where(F.col("cluster_id_a") == F.col("cluster_id_b")).count()
+    assert truth > 0
+    assert found / truth >= 0.8
+
+
+def test_salt_hot_keys_caps_block_sizes(spark, docs):
+    cap = 8
+    salted = blocking.salt_hot_keys(docs, "rid", ["lang"], max_block_rows=cap)
+    sizes = (
+        salted.groupBy("lang", "_salt").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    # deterministic hash split: buckets hold ~cap rows; allow hash variance
+    assert max(r["n"] for r in sizes) <= int(cap * 2.5)
+    # salting preserves every row exactly once
+    assert salted.count() == docs.count()
+    # salted key blocking caps per-block PAIR counts
+    pairs = blocking.key_blocking(salted, "rid", ["lang", "_salt"])
+    stats = blocking.block_pair_stats(pairs).collect()
+    mx = int(cap * 2.5)
+    assert max(r["n_pairs"] for r in stats) <= mx * (mx - 1) // 2
+
+
+def test_salting_deterministic(spark, docs):
+    a = blocking.salt_hot_keys(docs, "rid", ["host"], 16).select("rid", "_salt")
+    b = blocking.salt_hot_keys(docs, "rid", ["host"], 16).select("rid", "_salt")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

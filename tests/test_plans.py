@@ -1,0 +1,77 @@
+"""Physical-plan regression tests: the optimizations the engine depends on
+must stay visible in explain output — broadcast blocking joins, parquet
+column pruning + filter pushdown, and the single-Exchange scoring barrier.
+A plan regression here silently multiplies comparator cost at scale even
+though results stay correct."""
+
+import pytest
+
+from bayesianrecordlinkage_jl_spark.plans import oracle_queries as oq
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _optimized(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_blocking_join_is_broadcast(spark):
+    plan = _plan(oq._pairs_spark(spark, SF).select("id_a", "id_b"))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_candidate_pairs_prunes_text(spark):
+    """id-only projection must not read text/toks from parquet."""
+    df = oq._pairs_spark(spark, SF).select("id_a", "id_b")
+    plan = _plan(df)
+    scans = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert scans, plan
+    for s in scans:
+        assert "text" not in s, s
+
+
+def test_scoring_reads_only_needed_columns(spark):
+    plan = _plan(oq._scored_pairs_spark(spark, SF))
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            # full text is needed (prefix+tokens derive from it) but the
+            # unused columns must be pruned
+            assert "doc_id" in line
+    assert "PushedFilters: [IsNotNull" in plan
+
+
+def test_scoring_has_single_pair_barrier(spark):
+    """Exactly one pair-key aggregate barrier in the scoring plan (the
+    mechanism that keeps comparator kernels single-evaluation)."""
+    plan = _plan(oq._scored_pairs_spark(spark, SF))
+    assert plan.count("first(_lev") >= 1
+    # levenshtein appears exactly once in the optimized plan (not inlined
+    # into multiple CASE branches)
+    opt = _optimized(oq._scored_pairs_spark(spark, SF))
+    assert opt.count("levenshtein") == 1, opt
+
+
+def test_weight_filter_does_not_reinline_comparators(spark):
+    """Filtering on w must stay above the barrier: levenshtein still appears
+    exactly once in the optimized plan."""
+    from pyspark.sql import functions as F
+
+    df = oq._scored_pairs_spark(spark, SF).where(F.col("w") > 0)
+    opt = _optimized(df)
+    assert opt.count("levenshtein") == 1, opt
+
+
+def test_mutual_best_uses_window_not_join(spark):
+    plan = _plan(oq.build_catalog()["mutual_best_match"]["spark"](spark, SF))
+    assert "Window" in plan
+
+
+def test_event_window_agg_partial(spark):
+    """Tumbling-window agg must have a partial (map-side) aggregation."""
+    plan = _plan(oq.build_catalog()["event_window_counts"]["spark"](spark, SF))
+    assert "partial" in plan.lower()
