@@ -182,9 +182,13 @@ def simhash_pairs(
     nbits: int = T.SIMHASH_BITS,
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates share at least one fingerprint
-    chunk (pigeonhole: hamming <= max_hamming with n_chunks > max_hamming/
-    (nbits/n_chunks) guarantees a shared chunk for close docs), verified by
-    exact Hamming distance. Returns (id_a, id_b, hamming)."""
+    chunk, verified by exact Hamming distance. Returns (id_a, id_b, hamming).
+
+    Recall contract (pigeonhole): a pair at Hamming distance d is
+    GUARANTEED to share a chunk when d < n_chunks; for n_chunks <= d <=
+    max_hamming candidates are still verified exactly but may be missed by
+    the chunk index (raise n_chunks to max_hamming+1 for full recall at the
+    cost of smaller, more collision-prone chunks)."""
     chunk_bits = nbits // n_chunks
     mask = (1 << chunk_bits) - 1
     # aggregate on the unique id = projection barrier: without it Catalyst

@@ -1,0 +1,43 @@
+"""Partitioning-invariance: results must be identical under different
+shuffle-partition counts (SURVEY §7.4 risk 2 — total-order tie-breaking
+everywhere). Catches nondeterminism that only shows up when partitioning
+changes (first() without unique keys, hash-dependent ids, etc.)."""
+
+import pandas as pd
+import pytest
+
+import __spark_entry__ as entrymod
+
+SF = "/root/testdata/sf0.001"
+
+QUERIES = [
+    "fs_weights",
+    "distinct_vectors",
+    "mutual_best_match",
+    "connected_components",
+    "dedup_minhash_lsh",
+    "embedding_topk",
+    "mcmc_bayes_links",
+]
+
+
+def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+@pytest.mark.parametrize("name", QUERIES)
+def test_partition_count_invariance(spark, name):
+    q = entrymod.queries()[name]
+    orig = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "7")
+        a = _canon(q(spark, SF).toPandas())
+        spark.conf.set("spark.sql.shuffle.partitions", "53")
+        b = _canon(q(spark, SF).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", orig)
+    assert list(a.columns) == list(b.columns)
+    assert len(a) == len(b)
+    for c in a.columns:
+        assert (a[c].astype(str) == b[c].astype(str)).all(), f"{name}.{c}"
