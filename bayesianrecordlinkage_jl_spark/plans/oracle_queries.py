@@ -1028,6 +1028,55 @@ def build_catalog() -> dict[str, dict]:
         "ref": "input_hint html->text extraction (byte-identical per url)",
     }
 
+    # --- flagship end-to-end pipelines (iterative EM + CC + per-block
+    # solver; rows-only — F1 targets pytest-asserted) ---
+    def _two_source_links(s: SparkSession, d: str) -> DataFrame:
+        from ..plans.pipeline import link_two_sources
+        from ..sources.records import generate_records
+
+        ra, rb = generate_records(s, n=600, n_match=300, seed=42)
+        fexprs = {
+            "g_gname": C.lev_ord(F.col("gname_a"), F.col("gname_b")),
+            "g_fname": C.lev_ord(F.col("fname_a"), F.col("fname_b")),
+            "g_age": C.bool_ord(
+                F.nullif(F.col("age_a"), F.lit("NA")),
+                F.nullif(F.col("age_b"), F.lit("NA")),
+            ),
+            "g_occup": C.bool_ord(
+                F.nullif(F.col("occup_a"), F.lit("NA")),
+                F.nullif(F.col("occup_b"), F.lit("NA")),
+            ),
+        }
+        kinds = [("g_gname", "lev"), ("g_fname", "lev"),
+                 ("g_age", "exact"), ("g_occup", "exact")]
+        nlv = {"g_gname": 4, "g_fname": 4, "g_age": 2, "g_occup": 2}
+        links, _params = link_two_sources(
+            s, ra, rb, fexprs, kinds, nlv, block_cols=["gender"]
+        )
+        return links.select("rid_a", "rid_b", "block_id")
+
+    cat["two_source_links"] = {
+        "spark": _two_source_links,
+        "sql": None,
+        "ref": "vignette/example.jl end-to-end two-file linkage (600x600, 300 matches)",
+    }
+
+    def _pages_linkage(s: SparkSession, d: str) -> DataFrame:
+        from ..plans.pipeline import LinkageConfig, run_linkage
+        from ..sources.pages import generate_pages
+
+        pages = generate_pages(s, n_clusters=150).select(
+            "url", "warc_ts", "html", "text", "lang"
+        )
+        res = run_linkage(s, pages, LinkageConfig())
+        return res.clusters.select("url", "cluster_id")
+
+    cat["pages_linkage_clusters"] = {
+        "spark": _pages_linkage,
+        "sql": None,
+        "ref": "SURVEY §3 full lifecycle: blocking -> EM scoring -> CC -> one-to-one",
+    }
+
     # --- windowed aggregation over events (streaming-shaped, batch oracle) ---
     cat["event_window_counts"] = {
         "spark": lambda s, d: load(s, d, "events")
