@@ -119,6 +119,125 @@ def _block_chain(
     return out
 
 
+TRACE_SCHEMA = "id_a long, id_b long, block_id long, start long, stop long"
+
+
+def _block_chain_trace(
+    pdf: pd.DataFrame, nsteps: int, lp_link: float, seed: int
+) -> pd.DataFrame:
+    """Trace variant (mh_gibbs_trace analog,
+    /root/reference/src/mcmc.jl:170-254): identical chain to _block_chain
+    (same RNG stream, same moves), but records link-persistence INTERVALS
+    [start, stop] (1-based step indices, inclusive) instead of counts.
+    sum(stop - start + 1) per pair reconstructs _block_chain's counts
+    exactly (pytest-asserted)."""
+    block_id = int(pdf["block_id"].iloc[0])
+    rng = np.random.default_rng((seed, block_id))
+    ids_a = pdf["id_a"].to_numpy()
+    ids_b = pdf["id_b"].to_numpy()
+    w = pdf["w"].to_numpy(dtype=float)
+    npairs = len(pdf)
+    open_at = {}  # pair idx -> start step of the open interval
+    intervals: list[tuple[int, int, int]] = []  # (pair idx, start, stop)
+
+    def close(k: int, step: int) -> None:
+        intervals.append((k, open_at.pop(k), step))
+
+    if npairs == 1:
+        p_link = 1.0 / (1.0 + np.exp(-(w[0] + lp_link)))
+        draws = rng.random(nsteps) < p_link
+        for step in range(1, nsteps + 1):
+            linked = bool(draws[step - 1])
+            if linked and 0 not in open_at:
+                open_at[0] = step
+            elif not linked and 0 in open_at:
+                close(0, step - 1)
+        if 0 in open_at:
+            close(0, nsteps)
+    else:
+        row_pairs: dict[int, int] = {}
+        col_pairs: dict[int, int] = {}
+        linked = np.zeros(npairs, dtype=bool)
+        row2pair: dict[int, int] = {}
+        col2pair: dict[int, int] = {}
+
+        def do_link(k: int, step: int) -> None:
+            linked[k] = True
+            row2pair[int(ids_a[k])] = k
+            col2pair[int(ids_b[k])] = k
+            open_at[k] = step
+
+        def do_unlink(k: int, step: int) -> None:
+            linked[k] = False
+            del row2pair[int(ids_a[k])]
+            del col2pair[int(ids_b[k])]
+            close(k, step - 1)
+
+        picks = rng.integers(0, npairs, size=nsteps)
+        accepts = np.log(rng.random(nsteps))
+        for step0 in range(nsteps):
+            step = step0 + 1
+            k = int(picks[step0])
+            i, j = int(ids_a[k]), int(ids_b[k])
+            kr = row2pair.get(i)
+            kc = col2pair.get(j)
+            if linked[k]:
+                if accepts[step0] < -(w[k] + lp_link):
+                    do_unlink(k, step)
+            elif kr is None and kc is None:
+                if accepts[step0] < w[k] + lp_link:
+                    do_link(k, step)
+            elif kr is not None and kc is None:
+                if accepts[step0] < w[k] - w[kr]:
+                    do_unlink(kr, step)
+                    do_link(k, step)
+            elif kr is None and kc is not None:
+                if accepts[step0] < w[k] - w[kc]:
+                    do_unlink(kc, step)
+                    do_link(k, step)
+        for k in list(open_at):
+            close(k, nsteps)
+
+    rows = [
+        {
+            "id_a": int(ids_a[k]),
+            "id_b": int(ids_b[k]),
+            "block_id": block_id,
+            "start": s,
+            "stop": e,
+        }
+        for k, s, e in intervals
+    ]
+    return pd.DataFrame(
+        rows, columns=["id_a", "id_b", "block_id", "start", "stop"]
+    )
+
+
+def mh_gibbs_trace(
+    blocked_pairs: DataFrame,
+    nsteps: int = 1000,
+    lp_link: float = 0.0,
+    seed: int = 42,
+) -> DataFrame:
+    """Link-persistence intervals [id_a id_b start stop] from the same
+    chains as mh_gibbs_count — the ParameterChain trace form. Feed into
+    the chain interval aggregations (get_linkcounts/get_steplinks analogs,
+    catalog queries chain_link_counts / steplinks / chain_stage_counts)."""
+    p = blocked_pairs.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("w").cast("double"),
+        F.col("block_id").cast("long"),
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return _block_chain_trace(pdf, nsteps, lp_link, seed)
+
+    return p.repartition("block_id").groupBy("block_id").applyInPandas(
+        fn, schema=TRACE_SCHEMA
+    )
+
+
 def mh_gibbs_count(
     blocked_pairs: DataFrame,
     nsteps: int = 1000,

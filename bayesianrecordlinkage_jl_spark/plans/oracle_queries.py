@@ -50,17 +50,6 @@ def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # -- comparison-vector expressions (documents self-pairs) -------------------
 
 
-def _g_exprs_spark() -> dict:
-    # operates on the per-document precomputed columns of _pairs_spark
-    # (t64 prefix + distinct-token array) — comparator inputs are evaluated
-    # once per DOCUMENT upstream of the join, never per candidate pair.
-    return {
-        "g1": C.lev_ord(F.col("t64_a"), F.col("t64_b")),
-        "g2": C.token_jaccard_ord_arrays(F.col("toks_a"), F.col("toks_b")),
-        "g3": C.num_band_ord(F.col("n_chars_a"), F.col("n_chars_b"), NCHAR_CUTS),
-    }
-
-
 def _g_exprs_sql(a: str = "a", b: str = "b") -> dict:
     return {
         "g1": C.lev_ord_sql(
@@ -237,9 +226,6 @@ def _scored_pairs_spark(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.withColumn(
         "w", W.fs_weight([(F.col(g), k) for g, k in FIELD_KINDS])
     ).select("id_a", "id_b", *GCOLS, "w")
-
-
-_weighted_pairs_spark = _scored_pairs_spark
 
 
 def _weighted_pairs_sql() -> str:

@@ -110,3 +110,37 @@ def test_outer_gibbs_driver(spark):
     assert got[(1, 101)] > got[(3, 103)]
     assert pM["g1"].sum() == pytest.approx(1.0) and pU["g1"].sum() == pytest.approx(1.0)
     assert (pM["g1"] > 0).all() and (pU["g1"] > 0).all()
+
+
+def test_trace_reconstructs_counts(spark):
+    """mh_gibbs_trace intervals sum to mh_gibbs_count counts exactly (same
+    RNG stream, same kernel) — the trace/count duality of the reference's
+    mh_gibbs_trace vs mh_gibbs_count."""
+    rows = [
+        (1, 101, 2.0, 1), (1, 102, 0.5, 1), (2, 101, 0.3, 1), (2, 102, 1.8, 1),
+        (5, 201, 1.0, 2),
+        (7, 301, -0.5, 3), (7, 302, 0.2, 3), (8, 301, 0.9, 3),
+    ]
+    df = _pairs_df(spark, rows)
+    n = 800
+    counts = {
+        (r["id_a"], r["id_b"]): r["n_linked"]
+        for r in mcmc.mh_gibbs_count(df, nsteps=n, seed=21).collect()
+    }
+    from collections import defaultdict
+
+    recon = defaultdict(int)
+    for r in mcmc.mh_gibbs_trace(df, nsteps=n, seed=21).collect():
+        assert 1 <= r["start"] <= r["stop"] <= n
+        recon[(r["id_a"], r["id_b"])] += r["stop"] - r["start"] + 1
+    for pair, c in counts.items():
+        assert recon.get(pair, 0) == c, pair
+
+
+def test_trace_intervals_disjoint(spark):
+    df = _pairs_df(spark, [(1, 101, 1.5, 1), (1, 102, 1.5, 1), (2, 101, 1.5, 1)])
+    trace = mcmc.mh_gibbs_trace(df, nsteps=500, seed=4).toPandas()
+    for (_, _), grp in trace.groupby(["id_a", "id_b"]):
+        ivals = sorted(zip(grp["start"], grp["stop"]))
+        for (s1, e1), (s2, e2) in zip(ivals, ivals[1:]):
+            assert e1 < s2 - 1 or e1 < s2  # ordered, non-overlapping
