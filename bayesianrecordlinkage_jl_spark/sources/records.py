@@ -96,3 +96,22 @@ def generate_records(
         )
 
     return fields("A"), fields("B")
+
+
+def read_tab_records(spark: SparkSession, path: str) -> DataFrame:
+    """Tab-delimited record-table scan — the reference's literal input path
+    (readdlm(path, '\\t', String, header=true),
+    /root/reference/vignette/example.jl:10-11): header row, every column
+    read as string, "NA" preserved verbatim (missingness is handled by the
+    comparators' NULL/NA conventions, not the scan)."""
+    return (
+        spark.read.option("sep", "\t")
+        .option("header", "true")
+        .option("inferSchema", "false")
+        .csv(path)
+    )
+
+
+def write_tab_records(df: DataFrame, path: str) -> None:
+    """Tab-delimited writer (round-trip twin of read_tab_records)."""
+    df.write.mode("overwrite").option("sep", "\t").option("header", "true").csv(path)

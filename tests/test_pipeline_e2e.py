@@ -80,3 +80,18 @@ def test_checkpoint_resume(spark, pages, tmp_path):
     r2 = run_linkage(spark, inp, cfg)
     assert r2.clusters.count() == n1
     assert r2.counters["links"]["completed_at"] == c1["links"]["completed_at"]
+
+
+def test_pipeline_f1_at_5x_scale(spark):
+    """Same pipeline, 5x the document count (~6000 pages, comparable to the
+    sf0.1 corpus): F1 target and the one-to-one invariant must hold
+    unchanged — no knob retuning with scale."""
+    pages = generate_pages(spark, n_clusters=2000, seed=7).cache()
+    truth = labeled_pairs(pages)
+    res = run_linkage(spark, pages.drop("cluster_id", "host"), LinkageConfig())
+    stats = pairwise_f1(res.clusters, truth)
+    assert stats["f1"] >= 0.99, stats
+    from bayesianrecordlinkage_jl_spark.operators.assignment import assert_one_to_one
+
+    assert assert_one_to_one(res.links)
+    pages.unpersist()

@@ -69,3 +69,24 @@ def test_two_source_linkage_f1(spark, records):
     recall = tp / 300
     f1 = 2 * precision * recall / (precision + recall)
     assert f1 >= 0.99, (precision, recall, f1)
+
+
+def test_tab_records_roundtrip(spark, records, tmp_path):
+    """readdlm-analog scan: header + all-string columns + NA preserved."""
+    from bayesianrecordlinkage_jl_spark.sources.records import (
+        read_tab_records,
+        write_tab_records,
+    )
+
+    a, _ = records
+    p = str(tmp_path / "dataA")
+    write_tab_records(a.drop("i"), p)
+    back = read_tab_records(spark, p)
+    assert [f.dataType.simpleString() for f in back.schema.fields] == ["string"] * len(back.columns)
+    assert set(back.columns) == set(a.drop("i").columns)
+    assert back.count() == a.count()
+    orig = {r["rec_id"]: r for r in a.drop("i").collect()}
+    for r in back.collect():
+        o = orig[r["rec_id"]]
+        for c in back.columns:
+            assert r[c] == o[c], (r["rec_id"], c)
