@@ -262,3 +262,63 @@ def simhash_pairs_sql(
     SELECT id_a, id_b, CAST({T.hamming64_sql('sh_a', 'sh_b')} AS INT) AS hamming
     FROM cand WHERE {T.hamming64_sql('sh_a', 'sh_b')} <= {max_hamming}
     """
+
+
+def embedding_cosine_pairs(
+    df,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    min_cosine: float = 0.95,
+    n_planes: int = 6,
+):
+    """Embedding-cosine near-dup pairs: sign-LSH bucket equi-self-join +
+    exact cosine verify (>= min_cosine). Returns (id_a, id_b, sim).
+
+    Recall: vectors at angle theta collide in one sign-LSH bucket with
+    probability (1 - theta/pi)^n_planes; for near-dup thresholds
+    (cos >= .95 -> theta <= 18deg) that is >= 0.5 per band — production
+    would OR several plane sets like MinHash bands; candidates found are
+    verified exactly, so precision is 1."""
+    from .similarity import cosine, hyperplane_bucket
+
+    bucket = hyperplane_bucket(F.col(vec_col), dim, n_planes)
+    base = _spread(df, id_col).select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), bucket.alias("_bk")
+    )
+    a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "_bk")
+    b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "_bk")
+    return (
+        a.join(b, on="_bk")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        .where(F.col("sim") >= min_cosine)
+        .groupBy("id_a", "id_b")
+        .agg(F.first("sim").alias("sim"))
+    )
+
+
+def embedding_cosine_pairs_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    min_cosine: float = 0.95,
+    n_planes: int = 6,
+) -> str:
+    from .similarity import cosine_sql, hyperplane_bucket_sql
+
+    bucket = hyperplane_bucket_sql("_v", dim, n_planes)
+    cos = cosine_sql("a._v", "b._v")
+    return f"""
+    WITH base AS MATERIALIZED (
+      SELECT {id_col} AS _id, {vec_col} AS _v, {bucket} AS _bk FROM {table}
+    ),
+    cand AS (
+      SELECT a._id AS id_a, b._id AS id_b, {cos} AS sim
+      FROM base a JOIN base b ON a._bk = b._bk AND a._id < b._id
+    )
+    SELECT id_a, id_b, any_value(sim) AS sim
+    FROM cand WHERE sim >= {min_cosine!r}e0
+    GROUP BY id_a, id_b
+    """

@@ -41,6 +41,9 @@ JACCARD_MIN_PCT = 30
 SIMHASH_MAX_HAMMING = 8
 TOPK = 5
 TOPK_QUERY_MAX_ID = 10
+EMB_DIM_DEDUP = 64
+EMB_COS_MIN = 0.3  # sf testdata max pairwise cosine is ~0.51
+EMB_LSH_PLANES = 4
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -579,6 +582,18 @@ def build_catalog() -> dict[str, dict]:
             "documents", "doc_id", "text", SIMHASH_MAX_HAMMING
         ),
         "ref": "SimHash near-dup (banded Hamming)",
+    }
+
+    cat["dedup_embedding_cosine"] = {
+        "spark": lambda s, d: dedup.embedding_cosine_pairs(
+            load(s, d, "embeddings"), "vec_id", "embedding",
+            dim=EMB_DIM_DEDUP, min_cosine=EMB_COS_MIN, n_planes=EMB_LSH_PLANES,
+        ),
+        "sql": dedup.embedding_cosine_pairs_sql(
+            "embeddings", "vec_id", "embedding",
+            dim=EMB_DIM_DEDUP, min_cosine=EMB_COS_MIN, n_planes=EMB_LSH_PLANES,
+        ),
+        "ref": "embedding-cosine near-dup (sign-LSH buckets + exact verify)",
     }
 
     # --- text analysis (training-data ops) ---
