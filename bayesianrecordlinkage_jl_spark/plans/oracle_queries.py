@@ -1097,4 +1097,37 @@ def build_catalog() -> dict[str, dict]:
         "ref": "tumbling-window agg (streaming ingest path; batch oracle)",
     }
 
+    # --- session windows over events (session_window vs gaps-and-islands) ---
+    SESSION_GAP_MIN = 30
+    cat["event_sessions"] = {
+        "spark": lambda s, d: load(s, d, "events")
+        .groupBy(
+            F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("sw"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+        ),
+        "sql": f"""
+        WITH o AS (
+          SELECT user_id, ts,
+                 lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events),
+        m AS (SELECT *, CASE WHEN prev IS NULL
+                             OR ts - prev >= INTERVAL '{SESSION_GAP_MIN} minutes'
+                        THEN 1 ELSE 0 END AS brk FROM o),
+        g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, ts
+                        ROWS UNBOUNDED PRECEDING) AS sid FROM m)
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL '{SESSION_GAP_MIN} minutes' AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events
+        FROM g GROUP BY user_id, sid
+        """,
+        "ref": "session windows (streaming-shaped; gaps-and-islands batch oracle)",
+    }
+
     return cat
