@@ -85,11 +85,34 @@ def lsh_blocking(
     explode(bands) -> equi-self-join on band key -> distinct pairs.
     """
     carry = carry_cols or []
-    banded = (
-        lsh_band_keys(df, text_col, n_bands, rows_per_band, shingle_k)
-        .select(F.col(id_col).alias("_id"), "lsh_bands", *carry)
-        .withColumn("band_key", F.explode("lsh_bands"))
-        .drop("lsh_bands")
+    # hash-once: the md5 shingle pass runs exactly once per doc behind the
+    # unique-id aggregate barrier; band keys are cheap affine transforms of
+    # the hash array (same pattern as dedup.minhash_lsh_pairs)
+    hashed = (
+        df.select(F.col(id_col).alias("_id"), F.col(text_col).alias("_t"), *carry)
+        .repartition(df.sparkSession.sparkContext.defaultParallelism * 2, "_id")
+        .select(
+            "_id",
+            T.shingle_hashes(F.col("_t"), shingle_k).alias("_shh"),
+            *carry,
+        )
+        .groupBy("_id")
+        .agg(
+            F.first("_shh").alias("_shh"),
+            *[F.first(c).alias(c) for c in carry],
+        )
+    )
+    banded = hashed.select(
+        "_id",
+        F.explode(
+            F.array(
+                *[
+                    T.band_key_from_hashes(F.col("_shh"), band, rows_per_band)
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("band_key"),
+        *carry,
     )
     a = banded.select(
         F.col("_id").alias("id_a"),

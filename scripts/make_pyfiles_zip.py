@@ -1,0 +1,33 @@
+#!/usr/bin/env python
+"""Package bayesianrecordlinkage_jl_spark into dist/brl.zip for
+`spark-submit --py-files dist/brl.zip` (executors unpickle our
+applyInPandas/pandas-UDF functions, so the package must be importable on
+every executor)."""
+
+from __future__ import annotations
+
+import os
+import zipfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+PKG = "bayesianrecordlinkage_jl_spark"
+
+
+def main() -> str:
+    dist = os.path.join(REPO, "dist")
+    os.makedirs(dist, exist_ok=True)
+    out = os.path.join(dist, "brl.zip")
+    with zipfile.ZipFile(out, "w", zipfile.ZIP_DEFLATED) as z:
+        for root, _dirs, files in os.walk(os.path.join(REPO, PKG)):
+            if "__pycache__" in root:
+                continue
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    z.write(full, os.path.relpath(full, REPO))
+    print(out)
+    return out
+
+
+if __name__ == "__main__":
+    main()
