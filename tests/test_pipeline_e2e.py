@@ -95,3 +95,22 @@ def test_pipeline_f1_at_5x_scale(spark):
 
     assert assert_one_to_one(res.links)
     pages.unpersist()
+
+
+def test_pipeline_empty_and_single_inputs(spark):
+    """Degenerate inputs flow through every stage without error: empty
+    table -> empty clusters; single page -> one singleton cluster."""
+    base = generate_pages(spark, n_clusters=5, seed=3).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
+    empty = base.limit(0)
+    res = run_linkage(spark, empty, LinkageConfig())
+    assert res.clusters.count() == 0
+    assert res.links.count() == 0
+
+    one = base.limit(1)
+    res1 = run_linkage(spark, one, LinkageConfig())
+    rows = res1.clusters.collect()
+    assert len(rows) == 1
+    assert rows[0]["cluster_id"] == rows[0]["node"]  # own-id singleton
+    assert res1.links.count() == 0
