@@ -84,3 +84,26 @@ def test_penalty_path_chain(spark):
     n_steps_with_links = sum(1 for n in chain.nlinks if n > 0)
     persistent = lc[lc["n_steps"] == n_steps_with_links]
     assert len(persistent) >= 15
+
+
+def test_penalty_path_checkpoints(spark, tmp_path):
+    """Penalty-path search writes a per-step chain checkpoint (the
+    resumable-stage analog of h5write_penalized_likelihood_estimate)."""
+    from bayesianrecordlinkage_jl_spark.sources.checkpoint import StageStore
+
+    pairs, dvecs = _problem(spark)
+    params0 = em.estimate_em(dvecs, GCOLS, NLEV, p0=0.05)
+    store = StageStore(str(tmp_path / "chain"))
+    chain = map_solver.penalized_likelihood_search(
+        spark, pairs, dvecs, GCOLS, NLEV, params0,
+        penalty0=0.0, min_incr=1.0, checkpoint_store=store,
+    )
+    counters = store.counters()
+    steps = [k for k in counters if k.startswith("chain_step_")]
+    assert len(steps) == len(chain.nlinks)
+    for k in steps:
+        assert counters[k]["rows"] >= 0 and "partition_rows" in counters[k]
+    # a checkpointed step reloads as a readable links table
+    back = spark.read.parquet(store.table_path("chain_step_1"))
+    assert set(back.columns) == {"id_a", "id_b", "w", "block_id"}
+    assert back.count() == chain.nlinks[0]
