@@ -240,9 +240,9 @@ def _edges_sql() -> str:
 
 
 _CC_SQL_TEMPLATE = """
-WITH RECURSIVE edges AS ({edges}),
+WITH RECURSIVE edges AS MATERIALIZED ({edges}),
 nodes AS (SELECT DISTINCT doc_id AS node FROM documents),
-bi AS (SELECT id_a AS a, id_b AS b FROM edges
+bi AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM edges
        UNION SELECT id_b AS a, id_a AS b FROM edges),
 walk(node, comp) AS (
   SELECT node, node FROM nodes
