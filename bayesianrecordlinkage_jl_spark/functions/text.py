@@ -166,6 +166,8 @@ def simhash(text: Column, nbits: int = SIMHASH_BITS) -> Column:
     the tokenize+hash subtree nbits times — measured ~20x slower). The
     finish lambda folds votes into the bigint fingerprint; values are
     identical to the per-bit form (bit b set <=> vote_b > 0)."""
+    if nbits > 60:
+        raise ValueError("simhash nbits must be <= 60 (phash is 60-bit; and 2^63 overflows a signed long)")
     toks = F.array_distinct(tokens(text))
     hashes = F.transform(toks, lambda t: phash(t))
     zeros = F.array_repeat(F.lit(0), nbits)

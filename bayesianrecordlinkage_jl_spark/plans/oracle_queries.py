@@ -38,7 +38,8 @@ EDGE_THRESHOLD = 0.0
 CHAIN_BURNIN = 10
 CHAIN_STEP = 15
 JACCARD_MIN_PCT = 30
-SIMHASH_MAX_HAMMING = 8
+SIMHASH_MAX_HAMMING = 3  # < n_chunks: exact pigeonhole-guarantee regime
+SIMHASH_NBITS = 48  # 32-bit saturates on the vocab-limited synthetic corpus
 TOPK = 5
 TOPK_QUERY_MAX_ID = 10
 EMB_DIM_DEDUP = 64
@@ -576,10 +577,12 @@ def build_catalog() -> dict[str, dict]:
     }
     cat["dedup_simhash"] = {
         "spark": lambda s, d: dedup.simhash_pairs(
-            load(s, d, "documents"), "doc_id", "text", SIMHASH_MAX_HAMMING
+            load(s, d, "documents"), "doc_id", "text", SIMHASH_MAX_HAMMING,
+            nbits=SIMHASH_NBITS,
         ),
         "sql": dedup.simhash_pairs_sql(
-            "documents", "doc_id", "text", SIMHASH_MAX_HAMMING
+            "documents", "doc_id", "text", SIMHASH_MAX_HAMMING,
+            nbits=SIMHASH_NBITS,
         ),
         "ref": "SimHash near-dup (banded Hamming)",
     }
