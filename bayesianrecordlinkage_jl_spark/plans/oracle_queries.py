@@ -39,7 +39,7 @@ CHAIN_BURNIN = 10
 CHAIN_STEP = 15
 JACCARD_MIN_PCT = 30
 SIMHASH_MAX_HAMMING = 3  # < n_chunks: exact pigeonhole-guarantee regime
-SIMHASH_NBITS = 48  # 32-bit saturates on the vocab-limited synthetic corpus
+SIMHASH_NBITS = 60  # full phash width; 32-bit saturates on the vocab-limited corpus
 TOPK = 5
 TOPK_QUERY_MAX_ID = 10
 EMB_DIM_DEDUP = 64
