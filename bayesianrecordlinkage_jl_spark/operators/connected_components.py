@@ -9,8 +9,9 @@ distributed formulation — with localCheckpoint per round to truncate
 lineage and convergence detected by an edge-set-stability count.
 
 Node ids are bigint. For bipartite graphs callers encode sides disjointly
-(e.g. row ids even / col ids odd, or offset by max id) — helpers provided.
-Component label = min node id in the component.
+(the two-source pipeline hashes ids with side-distinct prefixes —
+plans/pipeline.py:link_two_sources). Component label = min node id in the
+component.
 """
 
 from __future__ import annotations

@@ -147,3 +147,24 @@ def test_auction_edge_cases():
     assert A.auction_max(np.array([[-1.0, -2.0]])) == []
     assert A.auction_max(np.array([[5.0, 1.0]])) == [(0, 0)]
     assert A.auction_max(np.zeros((0, 3))) == []
+
+
+@pytest.mark.parametrize("seed", range(3))
+def test_solvers_agree_at_block_scale(seed):
+    """Hungarian vs auction at realistic post-hoc block sizes (up to 60x60,
+    the reference's 2500-pair cap regime): totals agree to auction's
+    epsilon bound; both are strictly one-to-one."""
+    rng = np.random.default_rng(1000 + seed)
+    n, m = int(rng.integers(30, 61)), int(rng.integers(30, 61))
+    w = rng.uniform(-1, 5, size=(n, m))
+    w[rng.random((n, m)) < 0.5] = -1.0  # sparse positives
+    ph = A.hungarian_max(w)
+    pa = A.auction_max(w)
+    th = sum(w[i, j] for i, j in ph)
+    ta = sum(w[i, j] for i, j in pa)
+    assert ta == pytest.approx(th, abs=1e-5)
+    for picks in (ph, pa):
+        rows = [i for i, _ in picks]
+        cols = [j for _, j in picks]
+        assert len(set(rows)) == len(rows) and len(set(cols)) == len(cols)
+        assert all(w[i, j] > 0 for i, j in picks)
