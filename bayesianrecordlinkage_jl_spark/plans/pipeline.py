@@ -309,7 +309,7 @@ def link_two_sources(
     nlevels: dict[str, int],
     id_col: str = "rec_id",
     block_cols: list[str] | None = None,
-    penalty: float = 0.0,
+    penalty: float | str = 0.0,
     use_em: bool = True,
     method: str = "hungarian",
 ) -> tuple[DataFrame, em.FSParams | None]:
@@ -321,6 +321,10 @@ def link_two_sources(
 
     df_a/df_b must expose id_col (string/long) plus the columns consumed by
     field_exprs with _a/_b suffixes. Returns (links, params).
+
+    penalty="bayes" sets the threshold to -logit(p_hat) from the EM match
+    prevalence — link iff posterior match probability > 1/2, the
+    reference's Bayes-estimate rule (README.md:148-151) in MAP form.
     """
     a = df_a.select(
         phash(F.col(id_col).cast("string")).alias("id_a"),
@@ -354,6 +358,11 @@ def link_two_sources(
             contrib = dvecs_pd[g].map(lambda lvl: lr.get(int(lvl), 0.0))
             w = contrib if w is None else w + contrib
         wpd = pd.DataFrame({"vec_id": dvecs_pd["vec_id"], "w": w})
+    if penalty == "bayes":
+        import math
+
+        p_hat = min(max(params.p if params is not None else 0.5, 1e-12), 1 - 1e-12)
+        penalty = math.log((1.0 - p_hat) / p_hat)
     wdf = spark.createDataFrame(wpd, schema="vec_id long, w double")
     scored = summary.pairs.join(F.broadcast(wdf), on="vec_id", how="left")
     pos = scored.where(F.col("w") > penalty)
