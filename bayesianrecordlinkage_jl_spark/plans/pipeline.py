@@ -36,7 +36,10 @@ from ..sources.pages import extract_text
 
 @dataclass
 class LinkageConfig:
-    penalty: float = 2.0
+    # weight threshold; "bayes" = -logit(EM match prevalence), i.e. link
+    # iff posterior match probability > 1/2 (the reference's Bayes-estimate
+    # rule, README.md:148-151, in MAP form)
+    penalty: float | str = 2.0
     n_bands: int = 6
     rows_per_band: int = 1
     shingle_k: int = 3
@@ -109,6 +112,18 @@ def _score_vectors(spark: SparkSession, pairs: DataFrame, cfg: LinkageConfig) ->
         ).alias("g_jac"),
         C.bool_ord(F.col("lang_a"), F.col("lang_b")).alias("g_lang"),
     ).localCheckpoint()
+
+
+def _resolve_penalty(penalty: float | str, params: em.FSParams | None) -> float:
+    """penalty="bayes" -> -logit(EM match prevalence): link iff posterior
+    match probability > 1/2 (the reference's Bayes-estimate rule,
+    /root/reference/README.md:148-151, in MAP form)."""
+    if penalty == "bayes":
+        import math
+
+        p_hat = min(max(params.p if params is not None else 0.5, 1e-12), 1 - 1e-12)
+        return math.log((1.0 - p_hat) / p_hat)
+    return float(penalty)
 
 
 @dataclass
@@ -235,6 +250,7 @@ def run_linkage(
             w = contrib if w is None else w + contrib
         wpd["w"] = w
 
+    penalty = _resolve_penalty(cfg.penalty, params)
     wdf = spark.createDataFrame(wpd, schema="vec_id long, w double")
     scored = summary.pairs.join(F.broadcast(wdf), on="vec_id", how="left")
 
@@ -245,15 +261,15 @@ def run_linkage(
         if cfg.max_block_pairs is not None:
             from ..operators.connected_components import size_capped_components
 
-            wedges = scored.where(F.col("w") > cfg.penalty).select(
+            wedges = scored.where(F.col("w") > penalty).select(
                 F.col("id_a").alias("src"),
                 F.col("id_b").alias("dst"),
-                (F.col("w") - F.lit(cfg.penalty)).alias("w"),
+                (F.col("w") - F.lit(penalty)).alias("w"),
             )
             return size_capped_components(
                 wedges, cfg.max_block_pairs, 0.0, cfg.block_split_incr
             ).select("node", "component")
-        edges = scored.where(F.col("w") > cfg.penalty).select(
+        edges = scored.where(F.col("w") > penalty).select(
             F.col("id_a").alias("src"), F.col("id_b").alias("dst")
         )
         return connected_components(edges)
@@ -261,10 +277,10 @@ def run_linkage(
     comps = stage("components", _blocks)
 
     blocked = (
-        scored.where(F.col("w") > cfg.penalty)
+        scored.where(F.col("w") > penalty)
         .join(comps.withColumnRenamed("node", "id_a"), on="id_a")
         .withColumnRenamed("component", "block_id")
-        .withColumn("w", F.col("w") - F.lit(cfg.penalty))  # shrink_weights
+        .withColumn("w", F.col("w") - F.lit(penalty))  # shrink_weights
     )
 
     # -- per-block one-to-one resolution ------------------------------------
@@ -358,11 +374,7 @@ def link_two_sources(
             contrib = dvecs_pd[g].map(lambda lvl: lr.get(int(lvl), 0.0))
             w = contrib if w is None else w + contrib
         wpd = pd.DataFrame({"vec_id": dvecs_pd["vec_id"], "w": w})
-    if penalty == "bayes":
-        import math
-
-        p_hat = min(max(params.p if params is not None else 0.5, 1e-12), 1 - 1e-12)
-        penalty = math.log((1.0 - p_hat) / p_hat)
+    penalty = _resolve_penalty(penalty, params)
     wdf = spark.createDataFrame(wpd, schema="vec_id long, w double")
     scored = summary.pairs.join(F.broadcast(wdf), on="vec_id", how="left")
     pos = scored.where(F.col("w") > penalty)
