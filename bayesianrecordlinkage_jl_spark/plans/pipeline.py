@@ -268,11 +268,11 @@ def run_linkage(
             )
             return size_capped_components(
                 wedges, cfg.max_block_pairs, 0.0, cfg.block_split_incr
-            ).select("node", "component")
+            ).select("node", "component", "capped")
         edges = scored.where(F.col("w") > penalty).select(
             F.col("id_a").alias("src"), F.col("id_b").alias("dst")
         )
-        return connected_components(edges)
+        return connected_components(edges).withColumn("capped", F.lit(False))
 
     comps = stage("components", _blocks)
 
@@ -312,7 +312,14 @@ def run_linkage(
         links=links,
         clusters=clusters,
         params=params,
-        counters=store.counters() if store else {},
+        counters={
+            # unsplittable hot blocks (the reference warns and gives up,
+            # /root/reference/src/clustering_functions.jl:465; we flag)
+            "capped_nodes": comps.where(F.col("capped")).count()
+            if "capped" in comps.columns
+            else 0,
+            **(store.counters() if store else {}),
+        },
     )
 
 

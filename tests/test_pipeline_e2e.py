@@ -66,6 +66,8 @@ def test_pipeline_f1(spark, pages):
     assert assert_one_to_one(res.links)
     # EM found a high-m agreement signal
     assert res.params is not None and res.params.converged
+    # no unsplittable hot blocks on this corpus; the counter is present
+    assert res.counters.get("capped_nodes") == 0
 
 
 def test_checkpoint_resume(spark, pages, tmp_path):
@@ -75,7 +77,8 @@ def test_checkpoint_resume(spark, pages, tmp_path):
     n1 = r1.clusters.count()
     c1 = r1.counters
     assert set(c1) >= {"docs", "candidates", "components", "links", "clusters"}
-    assert all("partition_rows" in v for v in c1.values())
+    stage_entries = {k: v for k, v in c1.items() if isinstance(v, dict)}
+    assert all("partition_rows" in v for v in stage_entries.values())
     # second run resumes from checkpoints (counters unchanged, same output)
     r2 = run_linkage(spark, inp, cfg)
     assert r2.clusters.count() == n1
