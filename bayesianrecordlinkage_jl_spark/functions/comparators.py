@@ -200,19 +200,24 @@ def num_band_ord_sql(a: str, b: str, cuts: list[int]) -> str:
 
 # ---------------------------------------------------------------------------
 # Jaro-Winkler comparator. Canonical Winkler convention (prefix bonus only
-# when jaro > 0.7) — verified BIT-EXACT against DuckDB's
-# jaro_winkler_similarity on 17k random/near-dup pairs, which makes the
-# binned comparator DuckDB-oracle-checkable. Implemented as an
-# Arrow-batched pandas UDF (the only Python-side comparator; everything
-# above is pure Catalyst).
+# when jaro > 0.7), computed over UTF-8 BYTES — the same convention as
+# DuckDB's jaro_winkler_similarity (verified bit-exact incl. multibyte
+# input; codepoint-level JW diverges from DuckDB on non-ASCII), which makes
+# the binned comparator DuckDB-oracle-checkable with a strict value hash.
+# Identical to codepoint JW on ASCII fields. Implemented as an
+# Arrow-batched pandas UDF around a vectorized numpy kernel (the only
+# Python-side comparator; everything above is pure Catalyst).
 # ---------------------------------------------------------------------------
 
 
 def _jaro_winkler(
     s1: str, s2: str, p: float = 0.1, boost_threshold: float = 0.7
 ) -> float:
+    """Scalar reference implementation (byte-level); the hot path uses
+    _jaro_winkler_batch, which is asserted bit-identical to this."""
     if s1 == s2:
         return 1.0
+    s1, s2 = s1.encode("utf-8"), s2.encode("utf-8")
     l1, l2 = len(s1), len(s2)
     if l1 == 0 or l2 == 0:
         return 0.0
@@ -269,26 +274,129 @@ def jaro_winkler_ord_sql(a: str, b: str) -> str:
     )
 
 
+def _pad_codes(bstrs, lens, pad: int):
+    """UTF-8 byte strings -> (n, Lmax) int16 byte matrix, padded with `pad`.
+    One join + one frombuffer for the whole batch."""
+    import numpy as np
+
+    n = len(bstrs)
+    L = int(lens.max()) if n else 0
+    M = np.full((n, L), pad, dtype=np.int16)
+    if L:
+        buf = np.frombuffer(b"".join(bstrs), dtype=np.uint8).astype(np.int16)
+        mask = np.arange(L) < lens[:, None]
+        M[mask] = buf
+    return M
+
+
+def _jaro_winkler_batch(sa, sb, p: float = 0.1, boost_threshold: float = 0.7):
+    """Vectorized Jaro-Winkler over two object arrays of non-null strings.
+
+    Bit-identical to _jaro_winkler (same IEEE operation order); the per-row
+    greedy match loop is replaced by a loop over CHARACTER POSITIONS with
+    numpy masks over the whole batch — O(L1max) vectorized steps instead of
+    O(n_rows * L1 * window) interpreted Python. Intended for bounded-length
+    fields (the scoring path compares fixed prefixes); memory per step is
+    O(batch * L2max)."""
+    import numpy as np
+
+    sa = np.asarray(sa, dtype=object)
+    sb = np.asarray(sb, dtype=object)
+    out = np.zeros(len(sa), dtype=np.float64)
+    eq = sa == sb
+    out[eq] = 1.0
+    l1_all = np.fromiter((len(x) for x in sa), np.int64, len(sa))
+    l2_all = np.fromiter((len(x) for x in sb), np.int64, len(sb))
+    todo = ~eq & (l1_all > 0) & (l2_all > 0)
+    if not todo.any():
+        return out
+    idx = np.nonzero(todo)[0]
+    # byte-level (see header comment): C-encode once per row, then all
+    # remaining work is vectorized over the batch
+    ba = [x.encode("utf-8") for x in sa[idx]]
+    bb = [x.encode("utf-8") for x in sb[idx]]
+    l1 = np.fromiter((len(x) for x in ba), np.int64, len(ba))
+    l2 = np.fromiter((len(x) for x in bb), np.int64, len(bb))
+    # pads differ (-1 vs -2) so padding never matches padding or real chars
+    A = _pad_codes(ba, l1, -1)
+    B = _pad_codes(bb, l2, -2)
+    n, L1 = A.shape
+    L2 = B.shape[1]
+
+    window = np.maximum(np.maximum(l1, l2) // 2 - 1, 0)
+    m1 = np.zeros((n, L1), dtype=bool)
+    m2 = np.zeros((n, L2), dtype=bool)
+    jidx = np.arange(L2)
+    for i in range(L1):
+        c = A[:, i]  # pad rows have c == -1, which never matches B
+        lo = i - window
+        hi = np.minimum(l2, i + window + 1)
+        cand = (B == c[:, None]) & ~m2
+        cand &= (jidx >= lo[:, None]) & (jidx < hi[:, None])
+        found = cand.any(axis=1)
+        j = cand.argmax(axis=1)  # first unmatched in-window occurrence
+        m1[found, i] = True
+        m2[found, j[found]] = True
+
+    matches = m1.sum(axis=1)
+    W = int(matches.max()) if n else 0
+    M1 = np.full((n, W), -1, dtype=np.int64)
+    M2 = np.full((n, W), -1, dtype=np.int64)
+    if W:
+        k1 = np.cumsum(m1, axis=1) - 1
+        k2 = np.cumsum(m2, axis=1) - 1
+        r, cidx = np.nonzero(m1)
+        M1[r, k1[r, cidx]] = A[r, cidx]
+        r, cidx = np.nonzero(m2)
+        M2[r, k2[r, cidx]] = B[r, cidx]
+    t = (((M1 != M2) & (M1 != -1)).sum(axis=1) // 2).astype(np.float64)
+
+    mf = matches.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        jaro = (mf / l1 + mf / l2 + (mf - t) / mf) / 3.0
+    jaro = np.where(matches == 0, 0.0, jaro)
+
+    w4 = min(4, L1, L2)
+    if w4:
+        pref = np.cumprod(A[:, :w4] == B[:, :w4], axis=1).sum(axis=1)
+    else:
+        pref = np.zeros(n, dtype=np.int64)
+    jw = np.where(
+        jaro > boost_threshold, jaro + pref * p * (1.0 - jaro), jaro
+    )
+    out[idx] = jw
+    return out
+
+
 def jaro_winkler_ord(a: Column, b: Column) -> Column:
-    """JW similarity binned at {1.0, .92, .85} -> levels 1..4; 0 missing."""
+    """JW similarity binned at {1.0, .92, .85} -> levels 1..4; 0 missing.
+    Arrow-batched pandas UDF around the vectorized numpy kernel — no
+    per-row Python in the hot path."""
+    import numpy as np
     from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("tinyint")
     def _jw(sa: pd.Series, sb: pd.Series) -> pd.Series:
-        out = []
-        for x, y in zip(sa, sb):
-            if x is None or y is None:
-                out.append(0)
-                continue
-            s = _jaro_winkler(x, y)
-            if s == 1.0:
-                out.append(1)
-            elif s >= 0.92:
-                out.append(2)
-            elif s >= 0.85:
-                out.append(3)
-            else:
-                out.append(4)
-        return pd.Series(out, dtype="int8")
+        valid = sa.notna().to_numpy() & sb.notna().to_numpy()
+        lvl = np.zeros(len(sa), dtype=np.int8)
+        if valid.any():
+            # row-chunk so mask memory stays bounded on long strings
+            vi = np.nonzero(valid)[0]
+            va = sa.to_numpy(dtype=object)[vi]
+            vb = sb.to_numpy(dtype=object)[vi]
+            maxlen = max(
+                (len(x) for x in np.concatenate([va, vb])), default=1
+            )
+            chunk = max(256, int(4_000_000 / max(maxlen, 1)))
+            sims = np.empty(len(vi), dtype=np.float64)
+            for s0 in range(0, len(vi), chunk):
+                sl = slice(s0, s0 + chunk)
+                sims[sl] = _jaro_winkler_batch(va[sl], vb[sl])
+            lv = np.full(len(vi), 4, dtype=np.int8)
+            lv[sims >= 0.85] = 3
+            lv[sims >= 0.92] = 2
+            lv[sims == 1.0] = 1
+            lvl[vi] = lv
+        return pd.Series(lvl, dtype="int8")
 
     return _jw(a, b)

@@ -325,9 +325,8 @@ def mh_gibbs(
         counts = mh_gibbs_count(
             weighted, nsteps=nsteps_per_round, lp_link=lp_link, seed=seed + r
         ).localCheckpoint()
-        acc = counts if acc is None else (
-            acc.select("id_a", "id_b", "n_linked")
-            .unionByName(counts.select("id_a", "id_b", "n_linked"))
+        acc = counts.select("id_a", "id_b", "n_linked") if acc is None else (
+            acc.unionByName(counts.select("id_a", "id_b", "n_linked"))
             .groupBy("id_a", "id_b")
             .agg(F.sum("n_linked").alias("n_linked"))
         )

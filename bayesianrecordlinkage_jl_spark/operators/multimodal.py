@@ -26,7 +26,11 @@ MEDIA_SCHEMA = (
     "duration_ms int"
 )
 
-FEATURE_SCHEMA = "media_id long, feature array<float>, n_bytes long"
+def feature_schema(dim: int = 8) -> str:
+    """Scalar feature columns (f0..f{dim-1}) rather than array<float>: sortable,
+    prunable, and oracle-comparable column-by-column."""
+    cols = ", ".join(f"f{k} double" for k in range(dim))
+    return f"media_id long, n_bytes long, {cols}"
 
 
 def synthesize_media(spark, n: int = 64, payload_bytes: int = 256) -> DataFrame:
@@ -65,21 +69,62 @@ def fake_feature(payload: bytes, dim: int = 8) -> np.ndarray:
 
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, one feature row per
-    media item out. The batch loop is the real production shape; only the
-    kernel (fake_feature) is a stub."""
+    media item out, feature emitted as `dim` scalar double columns. The batch
+    loop is the real production shape; only the kernel (fake_feature) is a
+    stub. The exact feature values are oracle-checked against a pure-SQL
+    re-derivation of the byte histogram (plans/oracle_queries.py)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = [fake_feature(p, dim) for p in pdf["payload"]]
-            yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "feature": [f.tolist() for f in feats],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                }
-            )
+            feats = np.stack(
+                [fake_feature(p, dim) for p in pdf["payload"]]
+            ) if len(pdf) else np.zeros((0, dim), dtype=np.float32)
+            out = {
+                "media_id": pdf["media_id"],
+                "n_bytes": [len(p) for p in pdf["payload"]],
+            }
+            for k in range(dim):
+                out[f"f{k}"] = feats[:, k].astype(np.float64)
+            yield pd.DataFrame(out)
 
-    return media.mapInPandas(run, schema=FEATURE_SCHEMA)
+    return media.mapInPandas(run, schema=feature_schema(dim))
+
+
+def features_oracle_sql(n: int = 64, dim: int = 8, payload_bytes: int = 256) -> str:
+    """Pure-SQL (DuckDB) re-derivation of synthesize_media + extract_features.
+
+    The payload is md5(id) bytes repeated `payload_bytes//16` times, so the
+    normalized byte histogram equals the histogram over the 16 md5 bytes
+    divided by 16 — repeats cancel. Bytes are recovered from the md5 hex
+    string via strpos arithmetic (the only cross-engine hash is md5, per the
+    repo invariant). Division is exact in BOTH engines when dim and the byte
+    count are powers of two (counts/16 are dyadic rationals, exactly
+    representable in float32 and float64), so the value-hash comparison is
+    bit-strict, not tolerance-based.
+    """
+    feature_cols = ",\n           ".join(
+        f"CAST(sum(CASE WHEN byte % {dim} = {k} THEN 1 ELSE 0 END) AS DOUBLE)"
+        f" / CAST(16 AS DOUBLE) AS f{k}"
+        for k in range(dim)
+    )
+    return f"""
+    WITH h AS (
+      SELECT range AS media_id, md5(CAST(range AS VARCHAR)) AS hx
+      FROM range({n})
+    ),
+    b AS (
+      SELECT media_id,
+             (strpos('0123456789abcdef', substr(hx, 2 * i.range + 1, 1)) - 1) * 16
+             + (strpos('0123456789abcdef', substr(hx, 2 * i.range + 2, 1)) - 1)
+             AS byte
+      FROM h, range(16) i
+    )
+    SELECT media_id,
+           CAST({(payload_bytes // 16) * 16} AS BIGINT) AS n_bytes,
+           {feature_cols}
+    FROM b
+    GROUP BY media_id
+    """
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -978,17 +978,20 @@ def build_catalog() -> dict[str, dict]:
         "ref": "IVF/LSH-bucketed ANN (scale path for brute-force cosine top-k)",
     }
 
-    # --- multimodal plumbing (decode kernel stubbed; rows-only) ---
+    # --- multimodal plumbing (decode kernel stubbed; byte-histogram oracle) ---
     def _multimodal(s: SparkSession, d: str) -> DataFrame:
         from ..operators import multimodal
 
         media = multimodal.synthesize_media(s, n=64)
         return multimodal.extract_features(media, dim=8)
 
+    from ..operators.multimodal import features_oracle_sql
+
     cat["multimodal_features"] = {
         "spark": _multimodal,
-        "sql": None,
-        "ref": "mapInPandas media feature extraction (stubbed decode kernel)",
+        "sql": features_oracle_sql(n=64, dim=8, payload_bytes=256),
+        "ref": "mapInPandas media feature extraction (stubbed decode kernel; "
+        "oracle re-derives the byte histogram in pure SQL)",
     }
 
     # --- threshold sensitivity diagnostic (SURVEY 2.7; driver loop) ---
@@ -1123,7 +1126,7 @@ def build_catalog() -> dict[str, dict]:
         m AS (SELECT *, CASE WHEN prev IS NULL
                              OR ts - prev >= INTERVAL '{SESSION_GAP_MIN} minutes'
                         THEN 1 ELSE 0 END AS brk FROM o),
-        g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, ts
+        g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS UNBOUNDED PRECEDING) AS sid FROM m)
         SELECT user_id, min(ts) AS session_start,
                max(ts) + INTERVAL '{SESSION_GAP_MIN} minutes' AS session_end,

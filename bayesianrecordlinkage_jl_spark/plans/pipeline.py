@@ -132,8 +132,19 @@ class LinkageResult:
     pairs: DataFrame  # scored candidate pairs with w
     links: DataFrame  # one-to-one matches (id_a, id_b, w, block_id)
     clusters: DataFrame  # (url, node, cluster_id)
+    comps: DataFrame  # (node, component, capped) — the block graph
     params: em.FSParams | None
-    counters: dict = field(default_factory=dict)
+    stage_counters: dict = field(default_factory=dict)
+    _capped_nodes: int | None = field(default=None, repr=False)
+
+    @property
+    def counters(self) -> dict:
+        """Stage counters + the unsplittable-hot-block flag. capped_nodes is
+        counted lazily on first access (it needs a Spark action over comps;
+        callers that ignore counters pay nothing)."""
+        if self._capped_nodes is None:
+            self._capped_nodes = self.comps.where(F.col("capped")).count()
+        return {"capped_nodes": self._capped_nodes, **self.stage_counters}
 
 
 def run_linkage(
@@ -311,15 +322,9 @@ def run_linkage(
         pairs=scored,
         links=links,
         clusters=clusters,
+        comps=comps,
         params=params,
-        counters={
-            # unsplittable hot blocks (the reference warns and gives up,
-            # /root/reference/src/clustering_functions.jl:465; we flag)
-            "capped_nodes": comps.where(F.col("capped")).count()
-            if "capped" in comps.columns
-            else 0,
-            **(store.counters() if store else {}),
-        },
+        stage_counters=store.counters() if store else {},
     )
 
 

@@ -97,6 +97,12 @@ def dedup_on_fingerprint(
     state_schema = "first_url string, n_dups long"
 
     def fn(key, pdfs, state: GroupState):
+        if state.hasTimedOut:
+            # Timeout invocation: Spark passes an empty batch iterator; the
+            # only correct move is to expire the state (this is what bounds
+            # the store) and emit nothing.
+            state.remove()
+            return iter(())
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["warc_ts", "url"], ignore_index=True)
         if state.exists:

@@ -74,6 +74,58 @@ def test_jaccard_forms_equivalence(string_pairs):
     assert df.where(~(F.col("ref").eqNullSafe(F.col("counts")))).count() == 0
 
 
+def test_jaro_winkler_bit_parity():
+    """Batch JW kernel == scalar reference == DuckDB jaro_winkler_similarity,
+    bit-exact, on adversarial pairs incl. multibyte UTF-8 (the comparator is
+    defined over UTF-8 bytes precisely so the DuckDB oracle is strict)."""
+    import duckdb
+
+    rng = random.Random(11)
+
+    def rnd():
+        if rng.random() < 0.08:
+            return ""
+        alpha = "abc dé12猫"
+        return "".join(rng.choice(alpha) for _ in range(rng.randint(1, 48)))
+
+    pairs = []
+    for _ in range(20000):
+        a = rnd()
+        r = rng.random()
+        if r < 0.2:
+            b = a
+        elif r < 0.5 and a:
+            b = a[: max(0, len(a) - 2)] + rng.choice("ab1é")
+        elif r < 0.7 and a:
+            lst = list(a)
+            for _ in range(rng.randint(1, 3)):
+                i = rng.randrange(len(lst))
+                lst[i] = rng.choice("abc dé1")
+            b = "".join(lst)
+        else:
+            b = rnd()
+        pairs.append((a, b))
+    sa = np.array([p[0] for p in pairs], dtype=object)
+    sb = np.array([p[1] for p in pairs], dtype=object)
+    batch = C._jaro_winkler_batch(sa, sb)
+    sub = random.Random(7).sample(range(len(pairs)), 2000)
+    scal = np.array([C._jaro_winkler(*pairs[i]) for i in sub])
+    assert (batch[sub] == scal).all()
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t(a VARCHAR, b VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?,?)", pairs)
+    dk = np.array(
+        [
+            r[0]
+            for r in con.execute(
+                "SELECT CASE WHEN a = b THEN 1.0 "
+                "ELSE jaro_winkler_similarity(a, b) END FROM t"
+            ).fetchall()
+        ]
+    )
+    assert (batch == dk).all()
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_solver_variants_agree_on_blocks(spark, seed):
     """All one-to-one methods produce the same total weight per block (the

@@ -92,19 +92,46 @@ def test_lsh_bucketed_topk_recall(spark):
 
 def test_multimodal_plumbing(spark):
     media = multimodal.synthesize_media(spark, n=24)
+    fcols = [f"f{k}" for k in range(8)]
     feats = multimodal.extract_features(media, dim=8).toPandas()
     assert len(feats) == 24
-    assert all(len(f) == 8 for f in feats["feature"])
+    assert set(fcols) <= set(feats.columns)
+    # features are an L1-normalized histogram
+    assert np.allclose(feats[fcols].sum(axis=1), 1.0)
     assert (feats["n_bytes"] > 0).all()
-    # deterministic: same payload -> same feature
+    # deterministic: same payload -> same feature, bit-exact
     again = multimodal.extract_features(media, dim=8).toPandas()
     a = feats.sort_values("media_id").reset_index(drop=True)
     b = again.sort_values("media_id").reset_index(drop=True)
-    assert all(np.allclose(x, y) for x, y in zip(a["feature"], b["feature"]))
+    assert (a[fcols].to_numpy() == b[fcols].to_numpy()).all()
     frames = multimodal.frame_sample_plan(media, every_ms=10_000).toPandas()
     assert (frames["frame_ts_ms"] % 10_000 == 0).all()
     with pytest.raises(NotImplementedError):
         multimodal.decode_image(b"xx")
+
+
+def test_multimodal_oracle_bit_parity(spark):
+    """The DuckDB byte-histogram oracle reproduces extract_features bit-exactly
+    (the driver's value-hash gate for multimodal_features)."""
+    import duckdb
+
+    media = multimodal.synthesize_media(spark, n=64)
+    got = (
+        multimodal.extract_features(media, dim=8)
+        .toPandas()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(multimodal.features_oracle_sql(n=64, dim=8, payload_bytes=256))
+        .df()
+        .sort_values("media_id")
+        .reset_index(drop=True)
+    )
+    cols = sorted(got.columns)
+    assert sorted(want.columns) == cols
+    for c in cols:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
 
 
 def test_streaming_ingest(spark, tmp_path):
