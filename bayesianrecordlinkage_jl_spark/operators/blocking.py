@@ -79,10 +79,13 @@ def lsh_blocking(
     rows_per_band: int = 2,
     shingle_k: int = 3,
     carry_cols: list[str] | None = None,
+    max_bucket_rows: int | None = 1000,
 ) -> DataFrame:
     """MinHash-LSH candidate pairs: docs sharing any band key.
 
-    explode(bands) -> equi-self-join on band key -> distinct pairs.
+    explode(bands) -> salt oversized buckets -> equi-self-join on
+    (band key, salt) -> distinct pairs. The salt bounds degenerate band
+    keys (see salt_buckets); buckets under max_bucket_rows are unaffected.
     """
     carry = carry_cols or []
     # hash-once: the md5 shingle pass runs exactly once per doc behind the
@@ -114,17 +117,22 @@ def lsh_blocking(
         ).alias("band_key"),
         *carry,
     )
+    banded = salt_buckets(banded, "band_key", "_id", max_bucket_rows)
     a = banded.select(
         F.col("_id").alias("id_a"),
         "band_key",
+        "_bsalt",
         *[F.col(c).alias(f"{c}_a") for c in carry],
     )
     b = banded.select(
         F.col("_id").alias("id_b"),
         "band_key",
+        "_bsalt",
         *[F.col(c).alias(f"{c}_b") for c in carry],
     )
-    pairs = a.join(b, on="band_key", how="inner").where(F.col("id_a") < F.col("id_b"))
+    pairs = a.join(b, on=["band_key", "_bsalt"], how="inner").where(
+        F.col("id_a") < F.col("id_b")
+    )
     # A pair can collide in several bands: keep one row, the smallest band key
     # (deterministic), as its block_key.
     gcols = ["id_a", "id_b", *[f"{c}_a" for c in carry], *[f"{c}_b" for c in carry]]
@@ -156,6 +164,58 @@ def salt_hot_keys(
         "_salt",
         F.pmod(T.phash(F.col(id_col).cast("string")), n_salts).cast("int"),
     ).drop("_block_rows")
+
+
+def salt_buckets(
+    df: DataFrame, key_col: str, id_col: str, max_bucket_rows: int | None
+) -> DataFrame:
+    """Append `_bsalt`: a deterministic per-id salt that splits oversized
+    equi-join buckets (band/chunk/sign-LSH keys). Joining on
+    (key, _bsalt) bounds any bucket's self-join at ~max_bucket_rows^2
+    pairs instead of n^2 on a degenerate key (empty text, boilerplate,
+    zero vectors). Members landing in different salts of a hot bucket are
+    not compared — bounded recall traded for bounded executor memory; use
+    bucket_cap_stats for what got split (no silent truncation). Normal
+    buckets (n <= cap) get n_salts = 1, i.e. behavior is unchanged.
+    The window count shuffles on the same key as the subsequent join."""
+    from pyspark.sql import Window
+
+    if max_bucket_rows is None:
+        return df.withColumn("_bsalt", F.lit(0))
+    n = F.count(F.lit(1)).over(Window.partitionBy(key_col))
+    n_salts = F.ceil(n.cast("double") / F.lit(float(max_bucket_rows)))
+    return df.withColumn(
+        "_bsalt",
+        F.pmod(T.phash(F.col(id_col).cast("string")), n_salts).cast("int"),
+    )
+
+
+def salt_buckets_sql(key_col: str, id_col: str, max_bucket_rows: int | None) -> str:
+    """DuckDB twin of salt_buckets's `_bsalt` expression (phash is
+    cross-engine; count/ceil are IEEE-identical; ids are non-negative so
+    % == pmod)."""
+    if max_bucket_rows is None:
+        return "0"
+    n = f"count(*) OVER (PARTITION BY {key_col})"
+    n_salts = f"CAST(ceil(CAST({n} AS DOUBLE) / {max_bucket_rows}e0) AS BIGINT)"
+    ph = T.phash_sql(f"CAST({id_col} AS VARCHAR)")
+    return f"CAST({ph} % {n_salts} AS INT)"
+
+
+def bucket_cap_stats(
+    df: DataFrame, key_col: str, max_bucket_rows: int
+) -> DataFrame:
+    """Buckets above the cap and how many salts they were split into —
+    the observability companion to salt_buckets."""
+    return (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .where(F.col("n_rows") > max_bucket_rows)
+        .withColumn(
+            "n_salts",
+            F.ceil(F.col("n_rows").cast("double") / F.lit(float(max_bucket_rows))),
+        )
+    )
 
 
 def block_pair_stats(pairs: DataFrame) -> DataFrame:

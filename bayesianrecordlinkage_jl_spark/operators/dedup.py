@@ -110,13 +110,17 @@ def minhash_lsh_pairs(
     n_bands: int = 4,
     rows_per_band: int = 2,
     shingle_k: int = 3,
+    max_bucket_rows: int | None = 1000,
 ) -> DataFrame:
     """MinHash-LSH candidate near-dup pairs: (id_a, id_b, n_bands_hit).
 
     The shingle-hash array is materialized once per document (an aggregate
     on the unique id is the projection barrier keeping Catalyst from
     inlining the md5 pass into every band expression); band keys are then
-    cheap affine transforms of that array."""
+    cheap affine transforms of that array. Oversized band buckets (empty /
+    boilerplate text hashing to one key) are split by a deterministic salt
+    (blocking.salt_buckets) so no bucket goes quadratic."""
+    from .blocking import salt_buckets
     hashed = (
         _spread(df, id_col)
         .select(
@@ -137,10 +141,11 @@ def minhash_lsh_pairs(
             )
         ).alias("band_key"),
     )
-    a = banded.select(F.col("_id").alias("id_a"), "band_key")
-    b = banded.select(F.col("_id").alias("id_b"), "band_key")
+    banded = salt_buckets(banded, "band_key", "_id", max_bucket_rows)
+    a = banded.select(F.col("_id").alias("id_a"), "band_key", "_bsalt")
+    b = banded.select(F.col("_id").alias("id_b"), "band_key", "_bsalt")
     return (
-        a.join(b, on="band_key")
+        a.join(b, on=["band_key", "_bsalt"])
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_bands_hit"))
@@ -154,21 +159,29 @@ def minhash_lsh_pairs_sql(
     n_bands: int = 4,
     rows_per_band: int = 2,
     shingle_k: int = 3,
+    max_bucket_rows: int | None = 1000,
 ) -> str:
+    from .blocking import salt_buckets_sql
+
     bands = ", ".join(
         T.band_key_from_hashes_sql("_shh", band, rows_per_band)
         for band in range(n_bands)
     )
+    salt = salt_buckets_sql("band_key", "_id", max_bucket_rows)
     return f"""
     WITH hashed AS MATERIALIZED (
       SELECT {id_col} AS _id, {T.shingle_hashes_sql(text_col, shingle_k)} AS _shh
       FROM {table}
     ),
-    banded AS (
+    banded0 AS (
       SELECT _id, unnest([{bands}]) AS band_key FROM hashed
+    ),
+    banded AS (
+      SELECT _id, band_key, {salt} AS _bsalt FROM banded0
     )
     SELECT a._id AS id_a, b._id AS id_b, CAST(count(*) AS BIGINT) AS n_bands_hit
-    FROM banded a JOIN banded b ON a.band_key = b.band_key AND a._id < b._id
+    FROM banded a JOIN banded b
+      ON a.band_key = b.band_key AND a._bsalt = b._bsalt AND a._id < b._id
     GROUP BY a._id, b._id
     """
 
@@ -180,9 +193,11 @@ def simhash_pairs(
     max_hamming: int = 6,
     n_chunks: int = 4,
     nbits: int = T.SIMHASH_BITS,
+    max_bucket_rows: int | None = 1000,
 ) -> DataFrame:
     """SimHash near-dup pairs: candidates share at least one fingerprint
     chunk, verified by exact Hamming distance. Returns (id_a, id_b, hamming).
+    Oversized chunk buckets are salt-split (blocking.salt_buckets).
 
     Recall contract (pigeonhole): a pair at Hamming distance d is
     GUARANTEED to share a chunk when d < n_chunks; for n_chunks <= d <=
@@ -219,14 +234,17 @@ def simhash_pairs(
             )
         ).alias("chunk_key"),
     )
+    from .blocking import salt_buckets
+
+    chunks = salt_buckets(chunks, "chunk_key", "_id", max_bucket_rows)
     a = chunks.select(
-        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "chunk_key"
+        F.col("_id").alias("id_a"), F.col("_sh").alias("sh_a"), "chunk_key", "_bsalt"
     )
     b = chunks.select(
-        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "chunk_key"
+        F.col("_id").alias("id_b"), F.col("_sh").alias("sh_b"), "chunk_key", "_bsalt"
     )
     return (
-        a.join(b, on="chunk_key")
+        a.join(b, on=["chunk_key", "_bsalt"])
         .where(F.col("id_a") < F.col("id_b"))
         .groupBy("id_a", "id_b", "sh_a", "sh_b")
         .agg(F.count(F.lit(1)).alias("_hits"))
@@ -243,7 +261,10 @@ def simhash_pairs_sql(
     max_hamming: int = 6,
     n_chunks: int = 4,
     nbits: int = T.SIMHASH_BITS,
+    max_bucket_rows: int | None = 1000,
 ) -> str:
+    from .blocking import salt_buckets_sql
+
     chunk_bits = nbits // n_chunks
     mask = (1 << chunk_bits) - 1
     sh = T.simhash_sql(text_col, nbits)
@@ -251,12 +272,15 @@ def simhash_pairs_sql(
         f"concat_ws(':', '{c}', CAST((_sh >> {c * chunk_bits}) & {mask} AS VARCHAR))"
         for c in range(n_chunks)
     )
+    salt = salt_buckets_sql("chunk_key", "_id", max_bucket_rows)
     return f"""
     WITH sh AS (SELECT {id_col} AS _id, {sh} AS _sh FROM {table}),
-    chunks AS (SELECT _id, _sh, unnest([{chunk_exprs}]) AS chunk_key FROM sh),
+    chunks0 AS (SELECT _id, _sh, unnest([{chunk_exprs}]) AS chunk_key FROM sh),
+    chunks AS (SELECT _id, _sh, chunk_key, {salt} AS _bsalt FROM chunks0),
     cand AS (
       SELECT a._id AS id_a, b._id AS id_b, a._sh AS sh_a, b._sh AS sh_b
-      FROM chunks a JOIN chunks b ON a.chunk_key = b.chunk_key AND a._id < b._id
+      FROM chunks a JOIN chunks b
+        ON a.chunk_key = b.chunk_key AND a._bsalt = b._bsalt AND a._id < b._id
       GROUP BY a._id, b._id, a._sh, b._sh
     )
     SELECT id_a, id_b, CAST({T.hamming64_sql('sh_a', 'sh_b')} AS INT) AS hamming
@@ -271,25 +295,34 @@ def embedding_cosine_pairs(
     dim: int,
     min_cosine: float = 0.95,
     n_planes: int = 6,
+    max_bucket_rows: int | None = 1000,
 ):
     """Embedding-cosine near-dup pairs: sign-LSH bucket equi-self-join +
     exact cosine verify (>= min_cosine). Returns (id_a, id_b, sim).
+    Oversized sign buckets (e.g. zero/duplicate vectors) are salt-split
+    (blocking.salt_buckets).
 
     Recall: vectors at angle theta collide in one sign-LSH bucket with
     probability (1 - theta/pi)^n_planes; for near-dup thresholds
     (cos >= .95 -> theta <= 18deg) that is >= 0.5 per band — production
     would OR several plane sets like MinHash bands; candidates found are
     verified exactly, so precision is 1."""
+    from .blocking import salt_buckets
     from .similarity import cosine, hyperplane_bucket
 
     bucket = hyperplane_bucket(F.col(vec_col), dim, n_planes)
     base = _spread(df, id_col).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), bucket.alias("_bk")
     )
-    a = base.select(F.col("_id").alias("id_a"), F.col("_v").alias("va"), "_bk")
-    b = base.select(F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "_bk")
+    base = salt_buckets(base, "_bk", "_id", max_bucket_rows)
+    a = base.select(
+        F.col("_id").alias("id_a"), F.col("_v").alias("va"), "_bk", "_bsalt"
+    )
+    b = base.select(
+        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "_bk", "_bsalt"
+    )
     return (
-        a.join(b, on="_bk")
+        a.join(b, on=["_bk", "_bsalt"])
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
         .where(F.col("sim") >= min_cosine)
@@ -305,18 +338,23 @@ def embedding_cosine_pairs_sql(
     dim: int,
     min_cosine: float = 0.95,
     n_planes: int = 6,
+    max_bucket_rows: int | None = 1000,
 ) -> str:
+    from .blocking import salt_buckets_sql
     from .similarity import cosine_sql, hyperplane_bucket_sql
 
     bucket = hyperplane_bucket_sql("_v", dim, n_planes)
     cos = cosine_sql("a._v", "b._v")
+    salt = salt_buckets_sql("_bk", "_id", max_bucket_rows)
     return f"""
-    WITH base AS MATERIALIZED (
+    WITH base0 AS MATERIALIZED (
       SELECT {id_col} AS _id, {vec_col} AS _v, {bucket} AS _bk FROM {table}
     ),
+    base AS (SELECT _id, _v, _bk, {salt} AS _bsalt FROM base0),
     cand AS (
       SELECT a._id AS id_a, b._id AS id_b, {cos} AS sim
-      FROM base a JOIN base b ON a._bk = b._bk AND a._id < b._id
+      FROM base a JOIN base b
+        ON a._bk = b._bk AND a._bsalt = b._bsalt AND a._id < b._id
     )
     SELECT id_a, id_b, any_value(sim) AS sim
     FROM cand WHERE sim >= {min_cosine!r}e0

@@ -78,8 +78,14 @@ def _pairs_spark(
     return _pairs_from_docs(spark, load(spark, sf_dir, "documents"), block_cols)
 
 
+BROADCAST_MAX_ROWS = 200_000  # dim-side row knob; above it AQE decides
+
+
 def _pairs_from_docs(
-    spark: SparkSession, d: DataFrame, block_cols: tuple = ("lang", "source")
+    spark: SparkSession,
+    d: DataFrame,
+    block_cols: tuple = ("lang", "source"),
+    broadcast_max_rows: int | None = BROADCAST_MAX_ROWS,
 ) -> DataFrame:
     n_part = spark.sparkContext.defaultParallelism * 2
     # Comparator inputs are precomputed ONCE PER DOCUMENT below the join
@@ -102,8 +108,16 @@ def _pairs_from_docs(
         F.col("t64").alias("t64_b"), F.col("toks").alias("toks_b"),
         F.col("n_chars").alias("n_chars_b"),
     )
+    # Broadcast only when the dim side is PROVABLY small (row-count gate —
+    # a parquet count is metadata-cheap); an unconditional hint would OOM
+    # the executors at web scale since hints override the size threshold.
+    # Above the knob, no hint: AQE picks the strategy at runtime, including
+    # skew-join splitting for hot block keys.
+    build = b
+    if broadcast_max_rows is not None and d.count() <= broadcast_max_rows:
+        build = F.broadcast(b)
     return (
-        a.join(F.broadcast(b), on=list(block_cols))
+        a.join(build, on=list(block_cols))
         .where(F.col("id_a") < F.col("id_b"))
     )
 
@@ -1120,7 +1134,7 @@ def build_catalog() -> dict[str, dict]:
         ),
         "sql": f"""
         WITH o AS (
-          SELECT user_id, ts,
+          SELECT user_id, ts, event_id,
                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
           FROM events),
         m AS (SELECT *, CASE WHEN prev IS NULL

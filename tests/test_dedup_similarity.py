@@ -49,6 +49,96 @@ def test_minhash_lsh_finds_exact_and_near(docs):
     assert (0, 2) in got or (1, 2) in got  # near dup collides in >=1 band
 
 
+def test_hot_bucket_salting_bounds_degenerate_keys(spark):
+    """200 identical documents collapse every band/chunk/sign bucket into
+    one key. With a bucket cap the self-join must stay sub-quadratic, and
+    the Spark result must still equal the DuckDB oracle exactly (the salt
+    is mirrored in both emitters)."""
+    import duckdb
+
+    n, cap = 200, 25
+    pdf = pd.DataFrame(
+        {"doc_id": range(n), "text": ["same boilerplate page text"] * n}
+    )
+    df = spark.createDataFrame(pdf).cache()
+    full = n * (n - 1) // 2  # 19900 uncapped pairs
+
+    got = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", max_bucket_rows=cap
+    ).toPandas()
+    assert 0 < len(got) < full / 3
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(
+        dedup.minhash_lsh_pairs_sql("documents", "doc_id", "text", max_bucket_rows=cap)
+    ).df()
+    cols = ["id_a", "id_b", "n_bands_hit"]
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True).astype(g.dtypes.to_dict())
+    assert g.equals(w)
+
+    got_sh = dedup.simhash_pairs(df, "doc_id", "text", max_bucket_rows=cap).toPandas()
+    assert 0 < len(got_sh) < full / 3
+    want_sh = con.execute(
+        dedup.simhash_pairs_sql("documents", "doc_id", "text", max_bucket_rows=cap)
+    ).df()
+    cols = ["id_a", "id_b", "hamming"]
+    g = got_sh[cols].sort_values(cols).reset_index(drop=True)
+    w = (
+        want_sh[cols].sort_values(cols).reset_index(drop=True)
+        .astype(g.dtypes.to_dict())
+    )
+    assert g.equals(w)
+
+    # observability: the hot buckets are reported, not silently split
+    from bayesianrecordlinkage_jl_spark.operators import blocking as B
+
+    banded = df.select(
+        F.col("doc_id").alias("_id"),
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws("_", F.lit(str(b)), F.md5("text"))
+                    for b in range(4)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    stats = B.bucket_cap_stats(banded, "band_key", cap).toPandas()
+    assert len(stats) == 4 and (stats["n_rows"] == n).all()
+    assert (stats["n_salts"] == -(-n // cap)).all()
+
+
+def test_hot_bucket_salting_embedding(spark):
+    """Same degenerate-bucket bound for sign-LSH embedding dedup: identical
+    vectors all share one bucket; the cap keeps the verify join bounded and
+    oracle-exact."""
+    import duckdb
+
+    n, cap, dim = 120, 20, 8
+    vec = [float(i % 3 + 1) for i in range(dim)]
+    pdf = pd.DataFrame({"vec_id": range(n), "embedding": [vec] * n})
+    df = spark.createDataFrame(
+        pdf, schema="vec_id long, embedding array<double>"
+    ).cache()
+    got = dedup.embedding_cosine_pairs(
+        df, "vec_id", "embedding", dim=dim, max_bucket_rows=cap
+    ).toPandas()
+    full = n * (n - 1) // 2
+    assert 0 < len(got) < full / 2
+    con = duckdb.connect()
+    con.register("embeddings", pdf)
+    want = con.execute(
+        dedup.embedding_cosine_pairs_sql(
+            "embeddings", "vec_id", "embedding", dim=dim, max_bucket_rows=cap
+        )
+    ).df()
+    cols = ["id_a", "id_b", "sim"]
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True).astype(g.dtypes.to_dict())
+    assert g.equals(w)
+
+
 def test_simhash_pairs(docs):
     out = dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=10).toPandas()
     got = set(zip(out["id_a"], out["id_b"]))

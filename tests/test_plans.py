@@ -25,6 +25,18 @@ def test_blocking_join_is_broadcast(spark):
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
 
 
+def test_blocking_broadcast_gated_on_corpus_size(spark):
+    """Above the row knob the forced broadcast hint must disappear (AQE
+    decides at runtime) — an unconditional hint OOMs at web scale."""
+    d = oq.load(spark, SF, "documents")
+    df = oq._pairs_from_docs(spark, d, broadcast_max_rows=0).select("id_a", "id_b")
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "ResolvedHint" not in opt and "broadcast" not in opt.lower()
+    # and the gated path still returns identical pairs
+    hinted = oq._pairs_from_docs(spark, d).select("id_a", "id_b")
+    assert df.exceptAll(hinted).count() == 0 and hinted.exceptAll(df).count() == 0
+
+
 def test_candidate_pairs_prunes_text(spark):
     """id-only projection must not read text/toks from parquet."""
     df = oq._pairs_spark(spark, SF).select("id_a", "id_b")
