@@ -156,9 +156,35 @@ def size_capped_components(
     done_parts: list[DataFrame] = []
     cur_t = threshold
     active = e
-    spark = weighted_edges.sparkSession
+
+    def _flush_capped(edges_df: DataFrame) -> DataFrame:
+        """Remaining oversized components, flagged capped=true (incl. nodes
+        isolated at the current threshold)."""
+        nodes = (
+            edges_df.select(F.col("src").alias("node"))
+            .union(edges_df.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        return components_with_isolated(edges_df.where(F.col("w") > cur_t), nodes).select(
+            "node", "component", F.lit(True).alias("capped")
+        )
+
     for _ in range(max_rounds):
         cc = connected_components(active.where(F.col("w") > cur_t))
+        # nodes whose every edge fell below the raised threshold become
+        # singletons NOW — without this they appear in no component and
+        # vanish from the output
+        nodes_active = (
+            active.select(F.col("src").alias("node"))
+            .union(active.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        isolated = nodes_active.join(cc, on="node", how="left_anti").select(
+            "node",
+            F.col("node").alias("component"),
+            F.lit(False).alias("capped"),
+        )
+        done_parts.append(isolated.localCheckpoint())
         # pair count per component = edges above threshold per component
         ec = (
             active.where(F.col("w") > cur_t)
@@ -174,21 +200,27 @@ def size_capped_components(
         over = labeled.where(F.col("n_pairs") > max_pairs).select("node")
         if over.limit(1).count() == 0:
             break
-        # restrict to edges inside oversized components; raise threshold
+        # restrict to edges with BOTH endpoints inside oversized components
+        # (a src-only restriction leaks below-threshold edges into nodes
+        # already emitted, double-counting them next round); raise threshold
         active = (
-            active.join(over.withColumnRenamed("node", "src"), on="src", how="left_semi")
+            active.join(
+                over.withColumnRenamed("node", "src"), on="src", how="left_semi"
+            )
+            .join(over.withColumnRenamed("node", "dst"), on="dst", how="left_semi")
             .localCheckpoint()
         )
         new_t = cur_t + incr
         # unsplittable: no edge would be dropped by the higher threshold
         if active.where((F.col("w") > cur_t) & (F.col("w") <= new_t)).limit(1).count() == 0 and \
            active.where(F.col("w") <= cur_t).limit(1).count() == 0:
-            cc_rest = connected_components(active)
-            done_parts.append(
-                cc_rest.select("node", "component", F.lit(True).alias("capped"))
-            )
+            done_parts.append(_flush_capped(active))
             break
         cur_t = new_t
+    else:
+        # max_rounds exhausted with oversized components still active: flush
+        # them flagged rather than dropping their nodes from the output
+        done_parts.append(_flush_capped(active))
     out = done_parts[0]
     for p in done_parts[1:]:
         out = out.unionByName(p)

@@ -81,6 +81,39 @@ def test_size_capped_flags_unsplittable(spark):
     assert out["capped"].any()
 
 
+def test_size_capped_no_node_loss_on_round_exhaustion(spark):
+    """max_rounds=1 on an unsplittable oversized clique: every node must
+    still appear in the output, flagged capped=true (previously they
+    silently vanished)."""
+    rows = [(i, j, 1.0) for i in range(10) for j in range(10) if i < j]
+    edges = spark.createDataFrame(pd.DataFrame(rows, columns=["src", "dst", "w"]))
+    out = size_capped_components(
+        edges, max_pairs=5, threshold=0.0, incr=0.25, max_rounds=1
+    ).toPandas()
+    assert set(out["node"]) == set(range(10))
+    assert out["capped"].all()
+    assert len(out) == 10  # exactly once each
+
+
+def test_size_capped_emits_isolated_nodes_as_singletons(spark):
+    """Nodes whose every edge drops below the raised threshold must come
+    back as singleton components, not disappear: star hub 0 with w=1.0
+    spokes (oversized at cap 3) + a w=2.0 core pair."""
+    rows = [(0, i, 1.0) for i in range(1, 8)] + [(0, 100, 2.0), (100, 101, 2.0)]
+    edges = spark.createDataFrame(pd.DataFrame(rows, columns=["src", "dst", "w"]))
+    out = size_capped_components(
+        edges, max_pairs=3, threshold=0.0, incr=1.0
+    ).toPandas()
+    expect = set(range(8)) | {100, 101}
+    assert set(out["node"]) == expect
+    assert len(out) == len(expect)  # exactly once each
+    comp = dict(zip(out["node"], out["component"]))
+    # spokes 1..7 end as singletons once the threshold passes 1.0
+    for i in range(1, 8):
+        assert comp[i] == i
+    assert comp[100] == comp[101]
+
+
 def test_threshold_sensitivity(spark):
     rows = [(1, 2, 0.9), (2, 3, 0.5), (4, 5, 0.2)]
     edges = spark.createDataFrame(pd.DataFrame(rows, columns=["src", "dst", "w"]))
