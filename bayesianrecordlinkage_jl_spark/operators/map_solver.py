@@ -33,26 +33,35 @@ from .connected_components import connected_components
 @dataclass
 class ParameterChain:
     """Chain of penalty-path steps (ParameterChain analog,
-    /root/reference/src/parameterchain.jl:14-37)."""
+    /root/reference/src/parameterchain.jl:14-37).
 
-    links: pd.DataFrame  # id_a, id_b, start, stop (step indices, 1-based)
+    `links` is a DataFrame of (id_a, id_b, start, stop) persistence
+    intervals — it stays distributed end-to-end (links ~ #matched records;
+    collecting it per step would be a driver-memory bottleneck at web
+    scale). The scalar traces (nlinks/penalties/pM/pU) are O(steps) and
+    live on the driver."""
+
+    links: DataFrame  # id_a, id_b, start, stop (step indices, 1-based)
     nlinks: list[int] = field(default_factory=list)
     penalties: list[float] = field(default_factory=list)
     pM: list[dict] = field(default_factory=list)
     pU: list[dict] = field(default_factory=list)
 
-    def steplinks(self, step: int) -> pd.DataFrame:
+    def steplinks(self, step: int) -> DataFrame:
         """Links alive at a step (get_steplinks analog)."""
-        m = (self.links["start"] <= step) & (self.links["stop"] >= step)
-        return self.links[m][["id_a", "id_b"]]
+        return self.links.where(
+            (F.col("start") <= step) & (F.col("stop") >= step)
+        ).select("id_a", "id_b")
 
-    def link_counts(self, burnin: int = 0) -> pd.DataFrame:
+    def link_counts(self, burnin: int = 0) -> DataFrame:
         """Per-pair persistence counts with burn-in (get_linkcounts analog)."""
-        eff = self.links["start"].clip(lower=burnin + 1)
-        keep = self.links["stop"] >= eff
-        out = self.links[keep].copy()
-        out["n_steps"] = self.links["stop"][keep] - eff[keep] + 1
-        return out.groupby(["id_a", "id_b"], as_index=False)["n_steps"].sum()
+        eff = F.greatest(F.col("start"), F.lit(burnin + 1))
+        return (
+            self.links.where(F.col("stop") >= eff)
+            .select("id_a", "id_b", (F.col("stop") - eff + 1).alias("n_steps"))
+            .groupBy("id_a", "id_b")
+            .agg(F.sum("n_steps").alias("n_steps"))
+        )
 
 
 def incr_penalty(
@@ -172,9 +181,16 @@ def penalized_likelihood_search(
 ) -> ParameterChain:
     """Penalty-path driver (penalized_likelihood_search_auction analog):
     solve at each penalty, record link persistence intervals, raise the
-    penalty between distinct weight values, stop when no links survive."""
-    chain_rows: dict[tuple, list] = {}
-    chain = ParameterChain(links=pd.DataFrame(columns=["id_a", "id_b", "start", "stop"]))
+    penalty between distinct weight values, stop when no links survive.
+
+    The interval table stays a DataFrame throughout: each step's update is
+    a semi/anti-join of the previous OPEN intervals against the current
+    links (extend / close / open — the links_difference statuses), never a
+    driver collect of the links table."""
+    intervals = spark.createDataFrame(
+        [], schema="id_a long, id_b long, start int, stop int"
+    )
+    chain = ParameterChain(links=intervals)
     params = params0
     penalty = penalty0
     step = 0
@@ -183,14 +199,27 @@ def penalized_likelihood_search(
         links, params, _ = penalized_likelihood(
             spark, pairs, dvecs, gcols, nlevels, params, penalty, method=method
         )
-        lp = links.select("id_a", "id_b").toPandas()
-        cur = set(zip(lp["id_a"], lp["id_b"]))
-        for key in cur:
-            if key in chain_rows and chain_rows[key][-1][1] == step - 1:
-                chain_rows[key][-1][1] = step  # extend open interval
-            else:
-                chain_rows.setdefault(key, []).append([step, step])
-        chain.nlinks.append(len(cur))
+        cur = links.select("id_a", "id_b")
+        open_prev = intervals.where(F.col("stop") == step - 1)
+        rest = intervals.where(F.col("stop") != step - 1)
+        extended = open_prev.join(cur, ["id_a", "id_b"], "left_semi").withColumn(
+            "stop", F.lit(step)
+        )
+        closed = open_prev.join(cur, ["id_a", "id_b"], "left_anti")
+        opened = cur.join(
+            open_prev.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti"
+        ).select(
+            "id_a",
+            "id_b",
+            F.lit(step).alias("start"),
+            F.lit(step).alias("stop"),
+        )
+        intervals = (
+            rest.unionByName(extended).unionByName(closed).unionByName(opened)
+            .localCheckpoint()  # truncate lineage across penalty steps
+        )
+        n_cur = cur.count()
+        chain.nlinks.append(n_cur)
         chain.penalties.append(penalty)
         chain.pM.append({g: params.pM[g].copy() for g in gcols})
         chain.pU.append({g: params.pU[g].copy() for g in gcols})
@@ -200,16 +229,11 @@ def penalized_likelihood_search(
                 links.select("id_a", "id_b", "w", "block_id"),
                 {"penalty": penalty, "step": step},
             )
-        if len(cur) == 0:
+        if n_cur == 0:
             break
         w = em.weights_vector(dvecs, gcols, params)["w"].to_numpy()
         penalty, n_above = incr_penalty(w, penalty, min_incr)
         if n_above == 0:
             break
-    rows = [
-        {"id_a": k[0], "id_b": k[1], "start": s, "stop": e}
-        for k, ivals in chain_rows.items()
-        for s, e in ivals
-    ]
-    chain.links = pd.DataFrame(rows, columns=["id_a", "id_b", "start", "stop"])
+    chain.links = intervals
     return chain

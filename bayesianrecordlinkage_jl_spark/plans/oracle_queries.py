@@ -925,8 +925,6 @@ def build_catalog() -> dict[str, dict]:
 
     # --- penalty-path MAP search (SURVEY 2.7; iterative — rows-only) ---
     def _penalty_path(s: SparkSession, d: str) -> DataFrame:
-        import pandas as pd
-
         from ..operators import em, map_solver
         from ..operators.comparison_summary import attach_vec_ids
 
@@ -941,11 +939,11 @@ def build_catalog() -> dict[str, dict]:
             s, pairs, dv, GCOLS, NLEVELS, params,
             penalty0=0.0, min_incr=4.0, max_steps=3, method="greedy",
         )
-        links = chain.links if len(chain.links) else pd.DataFrame(
-            [], columns=["id_a", "id_b", "start", "stop"]
-        )
-        return s.createDataFrame(
-            links, schema="id_a long, id_b long, start long, stop long"
+        return chain.links.select(
+            "id_a",
+            "id_b",
+            F.col("start").cast("long").alias("start"),
+            F.col("stop").cast("long").alias("stop"),
         )
 
     cat["penalty_path_chain"] = {

@@ -76,11 +76,15 @@ def test_penalty_path_chain(spark):
     # links shrink (weakly) as penalty rises
     assert chain.nlinks[-1] <= chain.nlinks[0]
     assert chain.penalties == sorted(chain.penalties)
+    # the chain is a DataFrame end-to-end (no per-step driver collect)
+    from pyspark.sql import DataFrame as SparkDF
+
+    assert isinstance(chain.links, SparkDF)
     # chain interval bookkeeping: steplinks at step 1 == links of step 1
     s1 = chain.steplinks(1)
-    assert len(s1) == chain.nlinks[0]
+    assert s1.count() == chain.nlinks[0]
     # persistent true matches span all steps with links
-    lc = chain.link_counts()
+    lc = chain.link_counts().toPandas()
     n_steps_with_links = sum(1 for n in chain.nlinks if n > 0)
     persistent = lc[lc["n_steps"] == n_steps_with_links]
     assert len(persistent) >= 15
