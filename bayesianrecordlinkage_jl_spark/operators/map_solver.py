@@ -64,6 +64,41 @@ class ParameterChain:
         )
 
 
+def group_id_counts(
+    chain_links: DataFrame, groups: DataFrame, on: list[str]
+) -> DataFrame:
+    """Per-(step, group) link counts from a chain's persistence intervals
+    (get_groupidcounts_row/_column/_pair analog,
+    /root/reference/src/parameterchain.jl:146-253 — keyed by id_a for the
+    row form, id_b for the column form, both for the pair form).
+
+    groups: mapping DataFrame (on..., group_id); rows with group_id <= 0 or
+    null are ignored (the reference's zero-id convention). Returns
+    (step, group_id, n). The interval explode is sequence()+groupBy —
+    map-side combinable, no driver state."""
+    return (
+        chain_links.join(groups, on=on)
+        .where(F.col("group_id") > 0)
+        .select(
+            "group_id",
+            F.explode(F.sequence(F.col("start"), F.col("stop"))).alias("step"),
+        )
+        .groupBy("step", "group_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def segment_links(chain_links: DataFrame, nstart: int, nstop: int) -> DataFrame:
+    """Pairs linked over EVERY step in [nstart, nstop]
+    (get_segmentlinks analog, /root/reference/src/parameterchain.jl:299-313):
+    a single persistence interval must cover the whole segment."""
+    if nstart > nstop:
+        raise ValueError("nstart must be <= nstop")
+    return chain_links.where(
+        (F.col("start") <= nstart) & (F.col("stop") >= nstop)
+    ).select("id_a", "id_b")
+
+
 def incr_penalty(
     weights: np.ndarray, penalty: float, min_incr: float, frac: float = 0.5
 ) -> tuple[float, int]:

@@ -818,6 +818,54 @@ def build_catalog() -> dict[str, dict]:
         "ref": "src/parameterchain.jl:146-285 (get_groupidcounts/get_linkstagecounts)",
     }
 
+    # --- chain per-GROUP counts + segment links (SURVEY 2.3
+    # get_groupidcounts_row/_column/_pair, get_segmentlinks) ---
+    def _chain_group_counts(s: SparkSession, d: str) -> DataFrame:
+        from ..operators.map_solver import group_id_counts
+
+        chain = _chain_spark(s, d)
+        # deterministic row-group mapping: group_id in 0..6, 0 ignored
+        groups = chain.select("id_a").distinct().select(
+            "id_a",
+            F.pmod(phash(F.concat_ws(":", F.lit("g"), F.col("id_a"))), 7)
+            .cast("int")
+            .alias("group_id"),
+        )
+        return group_id_counts(chain, groups, on=["id_a"])
+
+    _gid = T.phash_sql("concat_ws(':', 'g', id_a)")
+    cat["chain_group_counts"] = {
+        "spark": _chain_group_counts,
+        "sql": f"""
+        WITH chain AS ({_chain_sql()}),
+        groups AS (SELECT id_a, CAST({_gid} % 7 AS INT) AS group_id
+                   FROM (SELECT DISTINCT id_a FROM chain)),
+        exploded AS (
+          SELECT g.group_id, unnest(generate_series(c.start, c.stop)) AS step
+          FROM chain c JOIN groups g ON c.id_a = g.id_a
+          WHERE g.group_id > 0
+        )
+        SELECT step, group_id, CAST(count(*) AS BIGINT) AS n
+        FROM exploded GROUP BY step, group_id
+        """,
+        "ref": "src/parameterchain.jl:146-253 (get_groupidcounts_row; "
+        "column/pair forms share group_id_counts with on=[id_b]/[id_a,id_b])",
+    }
+
+    SEG_START, SEG_STOP = 5, 12
+
+    def _segmentlinks(s: SparkSession, d: str) -> DataFrame:
+        from ..operators.map_solver import segment_links
+
+        return segment_links(_chain_spark(s, d), SEG_START, SEG_STOP)
+
+    cat["segmentlinks"] = {
+        "spark": _segmentlinks,
+        "sql": f"SELECT id_a, id_b FROM ({_chain_sql()}) "
+        f"WHERE start <= {SEG_START} AND stop >= {SEG_STOP}",
+        "ref": "src/parameterchain.jl:299-313 (get_segmentlinks)",
+    }
+
     # --- post-hoc blocks (SURVEY 2.6 PosthocBlocks + dropoutside) ---
     def _posthoc_blocks(s: SparkSession, d: str) -> DataFrame:
         from ..operators.linkmatrix import drop_outside
@@ -1025,26 +1073,72 @@ def build_catalog() -> dict[str, dict]:
             "max_nodes long, total_nodes long",
         )
 
+    def _threshold_block_sql(t: float) -> str:
+        """One threshold's component stats via the recursive-CTE CC oracle
+        (nodes restricted to edge endpoints — connected_components emits no
+        isolated nodes, so n_singletons is structurally 0 on both sides)."""
+        edges = (
+            f"SELECT id_a, id_b FROM ({_weighted_pairs_sql()}) "
+            f"WHERE w > {EDGE_THRESHOLD!r}e0 AND w > {t!r}e0"
+        )
+        return f"""
+        (WITH RECURSIVE edges AS MATERIALIZED ({edges}),
+        nodes AS (SELECT DISTINCT node FROM
+          (SELECT id_a AS node FROM edges UNION SELECT id_b FROM edges)),
+        bi AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM edges
+               UNION SELECT id_b AS a, id_a AS b FROM edges),
+        walk(node, comp) AS (
+          SELECT node, node FROM nodes
+          UNION
+          SELECT bi.b, walk.comp FROM walk JOIN bi ON bi.a = walk.node
+          WHERE walk.comp < bi.b
+        ),
+        cc AS (SELECT node, min(comp) AS component FROM walk GROUP BY node),
+        sizes AS (SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
+                  FROM cc GROUP BY component)
+        SELECT CAST({t!r}e0 AS DOUBLE) AS threshold,
+               CAST(count(*) AS BIGINT) AS n_components,
+               CAST(sum(CASE WHEN n_nodes = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_singletons,
+               max(n_nodes) AS max_nodes,
+               CAST(sum(n_nodes) AS BIGINT) AS total_nodes
+        FROM sizes)
+        """
+
     cat["threshold_sensitivity"] = {
         "spark": _threshold_sensitivity,
-        "sql": None,
+        "sql": " UNION ALL ".join(
+            _threshold_block_sql(t) for t in (0.0, 2.0, 5.0)
+        ),
         "ref": "src/weight_functions.jl:471-484 (threshold_sensitivity)",
     }
 
-    # --- pages extraction surface (input_hint contract; byte-identity of
-    # extract_text vs text is pytest-asserted) ---
+    # --- pages extraction surface (input_hint contract). The catalog form
+    # runs the SAME extraction expression over html-wrapped documents rows
+    # so DuckDB can assert the round-trip identity; byte-identity on the
+    # generated pages fixture is pytest-asserted (test_pipeline_e2e.py). ---
     def _pages_extract(s: SparkSession, d: str) -> DataFrame:
-        from ..sources.pages import extract_text, generate_pages
+        from ..sources.pages import HTML_PREFIX, HTML_SUFFIX, extract_text
 
-        pages = generate_pages(s, n_clusters=100)
-        return pages.select(
-            "url", extract_text(F.col("html")).alias("extracted_text")
+        docs = load(s, d, "documents")
+        html = F.encode(
+            F.concat(F.lit(HTML_PREFIX), F.col("text"), F.lit(HTML_SUFFIX)),
+            "UTF-8",
         )
+        return docs.select("doc_id", extract_text(html).alias("extracted_text"))
+
+    from ..sources.pages import HTML_PREFIX as _HP, HTML_SUFFIX as _HS
 
     cat["pages_extract_text"] = {
         "spark": _pages_extract,
-        "sql": None,
-        "ref": "input_hint html->text extraction (byte-identical per url)",
+        "sql": f"""
+        SELECT doc_id,
+               regexp_extract('{_HP}' || text || '{_HS}',
+                              '<article>(.*)</article>', 1) AS extracted_text
+        FROM documents
+        """,
+        "ref": "input_hint html->text extraction (byte-identical per url; "
+        "generated-pages identity pytest-asserted)",
     }
 
     # --- flagship end-to-end pipelines (iterative EM + CC + per-block

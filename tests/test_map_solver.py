@@ -90,6 +90,58 @@ def test_penalty_path_chain(spark):
     assert len(persistent) >= 15
 
 
+def test_group_id_counts_and_segment_links(spark):
+    """Hand-computed chain: row/column/pair group counts + segment links
+    (get_groupidcounts_* / get_segmentlinks analogs)."""
+    chain = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "id_a": [1, 1, 2, 3],
+                "id_b": [10, 11, 10, 12],
+                "start": [1, 3, 2, 1],
+                "stop": [2, 4, 4, 4],
+            }
+        )
+    )
+    rowg = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1, 2, 3], "group_id": [1, 1, 0]})  # 0 ignored
+    )
+    got = (
+        map_solver.group_id_counts(chain, rowg, on=["id_a"])
+        .toPandas()
+        .set_index(["step", "group_id"])["n"]
+        .to_dict()
+    )
+    # steps: id_a=1 alive 1,2 and 3,4; id_a=2 alive 2,3,4; id_a=3 ignored
+    assert got == {(1, 1): 1, (2, 1): 2, (3, 1): 2, (4, 1): 2}
+    colg = spark.createDataFrame(
+        pd.DataFrame({"id_b": [10, 11, 12], "group_id": [2, 2, 3]})
+    )
+    gotc = (
+        map_solver.group_id_counts(chain, colg, on=["id_b"])
+        .toPandas()
+        .set_index(["step", "group_id"])["n"]
+        .to_dict()
+    )
+    assert gotc[(2, 2)] == 2 and gotc[(1, 3)] == 1 and gotc[(4, 3)] == 1
+    pairg = spark.createDataFrame(
+        pd.DataFrame({"id_a": [1], "id_b": [11], "group_id": [5]})
+    )
+    gotp = (
+        map_solver.group_id_counts(chain, pairg, on=["id_a", "id_b"])
+        .toPandas()
+        .set_index(["step", "group_id"])["n"]
+        .to_dict()
+    )
+    assert gotp == {(3, 5): 1, (4, 5): 1}
+    seg = map_solver.segment_links(chain, 2, 4).toPandas()
+    assert set(zip(seg["id_a"], seg["id_b"])) == {(2, 10), (3, 12)}
+    seg2 = map_solver.segment_links(chain, 3, 4).toPandas()
+    assert set(zip(seg2["id_a"], seg2["id_b"])) == {(1, 11), (2, 10), (3, 12)}
+    with pytest.raises(ValueError):
+        map_solver.segment_links(chain, 4, 2)
+
+
 def test_penalty_path_checkpoints(spark, tmp_path):
     """Penalty-path search writes a per-step chain checkpoint (the
     resumable-stage analog of h5write_penalized_likelihood_estimate)."""
