@@ -5,9 +5,12 @@ Reference semantics (re-expressed, not ported):
     exact Gibbs, larger blocks by a random-walk MH kernel), then Gibbs-draw
     pM/pU; accumulate per-pair link counts
     (/root/reference/src/mcmc.jl:87-137)
-  - randomwalk1 moves add/remove/rowswitch/colswitch on the one-to-one
-    matching with O(1) log-likelihood deltas from per-pair weights
-    (/root/reference/src/move_functions.jl:429-642)
+  - randomwalk1 moves add/remove/rowswitch/colswitch/doubleswitch on the
+    one-to-one matching with O(1) log-likelihood deltas from per-pair
+    weights (/root/reference/src/move_functions.jl:429-642)
+  - locally-balanced (barker) informed proposals, the reference's
+    recommended kernel (/root/reference/src/move_functions.jl:772-914,
+    vignette/example.jl:96) — kernel="barker"
   - singleton_gibbs exact toggle for 1x1 blocks
     (/root/reference/src/move_functions.jl:1177-1205)
   - dirichlet_draw / gibbs_MU_draw for conditional pM/pU
@@ -37,83 +40,177 @@ from pyspark.sql import DataFrame, functions as F
 COUNT_SCHEMA = "id_a long, id_b long, w double, block_id long, n_linked long"
 
 
-def _block_chain(
-    pdf: pd.DataFrame, nsteps: int, burnin: int, lp_link: float, seed: int
-) -> pd.DataFrame:
-    """Run one block's restricted chain; returns per-pair linked-step counts.
+def _run_block_chain(
+    ids_a: np.ndarray,
+    ids_b: np.ndarray,
+    w: np.ndarray,
+    nsteps: int,
+    lp_link: float,
+    rng: np.random.Generator,
+    kernel: str = "rw1",
+) -> list[tuple[int, int, int]]:
+    """One block's restricted chain -> link-persistence intervals
+    (pair_idx, start, stop), 1-based inclusive step indices. The single
+    source of truth for BOTH the count and trace forms (their exact duality
+    is by construction).
 
-    State = one-to-one matching over the block's candidate pairs. Proposal:
-    uniform candidate pair (i, j); the move is determined by the state
-    (add / remove / rowswitch / colswitch), which makes the proposal
-    symmetric — MH acceptance is exp(delta loglik + delta prior) alone.
+    State = one-to-one matching over the block's candidate pairs.
+    Kernels:
+      * "rw1" — uniform candidate pair; the move is determined by the state
+        (add / remove / rowswitch / colswitch / DOUBLESWITCH). Doubleswitch
+        swaps partners in one move when both endpoints are linked elsewhere
+        (reference randomwalk1_move!,
+        /root/reference/src/move_functions.jl:429-566); it is valid only
+        when the complementary pair (i', j') is also a candidate (the
+        sparse analog of the reference's loglikMissing = -Inf). The
+        proposal stays symmetric (a doubleswitch is reachable by exactly
+        two picks in each direction), so MH acceptance is the loglik+prior
+        delta alone.
+      * "barker" — locally-balanced informed proposal (Zanella 2019; the
+        reference's recommended randomwalk1_locally_balanced_barker_update!,
+        /root/reference/src/move_functions.jl:772-914): propose move m with
+        probability sigmoid(delta_m)/Z (the barker_logx transform of the
+        move's likelihood ratio, functions/balancing.py), accept with
+        min(1, Z/Z') — the barker identity g(1/r)/g(r) = 1/r cancels the
+        likelihood ratio out of the acceptance. O(npairs) per step: use on
+        poorly-mixing dense blocks.
     """
-    block_id = int(pdf["block_id"].iloc[0])
-    rng = np.random.default_rng((seed, block_id))
-    ids_a = pdf["id_a"].to_numpy()
-    ids_b = pdf["id_b"].to_numpy()
-    w = pdf["w"].to_numpy(dtype=float)
-    npairs = len(pdf)
-    counts = np.zeros(npairs, dtype=np.int64)
+    npairs = len(w)
+    open_at: dict[int, int] = {}
+    intervals: list[tuple[int, int, int]] = []
 
     if npairs == 1:
-        # singleton_gibbs: exact Bernoulli per step
+        # singleton_gibbs: exact Bernoulli per step (both kernels)
         p_link = 1.0 / (1.0 + np.exp(-(w[0] + lp_link)))
         draws = rng.random(nsteps) < p_link
-        counts[0] = int(draws[burnin:].sum())
-        out = pdf[["id_a", "id_b", "w", "block_id"]].copy()
-        out["n_linked"] = counts
-        return out
+        for step in range(1, nsteps + 1):
+            if draws[step - 1] and 0 not in open_at:
+                open_at[0] = step
+            elif not draws[step - 1] and 0 in open_at:
+                intervals.append((0, open_at.pop(0), step - 1))
+        if 0 in open_at:
+            intervals.append((0, open_at.pop(0), nsteps))
+        return intervals
 
-    # pair index maps for switch moves
-    row_pairs: dict[int, list[int]] = {}
-    col_pairs: dict[int, list[int]] = {}
+    # dense local row/col indices for O(1) state lookup
+    rows: dict[int, int] = {}
+    cols: dict[int, int] = {}
+    ra = np.empty(npairs, dtype=np.int64)
+    ca = np.empty(npairs, dtype=np.int64)
     for k in range(npairs):
-        row_pairs.setdefault(int(ids_a[k]), []).append(k)
-        col_pairs.setdefault(int(ids_b[k]), []).append(k)
-    row2pair: dict[int, int] = {}  # row id -> linked pair idx
-    col2pair: dict[int, int] = {}
-    linked = np.zeros(npairs, dtype=bool)
+        ra[k] = rows.setdefault(int(ids_a[k]), len(rows))
+        ca[k] = cols.setdefault(int(ids_b[k]), len(cols))
+    pair_of = {(int(ra[k]), int(ca[k])): k for k in range(npairs)}
+    row_link = np.full(len(rows), -1, dtype=np.int64)  # local row -> pair
+    col_link = np.full(len(cols), -1, dtype=np.int64)
 
-    def do_link(k: int) -> None:
-        linked[k] = True
-        row2pair[int(ids_a[k])] = k
-        col2pair[int(ids_b[k])] = k
+    def move_delta(k: int, kr: int, kc: int) -> float:
+        if kr == k:  # linked -> remove
+            return -(w[k] + lp_link)
+        if kr < 0 and kc < 0:  # add
+            return w[k] + lp_link
+        if kr >= 0 and kc < 0:  # rowswitch
+            return w[k] - w[kr]
+        if kr < 0 and kc >= 0:  # colswitch
+            return w[k] - w[kc]
+        k2 = pair_of.get((int(ra[kc]), int(ca[kr])))  # doubleswitch partner
+        if k2 is None:
+            return -np.inf
+        return w[k] + w[k2] - w[kr] - w[kc]
 
-    def do_unlink(k: int) -> None:
-        linked[k] = False
-        del row2pair[int(ids_a[k])]
-        del col2pair[int(ids_b[k])]
+    def move_events(k: int, kr: int, kc: int) -> list[tuple[str, int]]:
+        if kr == k:
+            return [("unlink", k)]
+        if kr < 0 and kc < 0:
+            return [("link", k)]
+        if kr >= 0 and kc < 0:
+            return [("unlink", kr), ("link", k)]
+        if kr < 0 and kc >= 0:
+            return [("unlink", kc), ("link", k)]
+        k2 = pair_of[(int(ra[kc]), int(ca[kr]))]
+        return [("unlink", kr), ("unlink", kc), ("link", k), ("link", k2)]
 
-    picks = rng.integers(0, npairs, size=nsteps)
-    accepts = np.log(rng.random(nsteps))
-    for step in range(nsteps):
-        k = int(picks[step])
-        i, j = int(ids_a[k]), int(ids_b[k])
-        kr = row2pair.get(i)
-        kc = col2pair.get(j)
-        if linked[k]:
-            # remove
-            if accepts[step] < -(w[k] + lp_link):
-                do_unlink(k)
-        elif kr is None and kc is None:
-            # add
-            if accepts[step] < w[k] + lp_link:
-                do_link(k)
-        elif kr is not None and kc is None:
-            # rowswitch: i re-links from its current col to j
-            if accepts[step] < w[k] - w[kr]:
-                do_unlink(kr)
-                do_link(k)
-        elif kr is None and kc is not None:
-            # colswitch
-            if accepts[step] < w[k] - w[kc]:
-                do_unlink(kc)
-                do_link(k)
-        # both endpoints matched elsewhere: doubleswitch omitted (RW2-style
-        # kernel, /root/reference/src/move_functions.jl:936-1149)
-        if step >= burnin:
-            counts[linked] += 1
+    def apply_arrays(events: list[tuple[str, int]]) -> None:
+        for act, k in events:
+            val = k if act == "link" else -1
+            row_link[ra[k]] = val
+            col_link[ca[k]] = val
 
+    def revert_arrays(events: list[tuple[str, int]]) -> None:
+        for act, k in reversed(events):
+            val = -1 if act == "link" else k
+            row_link[ra[k]] = val
+            col_link[ca[k]] = val
+
+    def record(events: list[tuple[str, int]], step: int) -> None:
+        for act, k in events:
+            if act == "link":
+                open_at[k] = step
+            else:
+                intervals.append((k, open_at.pop(k), step - 1))
+
+    if kernel == "rw1":
+        picks = rng.integers(0, npairs, size=nsteps)
+        laccepts = np.log(rng.random(nsteps))
+        for step0 in range(nsteps):
+            k = int(picks[step0])
+            kr = int(row_link[ra[k]])
+            kc = int(col_link[ca[k]])
+            if laccepts[step0] < move_delta(k, kr, kc):
+                ev = move_events(k, kr, kc)
+                apply_arrays(ev)
+                record(ev, step0 + 1)
+    elif kernel == "barker":
+        ks = np.arange(npairs)
+
+        def weights() -> np.ndarray:
+            d = np.array(
+                [
+                    move_delta(k, int(row_link[ra[k]]), int(col_link[ca[k]]))
+                    for k in range(npairs)
+                ]
+            )
+            # barker balancing g(e^d) = sigmoid(d); stable for large |d|
+            return 1.0 / (1.0 + np.exp(-np.clip(d, -700, 700)))
+
+        for step0 in range(nsteps):
+            g = weights()
+            z = g.sum()
+            k = int(rng.choice(ks, p=g / z))
+            ev = move_events(k, int(row_link[ra[k]]), int(col_link[ca[k]]))
+            apply_arrays(ev)
+            z2 = weights().sum()
+            if np.log(rng.random()) < np.log(z) - np.log(z2):
+                record(ev, step0 + 1)
+            else:
+                revert_arrays(ev)
+    else:
+        raise ValueError(f"unknown kernel: {kernel!r}")
+
+    for k in list(open_at):
+        intervals.append((k, open_at.pop(k), nsteps))
+    return intervals
+
+
+def _block_chain(
+    pdf: pd.DataFrame,
+    nsteps: int,
+    burnin: int,
+    lp_link: float,
+    seed: int,
+    kernel: str = "rw1",
+) -> pd.DataFrame:
+    """Per-pair linked-step counts (post burn-in) for one block's chain."""
+    block_id = int(pdf["block_id"].iloc[0])
+    rng = np.random.default_rng((seed, block_id))
+    w = pdf["w"].to_numpy(dtype=float)
+    intervals = _run_block_chain(
+        pdf["id_a"].to_numpy(), pdf["id_b"].to_numpy(), w, nsteps, lp_link,
+        rng, kernel,
+    )
+    counts = np.zeros(len(pdf), dtype=np.int64)
+    for k, s, e in intervals:
+        counts[k] += max(0, e - max(s, burnin + 1) + 1)
     out = pdf[["id_a", "id_b", "w", "block_id"]].copy()
     out["n_linked"] = counts
     return out
@@ -123,81 +220,25 @@ TRACE_SCHEMA = "id_a long, id_b long, block_id long, start long, stop long"
 
 
 def _block_chain_trace(
-    pdf: pd.DataFrame, nsteps: int, lp_link: float, seed: int
+    pdf: pd.DataFrame,
+    nsteps: int,
+    lp_link: float,
+    seed: int,
+    kernel: str = "rw1",
 ) -> pd.DataFrame:
     """Trace variant (mh_gibbs_trace analog,
-    /root/reference/src/mcmc.jl:170-254): identical chain to _block_chain
-    (same RNG stream, same moves), but records link-persistence INTERVALS
-    [start, stop] (1-based step indices, inclusive) instead of counts.
-    sum(stop - start + 1) per pair reconstructs _block_chain's counts
-    exactly (pytest-asserted)."""
+    /root/reference/src/mcmc.jl:170-254): link-persistence INTERVALS
+    [start, stop] from the SAME chain as _block_chain (shared
+    _run_block_chain core, same RNG stream) — sum(stop - start + 1) per
+    pair reconstructs _block_chain's counts exactly by construction."""
     block_id = int(pdf["block_id"].iloc[0])
     rng = np.random.default_rng((seed, block_id))
     ids_a = pdf["id_a"].to_numpy()
     ids_b = pdf["id_b"].to_numpy()
-    w = pdf["w"].to_numpy(dtype=float)
-    npairs = len(pdf)
-    open_at = {}  # pair idx -> start step of the open interval
-    intervals: list[tuple[int, int, int]] = []  # (pair idx, start, stop)
-
-    def close(k: int, step: int) -> None:
-        intervals.append((k, open_at.pop(k), step))
-
-    if npairs == 1:
-        p_link = 1.0 / (1.0 + np.exp(-(w[0] + lp_link)))
-        draws = rng.random(nsteps) < p_link
-        for step in range(1, nsteps + 1):
-            linked = bool(draws[step - 1])
-            if linked and 0 not in open_at:
-                open_at[0] = step
-            elif not linked and 0 in open_at:
-                close(0, step - 1)
-        if 0 in open_at:
-            close(0, nsteps)
-    else:
-        row_pairs: dict[int, int] = {}
-        col_pairs: dict[int, int] = {}
-        linked = np.zeros(npairs, dtype=bool)
-        row2pair: dict[int, int] = {}
-        col2pair: dict[int, int] = {}
-
-        def do_link(k: int, step: int) -> None:
-            linked[k] = True
-            row2pair[int(ids_a[k])] = k
-            col2pair[int(ids_b[k])] = k
-            open_at[k] = step
-
-        def do_unlink(k: int, step: int) -> None:
-            linked[k] = False
-            del row2pair[int(ids_a[k])]
-            del col2pair[int(ids_b[k])]
-            close(k, step - 1)
-
-        picks = rng.integers(0, npairs, size=nsteps)
-        accepts = np.log(rng.random(nsteps))
-        for step0 in range(nsteps):
-            step = step0 + 1
-            k = int(picks[step0])
-            i, j = int(ids_a[k]), int(ids_b[k])
-            kr = row2pair.get(i)
-            kc = col2pair.get(j)
-            if linked[k]:
-                if accepts[step0] < -(w[k] + lp_link):
-                    do_unlink(k, step)
-            elif kr is None and kc is None:
-                if accepts[step0] < w[k] + lp_link:
-                    do_link(k, step)
-            elif kr is not None and kc is None:
-                if accepts[step0] < w[k] - w[kr]:
-                    do_unlink(kr, step)
-                    do_link(k, step)
-            elif kr is None and kc is not None:
-                if accepts[step0] < w[k] - w[kc]:
-                    do_unlink(kc, step)
-                    do_link(k, step)
-        for k in list(open_at):
-            close(k, nsteps)
-
+    intervals = _run_block_chain(
+        ids_a, ids_b, pdf["w"].to_numpy(dtype=float), nsteps, lp_link, rng,
+        kernel,
+    )
     rows = [
         {
             "id_a": int(ids_a[k]),
@@ -218,6 +259,7 @@ def mh_gibbs_trace(
     nsteps: int = 1000,
     lp_link: float = 0.0,
     seed: int = 42,
+    kernel: str = "rw1",
 ) -> DataFrame:
     """Link-persistence intervals [id_a id_b start stop] from the same
     chains as mh_gibbs_count — the ParameterChain trace form. Feed into
@@ -231,7 +273,7 @@ def mh_gibbs_trace(
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _block_chain_trace(pdf, nsteps, lp_link, seed)
+        return _block_chain_trace(pdf, nsteps, lp_link, seed, kernel)
 
     return p.repartition("block_id").groupBy("block_id").applyInPandas(
         fn, schema=TRACE_SCHEMA
@@ -244,12 +286,15 @@ def mh_gibbs_count(
     burnin: int = 0,
     lp_link: float = 0.0,
     seed: int = 42,
+    kernel: str = "rw1",
 ) -> DataFrame:
     """Per-pair posterior link counts from per-block restricted chains.
 
     blocked_pairs: (id_a, id_b, w, block_id) where block_id partitions the
     graph (connected components) and w is the pair's log-likelihood ratio.
     lp_link: log prior odds of a link (logpCRatio analog).
+    kernel: "rw1" (symmetric, incl. doubleswitch) or "barker"
+    (locally-balanced informed proposal — see _run_block_chain).
     """
     p = blocked_pairs.select(
         F.col("id_a").cast("long"),
@@ -259,7 +304,7 @@ def mh_gibbs_count(
     )
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        return _block_chain(pdf, nsteps, burnin, lp_link, seed)
+        return _block_chain(pdf, nsteps, burnin, lp_link, seed, kernel)
 
     return p.repartition("block_id").groupBy("block_id").applyInPandas(
         fn, schema=COUNT_SCHEMA
@@ -305,6 +350,7 @@ def mh_gibbs(
     nsteps_per_round: int = 500,
     lp_link: float = 0.0,
     seed: int = 42,
+    kernel: str = "rw1",
 ):
     """Outer-Gibbs driver: alternate {distributed per-block chains} with
     {driver Dirichlet re-draw of pM/pU} — the reference hierarchy at round
@@ -323,7 +369,8 @@ def mh_gibbs(
         wdf = spark.createDataFrame(wpd, schema="vec_id long, w double")
         weighted = blocked_pairs.drop("w").join(F.broadcast(wdf), on="vec_id")
         counts = mh_gibbs_count(
-            weighted, nsteps=nsteps_per_round, lp_link=lp_link, seed=seed + r
+            weighted, nsteps=nsteps_per_round, lp_link=lp_link, seed=seed + r,
+            kernel=kernel,
         ).localCheckpoint()
         acc = counts.select("id_a", "id_b", "n_linked") if acc is None else (
             acc.unionByName(counts.select("id_a", "id_b", "n_linked"))

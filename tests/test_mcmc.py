@@ -112,6 +112,89 @@ def test_outer_gibbs_driver(spark):
     assert (pM["g1"] > 0).all() and (pU["g1"] > 0).all()
 
 
+def _exact_marginals(ids_a, ids_b, w, lp):
+    """Brute-force posterior per-pair marginals over all one-to-one
+    matchings (pi(M) propto exp(sum_k w_k + lp))."""
+    import itertools
+
+    import numpy as np
+
+    npairs = len(w)
+    states = []
+    for r in range(npairs + 1):
+        for sub in itertools.combinations(range(npairs), r):
+            rows = [ids_a[k] for k in sub]
+            cols = [ids_b[k] for k in sub]
+            if len(set(rows)) == len(rows) and len(set(cols)) == len(cols):
+                states.append(sub)
+    logp = np.array([sum(w[k] + lp for k in s) for s in states])
+    p = np.exp(logp - logp.max())
+    p /= p.sum()
+    marg = np.zeros(npairs)
+    for pi, s in zip(p, states):
+        for k in s:
+            marg[k] += pi
+    return marg
+
+
+def test_doubleswitch_mixes_partner_swaps(spark):
+    """K2,2 with all weights strongly positive: the two perfect matchings
+    are equally likely but connected only through (essentially never
+    accepted) removes — without the doubleswitch move the chain freezes in
+    its first matching. With it, every pair's posterior frequency is ~1/2."""
+    rows = [(1, 101, 8.0, 1), (2, 102, 8.0, 1), (1, 102, 8.0, 1), (2, 101, 8.0, 1)]
+    df = _pairs_df(spark, rows)
+    n, burn = 20000, 2000
+    out = mcmc.mh_gibbs_count(df, nsteps=n, burnin=burn, seed=13).collect()
+    for r in out:
+        freq = r["n_linked"] / (n - burn)
+        assert 0.35 < freq < 0.65, (r["id_a"], r["id_b"], freq)
+
+
+@pytest.mark.parametrize("kernel", ["rw1", "barker"])
+def test_kernels_match_exact_posterior(spark, kernel):
+    """Both kernels converge to the exact matching posterior (brute-force
+    enumeration) on a 2x2 block with mixed weights."""
+    import numpy as np
+
+    ids_a = [1, 1, 2, 2]
+    ids_b = [101, 102, 101, 102]
+    w = [0.5, 1.0, -0.3, 0.8]
+    lp = -0.2
+    exact = _exact_marginals(ids_a, ids_b, np.array(w), lp)
+    rows = [(ids_a[k], ids_b[k], w[k], 1) for k in range(4)]
+    n = 60000 if kernel == "rw1" else 20000
+    burn = n // 10
+    out = mcmc.mh_gibbs_count(
+        _pairs_df(spark, rows), nsteps=n, burnin=burn, lp_link=lp,
+        seed=17, kernel=kernel,
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["n_linked"] / (n - burn) for r in out}
+    for k in range(4):
+        assert abs(got[(ids_a[k], ids_b[k])] - exact[k]) < 0.03, (kernel, k)
+
+
+def test_trace_count_duality_barker(spark):
+    """Trace/count duality holds for the informed kernel too (shared chain
+    core, same RNG stream)."""
+    rows = [
+        (1, 101, 2.0, 1), (1, 102, 0.5, 1), (2, 101, 0.3, 1), (2, 102, 1.8, 1),
+    ]
+    df = _pairs_df(spark, rows)
+    n = 400
+    counts = {
+        (r["id_a"], r["id_b"]): r["n_linked"]
+        for r in mcmc.mh_gibbs_count(df, nsteps=n, seed=23, kernel="barker").collect()
+    }
+    from collections import defaultdict
+
+    recon = defaultdict(int)
+    for r in mcmc.mh_gibbs_trace(df, nsteps=n, seed=23, kernel="barker").collect():
+        recon[(r["id_a"], r["id_b"])] += r["stop"] - r["start"] + 1
+    for pair, c in counts.items():
+        assert recon.get(pair, 0) == c, pair
+
+
 def test_trace_reconstructs_counts(spark):
     """mh_gibbs_trace intervals sum to mh_gibbs_count counts exactly (same
     RNG stream, same kernel) — the trace/count duality of the reference's
