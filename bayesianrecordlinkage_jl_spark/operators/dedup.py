@@ -103,6 +103,76 @@ def ngram_jaccard_pairs_sql(
     """
 
 
+def ngram_jaccard_pairs_via_lsh(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_jaccard_pct: int = 50,
+    n_bands: int = 8,
+    rows_per_band: int = 1,
+    shingle_k: int = 3,
+    max_bucket_rows: int | None = 1000,
+) -> DataFrame:
+    """SCALE PATH for ngram_jaccard_pairs: exact distinct-token Jaccard
+    verified ONLY on MinHash-LSH candidate pairs instead of all pairs
+    within equi-join blocks (which is quadratic inside a hot block).
+    Returns (id_a, id_b, jac_pct) — a subset of ngram_jaccard_pairs
+    restricted to LSH hits; recall is the standard S-curve
+    1 - (1 - s^rows_per_band)^n_bands of the pair's SHINGLE similarity
+    (>= .96 at s = 0.5 with the 8x1 default). Precision is exact (every
+    emitted pair passes the true Jaccard threshold). Note the candidate
+    stage is word-order-sensitive (k-word shingles): a token-permuted pair
+    with identical token SETS shares no shingles and is missed — the
+    explicit recall trade vs the quadratic exact path."""
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, n_bands, rows_per_band, shingle_k,
+        max_bucket_rows,
+    ).select("id_a", "id_b")
+    toks = F.array_distinct(T.tokens(F.col(text_col)))
+    base = _spread(df, id_col).select(
+        F.col(id_col).alias("_id"), toks.alias("_toks")
+    )
+    i = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    u = F.size(F.col("toks_a")) + F.size(F.col("toks_b")) - i
+    return (
+        cand.join(base.select(F.col("_id").alias("id_a"),
+                              F.col("_toks").alias("toks_a")), on="id_a")
+        .join(base.select(F.col("_id").alias("id_b"),
+                          F.col("_toks").alias("toks_b")), on="id_b")
+        .where(i * 100 >= u * min_jaccard_pct)
+        .select("id_a", "id_b", (i * 100 / u).cast("double").alias("jac_pct"))
+    )
+
+
+def ngram_jaccard_pairs_via_lsh_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    min_jaccard_pct: int = 50,
+    n_bands: int = 8,
+    rows_per_band: int = 1,
+    shingle_k: int = 3,
+    max_bucket_rows: int | None = 1000,
+) -> str:
+    cand = minhash_lsh_pairs_sql(
+        table, id_col, text_col, n_bands, rows_per_band, shingle_k,
+        max_bucket_rows,
+    )
+    toks = f"list_distinct({T.tokens_sql(text_col)})"
+    i = "len(list_intersect(ta._toks, tb._toks))"
+    u = f"(len(ta._toks) + len(tb._toks) - {i})"
+    return f"""
+    WITH cand AS (SELECT id_a, id_b FROM ({cand})),
+    base AS MATERIALIZED (SELECT {id_col} AS _id, {toks} AS _toks FROM {table})
+    SELECT cand.id_a, cand.id_b,
+           CAST({i} * 100 / {u} AS DOUBLE) AS jac_pct
+    FROM cand
+    JOIN base ta ON ta._id = cand.id_a
+    JOIN base tb ON tb._id = cand.id_b
+    WHERE {i} * 100 >= {u} * {min_jaccard_pct}
+    """
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

@@ -582,6 +582,16 @@ def build_catalog() -> dict[str, dict]:
         ),
         "ref": "n-gram Jaccard near-dup",
     }
+    cat["dedup_jaccard_lsh_verified"] = {
+        "spark": lambda s, d: dedup.ngram_jaccard_pairs_via_lsh(
+            load(s, d, "documents"), "doc_id", "text", JACCARD_MIN_PCT
+        ),
+        "sql": dedup.ngram_jaccard_pairs_via_lsh_sql(
+            "documents", "doc_id", "text", JACCARD_MIN_PCT
+        ),
+        "ref": "n-gram Jaccard verified on MinHash-LSH candidates "
+        "(the sub-quadratic scale path for dedup_ngram_jaccard)",
+    }
     cat["dedup_minhash_lsh"] = {
         "spark": lambda s, d: dedup.minhash_lsh_pairs(
             load(s, d, "documents"), "doc_id", "text"

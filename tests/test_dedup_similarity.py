@@ -42,6 +42,27 @@ def test_ngram_jaccard_pairs(docs):
     assert not any(5 in p for p in got)
 
 
+def test_ngram_jaccard_via_lsh_subset_and_recall(docs):
+    """The LSH-verified scale path emits a subset of the exact blocked
+    result (precision 1) and keeps the high-similarity pairs (exact dup +
+    token permutation collide in >= 1 band)."""
+    exact = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", ["lang"], 50).toPandas()
+    lsh = dedup.ngram_jaccard_pairs_via_lsh(docs, "doc_id", "text", 50).toPandas()
+    exact_pairs = set(zip(exact["id_a"], exact["id_b"]))
+    lsh_pairs = set(zip(lsh["id_a"], lsh["id_b"]))
+    assert lsh_pairs <= exact_pairs
+    assert (0, 1) in lsh_pairs  # exact dup
+    assert (0, 2) in lsh_pairs or (1, 2) in lsh_pairs  # near dup
+    # known recall trade of the scale path: shingle-based candidates are
+    # word-ORDER-sensitive, so the token-permuted pair (3,4) — identical
+    # distinct-token SET, no shared 3-shingles — is legitimately missed
+    assert (3, 4) not in lsh_pairs
+    # jac_pct values agree with the exact path on shared pairs
+    em = exact.set_index(["id_a", "id_b"])["jac_pct"]
+    for (a, b), v in lsh.set_index(["id_a", "id_b"])["jac_pct"].items():
+        assert v == em.loc[(a, b)]
+
+
 def test_minhash_lsh_finds_exact_and_near(docs):
     out = dedup.minhash_lsh_pairs(docs, "doc_id", "text", n_bands=4, rows_per_band=1).toPandas()
     got = set(zip(out["id_a"], out["id_b"]))
