@@ -40,6 +40,73 @@ from pyspark.sql import DataFrame, functions as F
 COUNT_SCHEMA = "id_a long, id_b long, w double, block_id long, n_linked long"
 
 
+def exppenalty_log_ratio(theta: float):
+    """Exponential link-count penalty prior, ratio form
+    (exppenalty_logratiopn analog, /root/reference/src/prior_functions.jl):
+    log p(nlink+nadd) - log p(nlink) = -theta * nadd."""
+
+    def f(nadd: int, nlink: int, nrow: int, ncol: int) -> float:
+        return -theta * nadd
+
+    return f
+
+
+def betabipartite_log_ratio(alpha: float, beta: float):
+    """Beta-bipartite prior on the number of links, ratio form
+    (betabipartite_logratiopn analog,
+    /root/reference/src/prior_functions.jl:234-247)."""
+    from math import lgamma
+
+    def lbeta(a: float, b: float) -> float:
+        return lgamma(a) + lgamma(b) - lgamma(a + b)
+
+    def f(nadd: int, nlink: int, nrow: int, ncol: int) -> float:
+        if nadd == 0:
+            return 0.0
+        if nrow < ncol:
+            nrow, ncol = ncol, nrow
+        nnew = nlink + nadd
+        if nnew > ncol or nnew < 0:
+            return -np.inf
+        c1 = lgamma(nrow - nnew + 1) - lgamma(nrow - nlink + 1)
+        c2 = lbeta(nnew + alpha, ncol - nnew + beta) - lbeta(
+            nlink + alpha, ncol - nlink + beta
+        )
+        return c1 + c2
+
+    return f
+
+
+def _prior_fns(lp_link, nrow: int, ncol: int):
+    """Normalize the lp_link prior spec into (lp_add(nlink), lp_remove(nlink))
+    — the logpCRatios_add/_remove analog
+    (/root/reference/src/move_functions.jl:367-407). Accepted forms:
+      * float — constant log prior odds per link (as before)
+      * sequence/array — arr[n] (0-based) is the log ratio of n+1 vs n
+        links; adds beyond len(arr) links are -Inf (hard cap), removes
+        from nlink=0 are -Inf
+      * callable f(nadd, nlink, nrow, ncol) — function prior
+        (exppenalty_log_ratio / betabipartite_log_ratio constructors)
+    """
+    if callable(lp_link):
+        return (
+            lambda n: lp_link(1, n, nrow, ncol),
+            lambda n: lp_link(-1, n, nrow, ncol),
+        )
+    if isinstance(lp_link, (list, tuple, np.ndarray)):
+        arr = np.asarray(lp_link, dtype=float).ravel()
+
+        def add(n: int) -> float:
+            return float(arr[n]) if n < arr.size else -np.inf
+
+        def rem(n: int) -> float:
+            return -float(arr[n - 1]) if n > 0 else -np.inf
+
+        return add, rem
+    c = float(lp_link)
+    return (lambda n: c), (lambda n: -c)
+
+
 def _run_block_chain(
     ids_a: np.ndarray,
     ids_b: np.ndarray,
@@ -78,10 +145,13 @@ def _run_block_chain(
     npairs = len(w)
     open_at: dict[int, int] = {}
     intervals: list[tuple[int, int, int]] = []
+    nrow = len(set(int(x) for x in ids_a))
+    ncol = len(set(int(x) for x in ids_b))
+    lp_add, lp_remove = _prior_fns(lp_link, nrow, ncol)
 
     if npairs == 1:
         # singleton_gibbs: exact Bernoulli per step (both kernels)
-        p_link = 1.0 / (1.0 + np.exp(-(w[0] + lp_link)))
+        p_link = 1.0 / (1.0 + np.exp(-(w[0] + lp_add(0))))
         draws = rng.random(nsteps) < p_link
         for step in range(1, nsteps + 1):
             if draws[step - 1] and 0 not in open_at:
@@ -104,12 +174,14 @@ def _run_block_chain(
     row_link = np.full(len(rows), -1, dtype=np.int64)  # local row -> pair
     col_link = np.full(len(cols), -1, dtype=np.int64)
 
+    nlink = [0]  # mutable so apply/revert keep it exact
+
     def move_delta(k: int, kr: int, kc: int) -> float:
         if kr == k:  # linked -> remove
-            return -(w[k] + lp_link)
+            return -w[k] + lp_remove(nlink[0])
         if kr < 0 and kc < 0:  # add
-            return w[k] + lp_link
-        if kr >= 0 and kc < 0:  # rowswitch
+            return w[k] + lp_add(nlink[0])
+        if kr >= 0 and kc < 0:  # rowswitch (nlink unchanged)
             return w[k] - w[kr]
         if kr < 0 and kc >= 0:  # colswitch
             return w[k] - w[kc]
@@ -135,12 +207,14 @@ def _run_block_chain(
             val = k if act == "link" else -1
             row_link[ra[k]] = val
             col_link[ca[k]] = val
+            nlink[0] += 1 if act == "link" else -1
 
     def revert_arrays(events: list[tuple[str, int]]) -> None:
         for act, k in reversed(events):
             val = -1 if act == "link" else k
             row_link[ra[k]] = val
             col_link[ca[k]] = val
+            nlink[0] += -1 if act == "link" else 1
 
     def record(events: list[tuple[str, int]], step: int) -> None:
         for act, k in events:
@@ -257,7 +331,7 @@ def _block_chain_trace(
 def mh_gibbs_trace(
     blocked_pairs: DataFrame,
     nsteps: int = 1000,
-    lp_link: float = 0.0,
+    lp_link=0.0,  # float | array (capped) | callable(nadd, nlink, nrow, ncol)
     seed: int = 42,
     kernel: str = "rw1",
 ) -> DataFrame:
@@ -284,7 +358,7 @@ def mh_gibbs_count(
     blocked_pairs: DataFrame,
     nsteps: int = 1000,
     burnin: int = 0,
-    lp_link: float = 0.0,
+    lp_link=0.0,  # float | array (capped) | callable(nadd, nlink, nrow, ncol)
     seed: int = 42,
     kernel: str = "rw1",
 ) -> DataFrame:
@@ -348,7 +422,7 @@ def mh_gibbs(
     params,
     rounds: int = 3,
     nsteps_per_round: int = 500,
-    lp_link: float = 0.0,
+    lp_link=0.0,  # float | array (capped) | callable(nadd, nlink, nrow, ncol)
     seed: int = 42,
     kernel: str = "rw1",
 ):

@@ -174,6 +174,70 @@ def test_kernels_match_exact_posterior(spark, kernel):
         assert abs(got[(ids_a[k], ids_b[k])] - exact[k]) < 0.03, (kernel, k)
 
 
+def test_array_prior_caps_links(spark):
+    """Array prior of length 1 = hard cap at one link (logpCRatios_add
+    returns -Inf beyond the array): even with strongly positive weights no
+    two pairs are ever linked simultaneously."""
+    rows = [(1, 101, 6.0, 1), (2, 102, 6.0, 1), (3, 103, 6.0, 1)]
+    df = _pairs_df(spark, rows)
+    n = 3000
+    trace = mcmc.mh_gibbs_trace(df, nsteps=n, lp_link=[0.5], seed=29).toPandas()
+    # at every step at most one interval is open
+    events = []
+    for r in trace.itertuples():
+        events.append((r.start, 1))
+        events.append((r.stop + 1, -1))
+    live = 0
+    for _, d in sorted(events):
+        live += d
+        assert live <= 1
+    # and the chain does link (the cap binds, not a frozen chain)
+    assert trace["stop"].sub(trace["start"]).add(1).sum() > n * 0.5
+
+
+def test_function_prior_matches_enumeration(spark):
+    """Beta-bipartite function prior: chain marginals match brute-force
+    enumeration with the prior folded in (logpCRatios function form)."""
+    import math
+
+    import numpy as np
+
+    prior = mcmc.betabipartite_log_ratio(1.0, 1.0)
+    ids_a = [1, 1, 2]
+    ids_b = [101, 102, 102]
+    w = [1.2, 0.4, 0.9]
+    rows = [(ids_a[k], ids_b[k], w[k], 1) for k in range(3)]
+    # enumerate matchings, prior log p(n) accumulated from the ratio form
+    import itertools
+
+    nrow, ncol = 2, 2
+    states = []
+    for r in range(4):
+        for sub in itertools.combinations(range(3), r):
+            rr = [ids_a[k] for k in sub]
+            cc = [ids_b[k] for k in sub]
+            if len(set(rr)) == len(rr) and len(set(cc)) == len(cc):
+                states.append(sub)
+
+    def logprior(n):
+        return sum(prior(1, m, nrow, ncol) for m in range(n))
+
+    logp = np.array([sum(w[k] for k in s) + logprior(len(s)) for s in states])
+    p = np.exp(logp - logp.max())
+    p /= p.sum()
+    exact = np.zeros(3)
+    for pi, s in zip(p, states):
+        for k in s:
+            exact[k] += pi
+    n, burn = 60000, 6000
+    out = mcmc.mh_gibbs_count(
+        _pairs_df(spark, rows), nsteps=n, burnin=burn, lp_link=prior, seed=31
+    ).collect()
+    got = {(r["id_a"], r["id_b"]): r["n_linked"] / (n - burn) for r in out}
+    for k in range(3):
+        assert abs(got[(ids_a[k], ids_b[k])] - exact[k]) < 0.03, k
+
+
 def test_trace_count_duality_barker(spark):
     """Trace/count duality holds for the informed kernel too (shared chain
     core, same RNG stream)."""
