@@ -124,6 +124,9 @@ def test_jaro_winkler_bit_parity():
         ]
     )
     assert (batch == dk).all()
+    # and the production kernel (_jw_sims: DuckDB C++ with numpy fallback)
+    sims = C._jw_sims(sa, sb)
+    assert (sims == batch).all()
 
 
 @pytest.mark.parametrize("seed", range(4))
