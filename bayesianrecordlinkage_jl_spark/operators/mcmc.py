@@ -141,6 +141,7 @@ def _run_block_chain(
         min(1, Z/Z') — the barker identity g(1/r)/g(r) = 1/r cancels the
         likelihood ratio out of the acceptance. O(npairs) per step: use on
         poorly-mixing dense blocks.
+      * "gibbs" — singlerow/singlecol exact Gibbs scans (see inline note).
     """
     npairs = len(w)
     open_at: dict[int, int] = {}
@@ -234,6 +235,54 @@ def _run_block_chain(
                 ev = move_events(k, kr, kc)
                 apply_arrays(ev)
                 record(ev, step0 + 1)
+    elif kernel == "gibbs":
+        # singlerow_gibbs! / singlecol_gibbs! analog
+        # (/root/reference/src/move_functions.jl:1229-1361): pick a random
+        # row or column, then sample its assignment EXACTLY from the
+        # conditional posterior given the rest of the matching — options
+        # are its candidate pairs whose other endpoint is free (or itself)
+        # plus "unlinked"; weights exp(w + lp_add(nlink_without_self))
+        # relative to unlinked. Exact Gibbs: always invariant, no
+        # accept/reject.
+        row_pairs: list[list[int]] = [[] for _ in range(len(rows))]
+        col_pairs: list[list[int]] = [[] for _ in range(len(cols))]
+        for k in range(npairs):
+            row_pairs[int(ra[k])].append(k)
+            col_pairs[int(ca[k])].append(k)
+        nsides = len(rows) + len(cols)
+        picks = rng.integers(0, nsides, size=nsteps)
+        for step0 in range(nsteps):
+            t = int(picks[step0])
+            if t < len(rows):
+                cur = int(row_link[t])
+                opts = [
+                    k for k in row_pairs[t]
+                    if col_link[ca[k]] < 0 or k == cur
+                ]
+            else:
+                c = t - len(rows)
+                cur = int(col_link[c])
+                opts = [
+                    k for k in col_pairs[c]
+                    if row_link[ra[k]] < 0 or k == cur
+                ]
+            n_rest = nlink[0] - (1 if cur >= 0 else 0)
+            lpa = lp_add(n_rest)
+            logw = np.array([w[k] + lpa for k in opts] + [0.0])
+            m = logw.max()
+            p = np.exp(logw - m)
+            p /= p.sum()
+            choice = int(rng.choice(len(opts) + 1, p=p))
+            new = opts[choice] if choice < len(opts) else -1
+            if new == cur:
+                continue
+            ev: list[tuple[str, int]] = []
+            if cur >= 0:
+                ev.append(("unlink", cur))
+            if new >= 0:
+                ev.append(("link", new))
+            apply_arrays(ev)
+            record(ev, step0 + 1)
     elif kernel == "barker":
         ks = np.arange(npairs)
 

@@ -151,7 +151,7 @@ def test_doubleswitch_mixes_partner_swaps(spark):
         assert 0.35 < freq < 0.65, (r["id_a"], r["id_b"], freq)
 
 
-@pytest.mark.parametrize("kernel", ["rw1", "barker"])
+@pytest.mark.parametrize("kernel", ["rw1", "barker", "gibbs"])
 def test_kernels_match_exact_posterior(spark, kernel):
     """Both kernels converge to the exact matching posterior (brute-force
     enumeration) on a 2x2 block with mixed weights."""
