@@ -176,17 +176,36 @@ def salt_buckets(
     zero vectors). Members landing in different salts of a hot bucket are
     not compared — bounded recall traded for bounded executor memory; use
     bucket_cap_stats for what got split (no silent truncation). Normal
-    buckets (n <= cap) get n_salts = 1, i.e. behavior is unchanged.
-    The window count shuffles on the same key as the subsequent join."""
-    from pyspark.sql import Window
+    buckets (n <= cap) get salt 0, i.e. behavior is unchanged.
 
+    Plan shape: a map-side-combined groupBy count finds the HOT keys only
+    (cardinality bounded by total_rows / cap, tiny in practice), which are
+    broadcast back — no full-data window shuffle. Equivalent to the
+    window formulation the SQL twin uses (ceil(n/cap) = 1 -> salt 0 for
+    every non-hot key)."""
     if max_bucket_rows is None:
         return df.withColumn("_bsalt", F.lit(0))
-    n = F.count(F.lit(1)).over(Window.partitionBy(key_col))
-    n_salts = F.ceil(n.cast("double") / F.lit(float(max_bucket_rows)))
-    return df.withColumn(
-        "_bsalt",
-        F.pmod(T.phash(F.col(id_col).cast("string")), n_salts).cast("int"),
+    hot = (
+        df.groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > max_bucket_rows)
+        .withColumn(
+            "_nsalts",
+            F.ceil(F.col("_n").cast("double") / F.lit(float(max_bucket_rows))),
+        )
+        .drop("_n")
+    )
+    return (
+        df.join(F.broadcast(hot), on=key_col, how="left")
+        .withColumn(
+            "_bsalt",
+            F.when(F.col("_nsalts").isNull(), F.lit(0))
+            .otherwise(
+                F.pmod(T.phash(F.col(id_col).cast("string")), F.col("_nsalts"))
+            )
+            .cast("int"),
+        )
+        .drop("_nsalts")
     )
 
 
