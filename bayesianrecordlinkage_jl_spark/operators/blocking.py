@@ -104,6 +104,7 @@ def lsh_blocking(
             F.first("_shh").alias("_shh"),
             *[F.first(c).alias(c) for c in carry],
         )
+        .localCheckpoint()  # shingle pass consumed 3x (hot-key agg + 2 sides)
     )
     banded = hashed.select(
         "_id",

@@ -191,6 +191,9 @@ def minhash_lsh_pairs(
     boilerplate text hashing to one key) are split by a deterministic salt
     (blocking.salt_buckets) so no bucket goes quadratic."""
     from .blocking import salt_buckets
+    # localCheckpoint: the md5 shingle pass is consumed three times (hot-key
+    # count, join side a, join side b) — materialize it once. n_docs rows of
+    # (id, hash array): small relative to the text it derives from.
     hashed = (
         _spread(df, id_col)
         .select(
@@ -199,6 +202,7 @@ def minhash_lsh_pairs(
         )
         .groupBy("_id")
         .agg(F.first("_shh").alias("_shh"))
+        .localCheckpoint()
     )
     banded = hashed.select(
         "_id",
@@ -285,6 +289,7 @@ def simhash_pairs(
         )
         .groupBy("_id")
         .agg(F.first("_sh").alias("_sh"))
+        .localCheckpoint()  # fingerprint pass consumed 3x (see minhash)
     )
     chunks = sh.select(
         "_id",
@@ -383,7 +388,7 @@ def embedding_cosine_pairs(
     bucket = hyperplane_bucket(F.col(vec_col), dim, n_planes)
     base = _spread(df, id_col).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), bucket.alias("_bk")
-    )
+    ).localCheckpoint()  # bucket projection consumed 3x (see minhash)
     base = salt_buckets(base, "_bk", "_id", max_bucket_rows)
     a = base.select(
         F.col("_id").alias("id_a"), F.col("_v").alias("va"), "_bk", "_bsalt"
