@@ -235,6 +235,48 @@ def _run_block_chain(
                 ev = move_events(k, kr, kc)
                 apply_arrays(ev)
                 record(ev, step0 + 1)
+    elif kernel == "rw2":
+        # randomwalk2_update! analog
+        # (/root/reference/src/move_functions.jl:936-1149): sample a row
+        # uniformly; unlinked rows add to a uniform FREE candidate col,
+        # linked rows remove (always when no free col; else with prob p)
+        # or colswitch to a uniform free col. Asymmetric proposal — the
+        # reference's move-count corrections are applied to the MH delta.
+        P_REMOVE = 0.5
+        row_cand: list[list[int]] = [[] for _ in range(len(rows))]
+        for k in range(npairs):
+            row_cand[int(ra[k])].append(k)
+        for step0 in range(nsteps):
+            r = int(rng.integers(0, len(rows)))
+            cur = int(row_link[r])
+            open_ks = [k for k in row_cand[r] if col_link[ca[k]] < 0]
+            if cur < 0:
+                if not open_ks:
+                    continue  # reference recurses; a no-op step is the
+                    # sparse-safe equivalent (self-loop proposal)
+                k = open_ks[int(rng.integers(0, len(open_ks)))]
+                d = w[k] + lp_add(nlink[0])
+                if len(open_ks) > 1:
+                    d += np.log(P_REMOVE) + np.log(len(open_ks))
+                ev = [("link", k)]
+            elif not open_ks:
+                d = -w[cur] + lp_remove(nlink[0])
+                ev = [("unlink", cur)]
+            elif rng.random() < P_REMOVE:
+                d = (
+                    -w[cur]
+                    + lp_remove(nlink[0])
+                    - np.log(len(open_ks) + 1)
+                    - np.log(P_REMOVE)
+                )
+                ev = [("unlink", cur)]
+            else:
+                k = open_ks[int(rng.integers(0, len(open_ks)))]
+                d = w[k] - w[cur]
+                ev = [("unlink", cur), ("link", k)]
+            if np.log(rng.random()) < d:
+                apply_arrays(ev)
+                record(ev, step0 + 1)
     elif kernel == "gibbs":
         # singlerow_gibbs! / singlecol_gibbs! analog
         # (/root/reference/src/move_functions.jl:1229-1361): pick a random
