@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Extended oracle-parity sweep at a larger scale factor (default sf0.1,
+10x the driver's correctness gate): every oracle-backed catalog query is
+checked value-identical against DuckDB — row count, sorted-column schema,
+exact values (floats bitwise). Prints one line per query + a summary.
+
+Usage: python scripts/parity_sweep.py [SF_DIR]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+import duckdb  # noqa: E402
+import numpy as np  # noqa: E402
+import pandas as pd  # noqa: E402
+
+import __spark_entry__ as entrymod  # noqa: E402
+from bayesianrecordlinkage_jl_spark.session import get_spark  # noqa: E402
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns), ignore_index=True)
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("parity-sweep")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    queries = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    ok = bad = skipped = 0
+    for name in sorted(queries):
+        sql = oracles.get(name)
+        if sql is None:
+            skipped += 1
+            continue
+        t0 = time.time()
+        try:
+            a = canon(queries[name](spark, sf).toPandas())
+            t1 = time.time()
+            b = canon(con.sql(sql).df())
+            t2 = time.time()
+            assert list(a.columns) == list(b.columns), "schema"
+            assert len(a) == len(b), f"rows {len(a)} vs {len(b)}"
+            for c in a.columns:
+                x, y = a[c].values, b[c].values
+                if x.dtype.kind == "f" or y.dtype.kind == "f":
+                    assert np.array_equal(
+                        x.astype(float), y.astype(float)
+                    ), f"values {c}"
+                else:
+                    assert (
+                        pd.Series(x).astype(str) == pd.Series(y).astype(str)
+                    ).all(), f"values {c}"
+            ok += 1
+            print(
+                f"PASS {name}: {len(a)} rows "
+                f"(spark {t1 - t0:.1f}s, duckdb {t2 - t1:.1f}s)",
+                flush=True,
+            )
+        except Exception as e:  # noqa: BLE001
+            bad += 1
+            print(f"FAIL {name}: {e}", flush=True)
+    print(f"SUMMARY sf={sf}: {ok} pass, {bad} fail, {skipped} rows-only")
+
+
+if __name__ == "__main__":
+    main()
