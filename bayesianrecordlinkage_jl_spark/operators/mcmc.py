@@ -325,27 +325,52 @@ def _run_block_chain(
                 ev.append(("link", new))
             apply_arrays(ev)
             record(ev, step0 + 1)
-    elif kernel == "barker":
+    elif kernel in ("barker", "sqrt", "min1", "max1"):
+        # locally-balanced informed proposal for the whole balancing-g
+        # family (functions/balancing.py log-space forms). Any valid g
+        # satisfies g(t) = t*g(1/t), so r * g(1/r)/g(r) = 1 and the MH
+        # acceptance reduces to min(1, Z/Z') for every member.
         ks = np.arange(npairs)
 
-        def weights() -> np.ndarray:
+        def log_g(d: np.ndarray) -> np.ndarray:
+            if kernel == "barker":  # lbarker: stable log-sigmoid
+                out = np.where(
+                    d > 0,
+                    -np.log1p(np.exp(-np.clip(d, 0, None))),
+                    d - np.log1p(np.exp(np.clip(d, None, 0))),
+                )
+            elif kernel == "sqrt":  # lsqrt
+                out = 0.5 * d
+            elif kernel == "min1":  # lmin1
+                out = np.minimum(d, 0.0)
+            else:  # lmax1
+                out = np.maximum(d, 0.0)
+            # invalid moves (delta = -inf, e.g. missing doubleswitch
+            # partner) must stay weight-0 under every g
+            return np.where(np.isneginf(d), -np.inf, out)
+
+        def log_weights() -> np.ndarray:
             d = np.array(
                 [
                     move_delta(k, int(row_link[ra[k]]), int(col_link[ca[k]]))
                     for k in range(npairs)
                 ]
             )
-            # barker balancing g(e^d) = sigmoid(d); stable for large |d|
-            return 1.0 / (1.0 + np.exp(-np.clip(d, -700, 700)))
+            return log_g(d)
+
+        def logsumexp(lw: np.ndarray) -> float:
+            m = lw.max()
+            return float(m + np.log(np.exp(lw - m).sum()))
 
         for step0 in range(nsteps):
-            g = weights()
-            z = g.sum()
-            k = int(rng.choice(ks, p=g / z))
+            lw = log_weights()
+            lz = logsumexp(lw)
+            p = np.exp(lw - lz)
+            k = int(rng.choice(ks, p=p / p.sum()))
             ev = move_events(k, int(row_link[ra[k]]), int(col_link[ca[k]]))
             apply_arrays(ev)
-            z2 = weights().sum()
-            if np.log(rng.random()) < np.log(z) - np.log(z2):
+            lz2 = logsumexp(log_weights())
+            if np.log(rng.random()) < lz - lz2:
                 record(ev, step0 + 1)
             else:
                 revert_arrays(ev)

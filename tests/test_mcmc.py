@@ -151,7 +151,9 @@ def test_doubleswitch_mixes_partner_swaps(spark):
         assert 0.35 < freq < 0.65, (r["id_a"], r["id_b"], freq)
 
 
-@pytest.mark.parametrize("kernel", ["rw1", "barker", "gibbs", "rw2"])
+@pytest.mark.parametrize(
+    "kernel", ["rw1", "barker", "gibbs", "rw2", "sqrt", "min1"]
+)
 def test_kernels_match_exact_posterior(spark, kernel):
     """Both kernels converge to the exact matching posterior (brute-force
     enumeration) on a 2x2 block with mixed weights."""
@@ -163,7 +165,7 @@ def test_kernels_match_exact_posterior(spark, kernel):
     lp = -0.2
     exact = _exact_marginals(ids_a, ids_b, np.array(w), lp)
     rows = [(ids_a[k], ids_b[k], w[k], 1) for k in range(4)]
-    n = 20000 if kernel in ("barker", "gibbs") else 60000
+    n = 60000 if kernel in ("rw1", "rw2") else 20000
     burn = n // 10
     out = mcmc.mh_gibbs_count(
         _pairs_df(spark, rows), nsteps=n, burnin=burn, lp_link=lp,
