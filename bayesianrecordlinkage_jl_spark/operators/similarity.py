@@ -186,6 +186,140 @@ def lsh_bucketed_topk_sql(
     """
 
 
+def train_centroids(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 8,
+    iters: int = 5,
+    sample_rows: int = 2048,
+) -> list[list[float]]:
+    """Deterministic spherical k-means on a bounded id-ordered sample —
+    the IVF coarse quantizer. Driver numpy on <= sample_rows vectors;
+    deterministic (evenly-spaced init over the ordered sample, fixed
+    iteration count), so the centroid table is a pure literal that both
+    the Spark plan and the DuckDB oracle can share. At full scale swap the
+    trainer for pyspark.ml KMeans (kmeans||) over a sample — the serving
+    path below is unchanged (centroids are a broadcast literal either
+    way)."""
+    import numpy as np
+
+    pdf = df.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).toPandas()
+    X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    idx = np.linspace(0, len(X) - 1, n_centroids).astype(int)
+    C = X[idx].copy()
+    for _ in range(iters):
+        a = np.argmax(X @ C.T, axis=1)
+        for c in range(n_centroids):
+            m = X[a == c]
+            if len(m):
+                v = m.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    C[c] = v / n
+    return [[float(x) for x in row] for row in C]
+
+
+def ivf_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN top-k: corpus vectors live in the inverted list of their
+    nearest centroid (cosine argmax, ties to the smaller cid); each query
+    probes its `nprobe` nearest lists and reranks exactly inside them.
+
+    The candidate join is an equi-join on cid — the IVF analog of the
+    sign-LSH bucket join; recall is controlled by nprobe (the standard
+    IVF knob). Centroids ride as a broadcast literal table."""
+    spark = df.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cid int, _c array<double>"
+    )
+    corpus = df.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("_v"))
+    ca = corpus.crossJoin(F.broadcast(cdf)).select(
+        "item_id", "_v", "cid", cosine(F.col("_v"), F.col("_c")).alias("cscore")
+    )
+    w1 = Window.partitionBy("item_id").orderBy(F.desc("cscore"), F.asc("cid"))
+    assign = (
+        ca.withColumn("_r", F.row_number().over(w1))
+        .where(F.col("_r") == 1)
+        .select("item_id", "_v", "cid")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q")
+    )
+    qa = q.crossJoin(F.broadcast(cdf)).select(
+        "query_id", "_q", "cid", cosine(F.col("_q"), F.col("_c")).alias("cscore")
+    )
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cscore"), F.asc("cid"))
+    probes = (
+        qa.withColumn("_r", F.row_number().over(w2))
+        .where(F.col("_r") <= nprobe)
+        .select("query_id", "_q", "cid")
+    )
+    cand = assign.join(probes, on="cid").where(
+        F.col("item_id") != F.col("query_id")
+    )
+    scored = cand.select(
+        "query_id", "item_id", cosine(F.col("_q"), F.col("_v")).alias("sim")
+    )
+    w3 = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w3))
+        .where(F.col("rank") <= k)
+        .select("query_id", "item_id", "sim", "rank")
+    )
+
+
+def ivf_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_filter: str,
+    centroids: list[list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+) -> str:
+    vals = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(_flit(x) for x in c) + "])"
+        for i, c in enumerate(centroids)
+    )
+    cos_assign = cosine_sql("c._v", "ct._c")
+    cos_probe = cosine_sql("q._q", "ct._c")
+    cos = cosine_sql("p._q", "a._v")
+    return f"""
+    WITH cents(cid, _c) AS (VALUES {vals}),
+    corpus AS (SELECT {id_col} AS item_id, {vec_col} AS _v FROM {table}),
+    ca AS (SELECT c.item_id, c._v, ct.cid, {cos_assign} AS cscore
+           FROM corpus c CROSS JOIN cents ct),
+    assign AS (SELECT item_id, _v, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY item_id
+                  ORDER BY cscore DESC, cid ASC) AS _r FROM ca) WHERE _r = 1),
+    q AS (SELECT {id_col} AS query_id, {vec_col} AS _q FROM {table}
+          WHERE {query_filter}),
+    qa AS (SELECT q.query_id, q._q, ct.cid, {cos_probe} AS cscore
+           FROM q CROSS JOIN cents ct),
+    probes AS (SELECT query_id, _q, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cscore DESC, cid ASC) AS _r FROM qa)
+        WHERE _r <= {nprobe}),
+    scored AS (SELECT p.query_id, a.item_id, {cos} AS sim
+               FROM assign a JOIN probes p
+                 ON a.cid = p.cid AND a.item_id != p.query_id)
+    SELECT query_id, item_id, sim, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY sim DESC, item_id ASC) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
 def lsh_bucketed_topk(
     df: DataFrame,
     id_col: str,

@@ -1048,6 +1048,35 @@ def build_catalog() -> dict[str, dict]:
         "ref": "IVF/LSH-bucketed ANN (scale path for brute-force cosine top-k)",
     }
 
+    # --- IVF ANN (coarse-quantizer inverted lists + nprobe rerank) ---
+    # Centroids: spherical k-means trained ONCE by similarity.train_centroids
+    # on the sf0.01 embeddings (id-ordered 2048-row sample, k=8, 5 Lloyd
+    # iters) and frozen to ivf_centroids.json so the same literal quantizer
+    # feeds the Spark plan and the DuckDB oracle at every sf (parity is
+    # quantizer-independent; recall quality is what training buys).
+    import json as _json
+    import os as _os
+
+    with open(
+        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      "ivf_centroids.json")
+    ) as _f:
+        ivf_cents = _json.load(_f)
+
+    cat["embedding_topk_ivf"] = {
+        "spark": lambda s, d: similarity.ivf_topk(
+            load(s, d, "embeddings"), "vec_id", "embedding",
+            load(s, d, "embeddings").where(F.col("vec_id") < TOPK_QUERY_MAX_ID),
+            ivf_cents, k=TOPK, nprobe=2,
+        ),
+        "sql": similarity.ivf_topk_sql(
+            "embeddings", "vec_id", "embedding",
+            f"vec_id < {TOPK_QUERY_MAX_ID}", ivf_cents, k=TOPK, nprobe=2,
+        ),
+        "ref": "IVF ANN scale path (inverted centroid lists + nprobe exact "
+        "rerank; similarity.train_centroids / ivf_topk)",
+    }
+
     # --- multimodal plumbing (decode kernel stubbed; byte-histogram oracle) ---
     def _multimodal(s: SparkSession, d: str) -> DataFrame:
         from ..operators import multimodal

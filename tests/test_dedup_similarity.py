@@ -201,6 +201,34 @@ def test_lsh_bucketed_topk_recall(spark):
     assert 7 in set(out["item_id"])
 
 
+def test_ivf_topk_recall_and_determinism(spark):
+    """IVF top-k: trained centroids are deterministic; with clustered data
+    and nprobe=2 the IVF result recovers most of the brute-force top-k
+    (recall knob), every emitted (query,item) also appears in brute force
+    at the same sim."""
+    rng = np.random.default_rng(3)
+    centers = rng.normal(size=(4, 16))
+    rows = []
+    for i in range(200):
+        c = i % 4
+        v = centers[c] + 0.15 * rng.normal(size=16)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    c1 = similarity.train_centroids(df, "vec_id", "embedding", n_centroids=4)
+    c2 = similarity.train_centroids(df, "vec_id", "embedding", n_centroids=4)
+    assert c1 == c2
+    q = df.where(F.col("vec_id") < 8)
+    ivf = similarity.ivf_topk(df, "vec_id", "embedding", q, c1, k=5, nprobe=2).toPandas()
+    bf = similarity.brute_force_topk(df, "vec_id", "embedding", q, k=5).toPandas()
+    bf_pairs = set(zip(bf["query_id"], bf["item_id"]))
+    ivf_pairs = set(zip(ivf["query_id"], ivf["item_id"]))
+    assert len(ivf_pairs & bf_pairs) / len(bf_pairs) >= 0.8
+    bsim = bf.set_index(["query_id", "item_id"])["sim"]
+    for (qq, it), s in ivf.set_index(["query_id", "item_id"])["sim"].items():
+        if (qq, it) in bf_pairs:
+            assert s == bsim.loc[(qq, it)]
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synthesize_media(spark, n=24)
     fcols = [f"f{k}" for k in range(8)]
