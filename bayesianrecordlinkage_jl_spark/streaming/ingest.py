@@ -87,8 +87,7 @@ def dedup_on_fingerprint(
 
     Input must carry (fingerprint, url, warc_ts, text, lang).
     """
-    import pandas as pd
-    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.streaming.state import GroupStateTimeout
 
     out_schema = (
         "fingerprint string, url string, warc_ts timestamp, "
@@ -96,7 +95,25 @@ def dedup_on_fingerprint(
     )
     state_schema = "first_url string, n_dups long"
 
-    def fn(key, pdfs, state: GroupState):
+    return (
+        stream.withWatermark("warc_ts", watermark)
+        .groupBy("fingerprint")
+        .applyInPandasWithState(
+            _fingerprint_reducer(state_timeout_ms),
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def _fingerprint_reducer(state_timeout_ms: int):
+    """The applyInPandasWithState handler for dedup_on_fingerprint —
+    module-level factory so the timeout path is unit-testable."""
+    import pandas as pd
+
+    def fn(key, pdfs, state):
         if state.hasTimedOut:
             # Timeout invocation: Spark passes an empty batch iterator; the
             # only correct move is to expire the state (this is what bounds
@@ -115,19 +132,11 @@ def dedup_on_fingerprint(
         first["n_dups"] = len(rows) - 1
         state.update((str(first["url"].iloc[0]), int(len(rows) - 1)))
         state.setTimeoutDuration(state_timeout_ms)
-        return iter([first[["fingerprint", "url", "warc_ts", "text", "lang", "n_dups"]]])
-
-    return (
-        stream.withWatermark("warc_ts", watermark)
-        .groupBy("fingerprint")
-        .applyInPandasWithState(
-            fn,
-            outputStructType=out_schema,
-            stateStructType=state_schema,
-            outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        return iter(
+            [first[["fingerprint", "url", "warc_ts", "text", "lang", "n_dups"]]]
         )
-    )
+
+    return fn
 
 
 def windowed_crawl_stats(stream: DataFrame, window: str = "1 hour") -> DataFrame:

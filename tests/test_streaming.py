@@ -67,6 +67,34 @@ def test_windowed_crawl_stats(spark, stream_dirs):
     assert got.agg(F.sum("n_pages")).collect()[0][0] == total_rows
 
 
+def test_fingerprint_reducer_timeout_path():
+    """On a state timeout Spark invokes the handler with an EMPTY batch
+    iterator: it must expire the state (that's what bounds the store) and
+    emit nothing — never touch pd.concat on the empty iterator."""
+
+    class FakeState:
+        def __init__(self):
+            self.hasTimedOut = True
+            self.removed = False
+            self.exists = True
+            self.get = ("u", 3)
+
+        def remove(self):
+            self.removed = True
+
+        def update(self, v):  # pragma: no cover - must not be called
+            raise AssertionError("update on timed-out state")
+
+        def setTimeoutDuration(self, ms):  # pragma: no cover
+            raise AssertionError("timeout reset on timed-out state")
+
+    fn = ingest._fingerprint_reducer(1000)
+    state = FakeState()
+    out = list(fn(("fp",), iter(()), state))
+    assert out == []
+    assert state.removed
+
+
 def test_stateful_fingerprint_dedup(spark, stream_dirs):
     """applyInPandasWithState: exactly one emission per content fingerprint
     across the whole stream (re-crawled urls share fingerprints)."""
