@@ -127,6 +127,61 @@ def features_oracle_sql(n: int = 64, dim: int = 8, payload_bytes: int = 256) -> 
     """
 
 
+def resize_plan(
+    media: DataFrame, max_w: int = 256, max_h: int = 256
+) -> DataFrame:
+    """Resize planning over image/video metadata: aspect-preserving target
+    dims, never upscaled — pure Catalyst arithmetic over the metadata
+    columns (the parquet scan never touches the payload blob; column
+    pruning is the point of keeping dims top-level). The pixel resample
+    itself is the decode-kernel slot (stubbed in this environment)."""
+    w = F.col("width").cast("double")
+    h = F.col("height").cast("double")
+    scale = F.least(
+        F.lit(1.0), F.lit(float(max_w)) / w, F.lit(float(max_h)) / h
+    )
+    return media.where(
+        F.col("mime").startswith("image/") | F.col("mime").startswith("video/")
+    ).select(
+        "media_id",
+        "width",
+        "height",
+        F.greatest(F.lit(1), F.floor(w * scale)).cast("int").alias("target_w"),
+        F.greatest(F.lit(1), F.floor(h * scale)).cast("int").alias("target_h"),
+        (scale < 1.0).alias("downscaled"),
+    )
+
+
+def resize_plan_oracle_sql(n: int = 64, max_w: int = 256, max_h: int = 256) -> str:
+    """DuckDB twin over the synthesize_media metadata formulas (pure
+    integer arithmetic; float ops are division/least/floor — IEEE-identical
+    in both engines, no transcendentals)."""
+    return f"""
+    WITH m AS (
+      SELECT range AS media_id,
+             CAST((range * 37) % 1920 + 1 AS INT) AS width,
+             CAST((range * 53) % 1080 + 1 AS INT) AS height,
+             CASE WHEN range % 3 = 0 THEN 'image/png'
+                  WHEN range % 3 = 1 THEN 'audio/wav'
+                  ELSE 'video/mp4' END AS mime
+      FROM range({n})
+    ),
+    s AS (
+      SELECT *, least(1.0e0, {float(max_w)!r}e0 / CAST(width AS DOUBLE),
+                      {float(max_h)!r}e0 / CAST(height AS DOUBLE)) AS scale
+      FROM m
+      WHERE mime LIKE 'image/%' OR mime LIKE 'video/%'
+    )
+    SELECT media_id, width, height,
+           CAST(greatest(1, floor(CAST(width AS DOUBLE) * scale)) AS INT)
+             AS target_w,
+           CAST(greatest(1, floor(CAST(height AS DOUBLE) * scale)) AS INT)
+             AS target_h,
+           scale < 1.0e0 AS downscaled
+    FROM s
+    """
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling plan: one row per (media_id, frame_ts_ms) —
     pure Catalyst sequence explode; the decode of each frame would be a

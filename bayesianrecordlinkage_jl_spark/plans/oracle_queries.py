@@ -1086,6 +1086,20 @@ def build_catalog() -> dict[str, dict]:
 
     from ..operators.multimodal import features_oracle_sql
 
+    def _multimodal_resize(s: SparkSession, d: str) -> DataFrame:
+        from ..operators import multimodal
+
+        return multimodal.resize_plan(multimodal.synthesize_media(s, n=64))
+
+    from ..operators.multimodal import resize_plan_oracle_sql
+
+    cat["multimodal_resize"] = {
+        "spark": _multimodal_resize,
+        "sql": resize_plan_oracle_sql(n=64),
+        "ref": "metadata-only resize planning (aspect-preserving, no "
+        "payload scan; the resample is the stubbed decode-kernel slot)",
+    }
+
     cat["multimodal_features"] = {
         "spark": _multimodal,
         "sql": features_oracle_sql(n=64, dim=8, payload_bytes=256),
