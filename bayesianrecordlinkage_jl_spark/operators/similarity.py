@@ -242,15 +242,35 @@ def ivf_topk(
         [(i, c) for i, c in enumerate(centroids)], "cid int, _c array<double>"
     )
     corpus = df.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("_v"))
-    ca = corpus.crossJoin(F.broadcast(cdf)).select(
-        "item_id", "_v", "cid", cosine(F.col("_v"), F.col("_c")).alias("cscore")
+    # corpus assignment is a MAP-SIDE running argmax over the centroid
+    # literal array — no explode, no shuffle of the (huge) corpus side.
+    # Strict > keeps the first max, i.e. ties go to the smaller cid —
+    # identical to the oracle's ORDER BY cscore DESC, cid ASC.
+    cents_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cid"),
+                F.array(*[F.lit(x) for x in c]).alias("cv"),
+            )
+            for i, c in enumerate(centroids)
+        ]
     )
-    w1 = Window.partitionBy("item_id").orderBy(F.desc("cscore"), F.asc("cid"))
-    assign = (
-        ca.withColumn("_r", F.row_number().over(w1))
-        .where(F.col("_r") == 1)
-        .select("item_id", "_v", "cid")
-    )
+
+    def _best_cid(v: Column) -> Column:
+        return F.aggregate(
+            cents_arr,
+            F.struct(
+                F.lit(float("-inf")).alias("s"), F.lit(-1).alias("cid")
+            ),
+            lambda acc, ct: F.when(
+                cosine(v, ct["cv"]) > acc["s"],
+                F.struct(
+                    cosine(v, ct["cv"]).alias("s"), ct["cid"].alias("cid")
+                ),
+            ).otherwise(acc),
+        )["cid"]
+
+    assign = corpus.select("item_id", "_v", _best_cid(F.col("_v")).alias("cid"))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q")
     )

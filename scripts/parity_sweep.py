@@ -4,7 +4,8 @@
 checked value-identical against DuckDB — row count, sorted-column schema,
 exact values (floats bitwise). Prints one line per query + a summary.
 
-Usage: python scripts/parity_sweep.py [SF_DIR]
+Usage: python scripts/parity_sweep.py [SF_DIR] [query_name ...]
+(trailing args restrict the sweep to the named queries)
 """
 
 from __future__ import annotations
@@ -36,6 +37,7 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 def main() -> None:
     sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    only = set(sys.argv[2:])
     spark = get_spark("parity-sweep")
     con = duckdb.connect()
     for t in TABLES:
@@ -44,6 +46,8 @@ def main() -> None:
     oracles = entrymod.oracle_sql()
     ok = bad = skipped = 0
     for name in sorted(queries):
+        if only and name not in only:
+            continue
         sql = oracles.get(name)
         if sql is None:
             skipped += 1
