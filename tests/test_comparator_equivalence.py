@@ -129,6 +129,31 @@ def test_jaro_winkler_bit_parity():
     assert (sims == batch).all()
 
 
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=150, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(st.text(max_size=24), st.text(max_size=24)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def test_jw_batch_equals_scalar_hypothesis(pairs):
+        """Property: the batch JW kernel is bit-identical to the scalar
+        reference on arbitrary unicode inputs (hypothesis-generated)."""
+        sa = np.array([p[0] for p in pairs], dtype=object)
+        sb = np.array([p[1] for p in pairs], dtype=object)
+        batch = C._jaro_winkler_batch(sa, sb)
+        scal = np.array([C._jaro_winkler(a, b) for a, b in pairs])
+        assert (batch == scal).all()
+
+except ImportError:  # pragma: no cover
+    pass
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_solver_variants_agree_on_blocks(spark, seed):
     """All one-to-one methods produce the same total weight per block (the
