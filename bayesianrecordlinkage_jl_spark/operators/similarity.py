@@ -237,51 +237,52 @@ def ivf_topk(
     The candidate join is an equi-join on cid — the IVF analog of the
     sign-LSH bucket join; recall is controlled by nprobe (the standard
     IVF knob). Centroids ride as a broadcast literal table."""
-    spark = df.sparkSession
-    cdf = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "cid int, _c array<double>"
-    )
+    import math
+
     corpus = df.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("_v"))
-    # corpus assignment is a MAP-SIDE running argmax over the centroid
-    # literal array — no explode, no shuffle of the (huge) corpus side.
-    # Strict > keeps the first max, i.e. ties go to the smaller cid —
-    # identical to the oracle's ORDER BY cscore DESC, cid ASC.
-    cents_arr = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("cid"),
-                F.array(*[F.lit(x) for x in c]).alias("cv"),
-            )
-            for i, c in enumerate(centroids)
-        ]
+
+    def _py_norm(c: list[float]) -> float:
+        """Centroid norm computed with the SAME sequential IEEE op order as
+        both engines' folds (left-to-right acc += x*x, then sqrt), so
+        embedding it as a literal keeps the cosine bit-exact."""
+        acc = 0.0
+        for x in c:
+            acc += x * x
+        return math.sqrt(acc)
+
+    # centroid scores as ONE array column: 1 hoisted vector-norm + k
+    # literal-dot products per row (centroid norms are Python constants);
+    # the corpus assignment is then a MAP-SIDE argmax (array_position of
+    # the max — first occurrence, i.e. ties to the smaller cid, identical
+    # to the oracle's ORDER BY cscore DESC, cid ASC). No explode, no
+    # shuffle of the (huge) corpus side.
+    def _cent_scores(v: Column, nv: Column) -> Column:
+        return F.array(
+            *[
+                _dot(v, F.array(*[F.lit(x) for x in c]))
+                / (nv * F.lit(_py_norm(c)))
+                for c in centroids
+            ]
+        )
+
+    corpus = corpus.withColumn("_nv", _norm(F.col("_v")))
+    sc = _cent_scores(F.col("_v"), F.col("_nv"))
+    assign = corpus.select(
+        "item_id",
+        "_v",
+        (F.array_position(sc, F.array_max(sc)) - 1).cast("int").alias("cid"),
     )
-
-    def _best_cid(v: Column) -> Column:
-        return F.aggregate(
-            cents_arr,
-            F.struct(
-                F.lit(float("-inf")).alias("s"), F.lit(-1).alias("cid")
-            ),
-            lambda acc, ct: F.when(
-                cosine(v, ct["cv"]) > acc["s"],
-                F.struct(
-                    cosine(v, ct["cv"]).alias("s"), ct["cid"].alias("cid")
-                ),
-            ).otherwise(acc),
-        )["cid"]
-
-    assign = corpus.select("item_id", "_v", _best_cid(F.col("_v")).alias("cid"))
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q")
-    )
-    qa = q.crossJoin(F.broadcast(cdf)).select(
-        "query_id", "_q", "cid", cosine(F.col("_q"), F.col("_c")).alias("cscore")
-    )
+    ).withColumn("_nq", _norm(F.col("_q")))
+    qa = q.select(
+        "query_id", "_q", F.posexplode(_cent_scores(F.col("_q"), F.col("_nq")))
+    ).withColumnsRenamed({"pos": "cid", "col": "cscore"})
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cscore"), F.asc("cid"))
     probes = (
         qa.withColumn("_r", F.row_number().over(w2))
         .where(F.col("_r") <= nprobe)
-        .select("query_id", "_q", "cid")
+        .select("query_id", "_q", F.col("cid").cast("int").alias("cid"))
     )
     cand = assign.join(probes, on="cid").where(
         F.col("item_id") != F.col("query_id")

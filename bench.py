@@ -69,6 +69,19 @@ def main() -> None:
         force(df)
         timings[name] = round(time.time() - t0, 3)
 
+    # round-2 additions, timed outside the headline total so BENCH_r{N}
+    # totals stay comparable across rounds
+    extra_queries: dict[str, float] = {}
+    for name in (
+        "comparison_vectors_jw",
+        "dedup_jaccard_lsh_verified",
+        "embedding_topk_ivf",
+    ):
+        t0 = time.time()
+        force(cat[name]["spark"](spark, SF_DIR))
+        extra_queries[name] = round(time.time() - t0, 3)
+    extras["extra_queries"] = extra_queries
+
     # North-rule throughput metric: candidate-pairs-scored/sec, measured on
     # the lang-only-blocking scoring job (~3.2M pairs at sf0.1) so the rate
     # reflects scoring work, not fixed job-scheduling overhead.
