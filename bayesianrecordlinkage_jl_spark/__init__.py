@@ -15,7 +15,16 @@ Reference entry points mirrored (see SURVEY.md section 2):
   - penalized_likelihood_search_*                 -> operators.map_solver
   - weights_vector / shrink_weights / posterior   -> functions.weights
   - levOrd / boolOrd comparators                  -> functions.comparators
+  - mh_gibbs_count/trace (rw1+doubleswitch, rw2,
+    locally-balanced barker/sqrt/min1/max1, gibbs) -> operators.mcmc
+  - logpCRatios const/array/function priors       -> operators.mcmc
+  - get_groupidcounts_* / get_segmentlinks        -> operators.map_solver
   - read_write_h5 checkpoints                     -> sources.checkpoint
+
+Beyond the reference (training-data pipeline): operators.dedup
+(exact/MinHash-LSH/SimHash/Jaccard incl. LSH-verified scale path, all
+hot-bucket-salted), operators.similarity (brute force / sign-LSH / IVF
+ANN), operators.multimodal, functions.text, streaming.ingest.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
