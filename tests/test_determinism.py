@@ -18,6 +18,13 @@ QUERIES = [
     "dedup_minhash_lsh",
     "embedding_topk",
     "mcmc_bayes_links",
+    # round-2 additions
+    "dedup_jaccard_lsh_verified",
+    "embedding_topk_ivf",
+    "chain_group_counts",
+    "segmentlinks",
+    "threshold_sensitivity",
+    "penalty_path_chain",
 ]
 
 
