@@ -55,23 +55,50 @@ def ngram_jaccard_pairs(
     text_col: str,
     block_cols: list[str],
     min_jaccard_pct: int = 50,
+    max_block_rows: int | None = 1000,
 ) -> DataFrame:
     """Near-dup pairs within equi-join blocks by distinct-token Jaccard
-    (integer-threshold: |I|*100 >= |U|*pct). Returns (id_a, id_b, jac_pct)."""
+    (integer-threshold: |I|*100 >= |U|*pct). Returns (id_a, id_b, jac_pct).
+
+    Blocks larger than `max_block_rows` are salt-split (blocking.salt_buckets
+    — deterministic per id, mirrored bit-for-bit in the SQL twin), bounding
+    the in-block self-join at ~max_block_rows^2 pairs instead of n^2 on a
+    degenerate hot key (one language, boilerplate corpus). Pairs across
+    salts of a hot block are not compared — bounded recall traded for
+    bounded compute; blocks at or under the cap are exhaustively compared
+    exactly as before. For guaranteed sub-quadratic behavior WITH recall
+    control, use ngram_jaccard_pairs_via_lsh (the scale path)."""
+    from .blocking import salt_buckets
+
     toks = F.array_distinct(T.tokens(F.col(text_col)))
     base = _spread(df, id_col).select(
         F.col(id_col).alias("_id"), *block_cols, toks.alias("_toks")
+    ).withColumn(
+        "_bkey",
+        F.concat_ws("|", *[F.col(c).cast("string") for c in block_cols]),
     )
+    # hot-block detection prunes _toks (count only needs _bkey), so the
+    # tokenize projection is not recomputed for the salt aggregate
+    base = salt_buckets(base, "_bkey", "_id", max_block_rows)
     a = base.select(
-        F.col("_id").alias("id_a"), *block_cols, F.col("_toks").alias("toks_a")
+        F.col("_id").alias("id_a"), *block_cols, "_bsalt",
+        F.col("_toks").alias("toks_a"),
     )
     b = base.select(
-        F.col("_id").alias("id_b"), *block_cols, F.col("_toks").alias("toks_b")
+        F.col("_id").alias("id_b"),
+        *[F.col(c).alias(f"_{c}_b") for c in block_cols],
+        "_bsalt",
+        F.col("_toks").alias("toks_b"),
     )
     i = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
     u = F.size(F.array_union(F.col("toks_a"), F.col("toks_b")))
+    joined = a.alias("a").join(
+        b.alias("b"),
+        on=[F.col(f"a.{c}") == F.col(f"b._{c}_b") for c in block_cols]
+        + [F.col("a._bsalt") == F.col("b._bsalt")],
+    )
     return (
-        a.join(b, on=block_cols)
+        joined
         .where(F.col("id_a") < F.col("id_b"))
         .where(i * 100 >= u * min_jaccard_pct)
         .select(
@@ -88,17 +115,29 @@ def ngram_jaccard_pairs_sql(
     text_col: str,
     block_cols: list[str],
     min_jaccard_pct: int = 50,
+    max_block_rows: int | None = 1000,
 ) -> str:
+    from .blocking import salt_buckets_sql
+
     toks = f"list_distinct({T.tokens_sql(text_col)})"
     bc = ", ".join(block_cols)
+    bkey = "concat_ws('|', " + ", ".join(
+        f"CAST({c} AS VARCHAR)" for c in block_cols
+    ) + ")"
+    salt = salt_buckets_sql("_bkey", "_id", max_block_rows)
     on = " AND ".join(f"a.{c} = b.{c}" for c in block_cols)
     i = "len(list_intersect(a._toks, b._toks))"
     u = "len(list_distinct(list_concat(a._toks, b._toks)))"
     return f"""
-    WITH base AS (SELECT {id_col} AS _id, {bc}, {toks} AS _toks FROM {table})
+    WITH base0 AS (
+        SELECT {id_col} AS _id, {bc}, {toks} AS _toks, {bkey} AS _bkey
+        FROM {table}
+    ),
+    base AS (SELECT *, {salt} AS _bsalt FROM base0)
     SELECT a._id AS id_a, b._id AS id_b,
            CAST({i} * 100 / {u} AS DOUBLE) AS jac_pct
-    FROM base a JOIN base b ON {on} AND a._id < b._id
+    FROM base a JOIN base b
+      ON {on} AND a._bsalt = b._bsalt AND a._id < b._id
     WHERE {i} * 100 >= {u} * {min_jaccard_pct}
     """
 

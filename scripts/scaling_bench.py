@@ -34,6 +34,9 @@ def run_level(cpus: int, sf_dir: str) -> dict:
         SPARK_GRAFT_THROUGHPUT_REPLICATE=os.environ.get(
             "SPARK_GRAFT_THROUGHPUT_REPLICATE", "2"
         ),
+        # scaling efficiency is judged on the long throughput job; one
+        # headline rep per level keeps the 2-core run tractable
+        SPARK_GRAFT_BENCH_REPS=os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"),
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],

@@ -130,6 +130,56 @@ def test_hot_bucket_salting_bounds_degenerate_keys(spark):
     assert (stats["n_salts"] == -(-n // cap)).all()
 
 
+def test_ngram_jaccard_block_cap(spark):
+    """Degenerate one-block fixture: 200 near-identical docs under a single
+    (lang) blocking key. The exact path's in-block self-join must be
+    salt-capped to a bounded pair count (not n^2/2), Spark must equal the
+    DuckDB oracle exactly with the cap mirrored, and an under-cap corpus
+    must be byte-identical to the uncapped semantics."""
+    import duckdb
+
+    n, cap = 200, 25
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(n),
+            "text": [f"same boilerplate page text variant {i % 3}" for i in range(n)],
+            "lang": ["en"] * n,
+        }
+    )
+    df = spark.createDataFrame(pdf).cache()
+    full = n * (n - 1) // 2
+
+    got = dedup.ngram_jaccard_pairs(
+        df, "doc_id", "text", ["lang"], 50, max_block_rows=cap
+    ).toPandas()
+    # every pair passes the Jaccard threshold, so the pair count IS the
+    # join size: the cap must bound it well under the 19900 uncapped pairs
+    assert 0 < len(got) < full / 3
+
+    con = duckdb.connect()
+    con.register("documents", pdf)
+    want = con.execute(
+        dedup.ngram_jaccard_pairs_sql(
+            "documents", "doc_id", "text", ["lang"], 50, max_block_rows=cap
+        )
+    ).df()
+    cols = ["id_a", "id_b", "jac_pct"]
+    g = got[cols].sort_values(cols).reset_index(drop=True)
+    w = want[cols].sort_values(cols).reset_index(drop=True).astype(g.dtypes.to_dict())
+    assert g.equals(w)
+
+    # under-cap blocks: capped call == uncapped call (salt 0 everywhere)
+    small = spark.createDataFrame(pdf.head(20)).cache()
+    capped = dedup.ngram_jaccard_pairs(
+        small, "doc_id", "text", ["lang"], 50, max_block_rows=cap
+    ).toPandas().sort_values(cols).reset_index(drop=True)
+    uncapped = dedup.ngram_jaccard_pairs(
+        small, "doc_id", "text", ["lang"], 50, max_block_rows=None
+    ).toPandas().sort_values(cols).reset_index(drop=True)
+    assert capped.equals(uncapped)
+    assert len(uncapped) == 20 * 19 // 2
+
+
 def test_hot_bucket_salting_embedding(spark):
     """Same degenerate-bucket bound for sign-LSH embedding dedup: identical
     vectors all share one bucket; the cap keeps the verify join bounded and
