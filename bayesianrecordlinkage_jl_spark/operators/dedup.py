@@ -410,23 +410,25 @@ def embedding_cosine_pairs(
     min_cosine: float = 0.95,
     n_planes: int = 6,
     max_bucket_rows: int | None = 1000,
+    n_band_sets: int = 6,
 ):
     """Embedding-cosine near-dup pairs: sign-LSH bucket equi-self-join +
     exact cosine verify (>= min_cosine). Returns (id_a, id_b, sim).
     Oversized sign buckets (e.g. zero/duplicate vectors) are salt-split
     (blocking.salt_buckets).
 
-    Recall: vectors at angle theta collide in one sign-LSH bucket with
-    probability (1 - theta/pi)^n_planes; for near-dup thresholds
-    (cos >= .95 -> theta <= 18deg) that is >= 0.5 per band — production
-    would OR several plane sets like MinHash bands; candidates found are
-    verified exactly, so precision is 1."""
+    Recall: one n_planes-plane set collides a theta-angle pair with
+    probability (1 - theta/pi)^n_planes (~0.53 at cos 0.95 with 6 planes),
+    so buckets are OR-ed over `n_band_sets` independent plane sets like
+    MinHash bands: recall 1-(1-p)^n_band_sets (~0.99 at the 6x6 default).
+    Every candidate is verified exactly, so precision is 1 regardless."""
     from .blocking import salt_buckets
-    from .similarity import cosine, hyperplane_bucket
+    from .similarity import band_set_keys, cosine
 
-    bucket = hyperplane_bucket(F.col(vec_col), dim, n_planes)
+    keys = band_set_keys(F.col(vec_col), dim, n_planes, n_band_sets)
     base = _spread(df, id_col).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"), bucket.alias("_bk")
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
+        F.explode(keys).alias("_bk"),
     ).localCheckpoint()  # bucket projection consumed 3x (see minhash)
     base = salt_buckets(base, "_bk", "_id", max_bucket_rows)
     a = base.select(
@@ -438,10 +440,12 @@ def embedding_cosine_pairs(
     return (
         a.join(b, on=["_bk", "_bsalt"])
         .where(F.col("id_a") < F.col("id_b"))
+        # dedupe multi-set collisions BEFORE the exact verify so each
+        # surviving pair pays one cosine; (id_a, id_b) determines (va, vb)
+        .groupBy("id_a", "id_b")
+        .agg(F.first("va").alias("va"), F.first("vb").alias("vb"))
         .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
         .where(F.col("sim") >= min_cosine)
-        .groupBy("id_a", "id_b")
-        .agg(F.first("sim").alias("sim"))
     )
 
 
@@ -453,24 +457,28 @@ def embedding_cosine_pairs_sql(
     min_cosine: float = 0.95,
     n_planes: int = 6,
     max_bucket_rows: int | None = 1000,
+    n_band_sets: int = 6,
 ) -> str:
     from .blocking import salt_buckets_sql
-    from .similarity import cosine_sql, hyperplane_bucket_sql
+    from .similarity import band_set_keys_sql, cosine_sql
 
-    bucket = hyperplane_bucket_sql("_v", dim, n_planes)
-    cos = cosine_sql("a._v", "b._v")
+    bucket = band_set_keys_sql("_v0", dim, n_planes, n_band_sets)
+    cos = cosine_sql("va", "vb")
     salt = salt_buckets_sql("_bk", "_id", max_bucket_rows)
     return f"""
     WITH base0 AS MATERIALIZED (
-      SELECT {id_col} AS _id, {vec_col} AS _v, {bucket} AS _bk FROM {table}
+      SELECT {id_col} AS _id, _v0 AS _v, {bucket} AS _bk
+      FROM (SELECT {id_col}, {vec_col} AS _v0 FROM {table})
     ),
     base AS (SELECT _id, _v, _bk, {salt} AS _bsalt FROM base0),
     cand AS (
-      SELECT a._id AS id_a, b._id AS id_b, {cos} AS sim
+      SELECT a._id AS id_a, b._id AS id_b,
+             any_value(a._v) AS va, any_value(b._v) AS vb
       FROM base a JOIN base b
         ON a._bk = b._bk AND a._bsalt = b._bsalt AND a._id < b._id
+      GROUP BY a._id, b._id
     )
-    SELECT id_a, id_b, any_value(sim) AS sim
-    FROM cand WHERE sim >= {min_cosine!r}e0
-    GROUP BY id_a, id_b
+    SELECT id_a, id_b, sim FROM (
+      SELECT id_a, id_b, {cos} AS sim FROM cand
+    ) WHERE sim >= {min_cosine!r}e0
     """

@@ -157,6 +157,36 @@ def hyperplane_bucket_sql(vec: str, dim: int, n_planes: int = 8, seed: int = 42)
     return "CAST((" + " + ".join(terms) + ") AS INT)"
 
 
+def band_set_keys(
+    vec: Column, dim: int, n_planes: int, n_band_sets: int, seed: int = 42
+) -> Column:
+    """Array of `n_band_sets` INDEPENDENT sign-LSH keys (set s uses planes
+    seeded seed+s; the set index is folded into the key so different sets
+    never equi-join). OR-ing several plane sets is the sign-LSH analog of
+    MinHash bands: a pair at angle theta collides in >= 1 set with
+    probability 1 - (1 - (1-theta/pi)^n_planes)^n_band_sets, which drives
+    near-dup recall -> 1 where a single plane set plateaus around 0.5."""
+    return F.array(
+        *[
+            (
+                F.lit(s << n_planes).cast("long")
+                + hyperplane_bucket(vec, dim, n_planes, seed + s).cast("long")
+            )
+            for s in range(n_band_sets)
+        ]
+    )
+
+
+def band_set_keys_sql(
+    vec: str, dim: int, n_planes: int, n_band_sets: int, seed: int = 42
+) -> str:
+    keys = ", ".join(
+        f"CAST({s << n_planes} + {hyperplane_bucket_sql(vec, dim, n_planes, seed + s)} AS BIGINT)"
+        for s in range(n_band_sets)
+    )
+    return f"unnest([{keys}])"
+
+
 def lsh_bucketed_topk_sql(
     table: str,
     id_col: str,
@@ -165,9 +195,10 @@ def lsh_bucketed_topk_sql(
     dim: int,
     k: int = 5,
     n_planes: int = 8,
+    n_band_sets: int = 8,
 ) -> str:
-    bucket = hyperplane_bucket_sql("_vv", dim, n_planes)
-    cos = cosine_sql("q._q", "c._v")
+    bucket = band_set_keys_sql("_vv", dim, n_planes, n_band_sets)
+    cos = cosine_sql("_q", "_v")
     return f"""
     WITH hashed AS MATERIALIZED (
       SELECT {id_col} AS _id, {vec_col} AS _vv, {bucket} AS _bk FROM {table}
@@ -175,10 +206,13 @@ def lsh_bucketed_topk_sql(
     corpus AS (SELECT _id AS item_id, _vv AS _v, _bk FROM hashed),
     q AS (SELECT _id AS query_id, _vv AS _q, _bk FROM hashed
           WHERE {query_filter.replace(id_col, '_id')}),
-    scored AS (
-      SELECT q.query_id, c.item_id, {cos} AS sim
+    cand AS (
+      SELECT q.query_id, c.item_id,
+             any_value(q._q) AS _q, any_value(c._v) AS _v
       FROM corpus c JOIN q ON c._bk = q._bk AND c.item_id != q.query_id
-    )
+      GROUP BY q.query_id, c.item_id
+    ),
+    scored AS (SELECT query_id, item_id, {cos} AS sim FROM cand)
     SELECT query_id, item_id, sim, rank FROM (
       SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, item_id ASC) AS INT) AS rank
       FROM scored
@@ -349,17 +383,37 @@ def lsh_bucketed_topk(
     dim: int,
     k: int = 5,
     n_planes: int = 8,
+    n_band_sets: int = 8,
 ) -> DataFrame:
-    """ANN: exact rerank within sign-LSH buckets (equi-join on bucket)."""
-    bucket = hyperplane_bucket(F.col(vec_col), dim, n_planes)
+    """ANN: exact rerank within sign-LSH buckets, OR-ed over `n_band_sets`
+    independent plane sets (equi-join on (set, bucket) key).
+
+    Each corpus/query row explodes into n_band_sets keyed rows; candidates
+    hit in several sets are deduped (groupBy pair) BEFORE the exact cosine
+    rerank, so each survivor is scored once. With the 8x8 default a
+    true-neighbor pair at cos >= 0.95 is recalled with p ~ 0.99 (vs ~0.43
+    for one 8-plane set). At 100 TB the explode multiplies the (narrow)
+    bucket-key shuffle by n_band_sets, not the vector payload reranked —
+    the standard MinHash-band trade."""
+    keys = band_set_keys(F.col(vec_col), dim, n_planes, n_band_sets)
     corpus = df.select(
-        F.col(id_col).alias("item_id"), F.col(vec_col).alias("_v"), bucket.alias("_bk")
+        F.col(id_col).alias("item_id"),
+        F.col(vec_col).alias("_v"),
+        F.explode(keys).alias("_bk"),
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q"), bucket.alias("_bk")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("_q"),
+        F.explode(keys).alias("_bk"),
     )
-    joined = corpus.join(q, on="_bk").where(F.col("item_id") != F.col("query_id"))
-    scored = joined.select(
+    cand = (
+        corpus.join(q, on="_bk")
+        .where(F.col("item_id") != F.col("query_id"))
+        # (query_id, item_id) determines (_q, _v): first() is deterministic
+        .groupBy("query_id", "item_id")
+        .agg(F.first("_q").alias("_q"), F.first("_v").alias("_v"))
+    )
+    scored = cand.select(
         "query_id", "item_id", cosine(F.col("_q"), F.col("_v")).alias("sim")
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("item_id"))

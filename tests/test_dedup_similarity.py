@@ -251,6 +251,60 @@ def test_lsh_bucketed_topk_recall(spark):
     assert 7 in set(out["item_id"])
 
 
+def test_multiband_lsh_recall_at_production_threshold(spark):
+    """Round-3 contract: multi-band sign-LSH must recall >= 0.95 of the
+    TRUE near-dup pairs (exact cosine >= 0.95) that a single plane set
+    misses ~half of. Ground truth is numpy brute force over a planted
+    fixture (120 random bases, 100 of them with a perturbed near-copy)."""
+    rng = np.random.default_rng(5)
+    dim, n_base = 16, 120
+    base = rng.normal(size=(n_base, dim))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n_base)]
+    for j in range(100):
+        v = base[j] + 0.08 * rng.normal(size=dim)  # cos ~ 0.97 vs base[j]
+        rows.append((n_base + j, [float(x) for x in v]))
+    X = np.array([r[1] for r in rows])
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    S = Xn @ Xn.T
+    iu = np.triu_indices(len(X), k=1)
+    true_pairs = {
+        (int(a), int(b)) for a, b in zip(iu[0][S[iu] >= 0.95], iu[1][S[iu] >= 0.95])
+    }
+    assert len(true_pairs) >= 90  # the fixture actually plants near-dups
+
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>").cache()
+    got = dedup.embedding_cosine_pairs(
+        df, "vec_id", "embedding", dim=dim, min_cosine=0.95
+    ).toPandas()
+    got_pairs = set(zip(got["id_a"].astype(int), got["id_b"].astype(int)))
+    assert got_pairs <= true_pairs  # exact verify -> precision 1
+    recall = len(got_pairs & true_pairs) / len(true_pairs)
+    assert recall >= 0.95, f"multi-band recall {recall:.3f} < 0.95"
+
+    # single plane set is materially worse — the multi-band OR is load-bearing
+    got1 = dedup.embedding_cosine_pairs(
+        df, "vec_id", "embedding", dim=dim, min_cosine=0.95, n_band_sets=1
+    ).toPandas()
+    recall1 = len(
+        set(zip(got1["id_a"].astype(int), got1["id_b"].astype(int))) & true_pairs
+    ) / len(true_pairs)
+    assert recall1 < recall
+
+    # topk twin: for queries with a planted near-dup, the near-dup must
+    # appear in the LSH top-k result (it is the rank-1 brute-force hit)
+    q = df.where(F.col("vec_id") < 20)
+    out = similarity.lsh_bucketed_topk(
+        df, "vec_id", "embedding", q, dim=dim, k=3
+    ).toPandas()
+    found = 0
+    for qq in range(20):
+        hits = set(out[out["query_id"] == qq]["item_id"].astype(int))
+        if (qq, n_base + qq) in true_pairs and n_base + qq in hits:
+            found += 1
+    n_expected = sum((qq, n_base + qq) in true_pairs for qq in range(20))
+    assert found >= 0.95 * n_expected
+
+
 def test_ivf_topk_recall_and_determinism(spark):
     """IVF top-k: trained centroids are deterministic; with clustered data
     and nprobe=2 the IVF result recovers most of the brute-force top-k
