@@ -157,19 +157,26 @@ def size_capped_components(
     cur_t = threshold
     active = e
 
-    def _flush_capped(edges_df: DataFrame) -> DataFrame:
+    def _flush_capped(edges_df: DataFrame, t: float) -> DataFrame:
         """Remaining oversized components, flagged capped=true (incl. nodes
-        isolated at the current threshold)."""
+        isolated at threshold t). t must be the threshold the cap check was
+        MEASURED at — flushing one incr higher would fragment components and
+        mislabel sub-cap pieces as capped."""
         nodes = (
             edges_df.select(F.col("src").alias("node"))
             .union(edges_df.select(F.col("dst").alias("node")))
             .distinct()
         )
-        return components_with_isolated(edges_df.where(F.col("w") > cur_t), nodes).select(
+        return components_with_isolated(edges_df.where(F.col("w") > t), nodes).select(
             "node", "component", F.lit(True).alias("capped")
         )
 
+    # threshold at which the most recent oversized-check was evaluated
+    # (cur_t gets raised at the END of each round, so on max_rounds
+    # exhaustion cur_t is one incr above the measured level)
+    measured_t = cur_t
     for _ in range(max_rounds):
+        measured_t = cur_t
         cc = connected_components(active.where(F.col("w") > cur_t))
         # nodes whose every edge fell below the raised threshold become
         # singletons NOW — without this they appear in no component and
@@ -214,13 +221,14 @@ def size_capped_components(
         # unsplittable: no edge would be dropped by the higher threshold
         if active.where((F.col("w") > cur_t) & (F.col("w") <= new_t)).limit(1).count() == 0 and \
            active.where(F.col("w") <= cur_t).limit(1).count() == 0:
-            done_parts.append(_flush_capped(active))
+            done_parts.append(_flush_capped(active, cur_t))
             break
         cur_t = new_t
     else:
         # max_rounds exhausted with oversized components still active: flush
-        # them flagged rather than dropping their nodes from the output
-        done_parts.append(_flush_capped(active))
+        # them flagged rather than dropping their nodes from the output, at
+        # the threshold the final cap check actually used
+        done_parts.append(_flush_capped(active, measured_t))
     out = done_parts[0]
     for p in done_parts[1:]:
         out = out.unionByName(p)

@@ -87,6 +87,16 @@ def _prior_fns(lp_link, nrow: int, ncol: int):
         from nlink=0 are -Inf
       * callable f(nadd, nlink, nrow, ncol) — function prior
         (exppenalty_log_ratio / betabipartite_log_ratio constructors)
+
+    PER-BLOCK semantics (divergence from the reference): chains run
+    independently per connected-component block, so nlink/nrow/ncol here are
+    the BLOCK-local link count and distinct id_a/id_b counts — the
+    reference's logpCRatio sees the global LinkMatrix. Consequences: an
+    array prior capping links at N caps at N per block (global cap = sum of
+    block caps), and betabipartite uses block-local dims. For the constant
+    and exppenalty priors the two factorize identically (the ratio depends
+    only on nadd), so only array/betabipartite callers must not assume a
+    global cap.
     """
     if callable(lp_link):
         return (
@@ -360,11 +370,19 @@ def _run_block_chain(
 
         def logsumexp(lw: np.ndarray) -> float:
             m = lw.max()
+            if np.isneginf(m):  # no valid move at all
+                return -np.inf
             return float(m + np.log(np.exp(lw - m).sum()))
 
         for step0 in range(nsteps):
             lw = log_weights()
             lz = logsumexp(lw)
+            if np.isneginf(lz):
+                # every move is prior-forbidden (e.g. hard cap 0, or a
+                # function prior returning -inf for all adds from the empty
+                # state): the informed chain self-loops, matching rw1's
+                # all-reject behavior instead of sampling NaN probabilities
+                continue
             p = np.exp(lw - lz)
             k = int(rng.choice(ks, p=p / p.sum()))
             ev = move_events(k, int(row_link[ra[k]]), int(col_link[ca[k]]))
@@ -482,7 +500,10 @@ def mh_gibbs_count(
 
     blocked_pairs: (id_a, id_b, w, block_id) where block_id partitions the
     graph (connected components) and w is the pair's log-likelihood ratio.
-    lp_link: log prior odds of a link (logpCRatio analog).
+    lp_link: log prior odds of a link (logpCRatio analog). NOTE: array /
+    callable priors are evaluated on BLOCK-LOCAL nlink/nrow/ncol, not the
+    global LinkMatrix the reference sees — see _prior_fns for the exact
+    semantics (constant / exppenalty priors are unaffected).
     kernel: "rw1" (symmetric, incl. doubleswitch) or "barker"
     (locally-balanced informed proposal — see _run_block_chain).
     """

@@ -131,3 +131,28 @@ def test_driver_helpers():
     oh = em.one_hot_counts(dv, ["g1", "g2"], {"g1": 2, "g2": 2})
     assert oh.tolist() == [[1, 0, 0, 1], [0, 0, 1, 0]]
     assert em.observed_mask(dv, ["g1", "g2"]).tolist() == [[1, 1], [0, 1]]
+
+
+def test_size_capped_exhaustion_flushes_at_measured_threshold(spark):
+    """On max_rounds exhaustion the capped flush must run at the threshold
+    the final oversized-check MEASURED, not one incr above it (which would
+    fragment the component and mislabel sub-cap pieces as capped).
+
+    Chain 1-2(.005) 2-3(.015) 3-4(.025) 4-5(.035), cap 1, incr .01,
+    max_rounds=2: round 1 measures at t=0 (drops nothing yet), round 2
+    measures at t=.01 where {2,3,4,5} is one oversized component. The buggy
+    flush at t=.02 would split off node 2 as a singleton."""
+    rows = [(1, 2, 0.005), (2, 3, 0.015), (3, 4, 0.025), (4, 5, 0.035)]
+    edges = spark.createDataFrame(pd.DataFrame(rows, columns=["src", "dst", "w"]))
+    out = size_capped_components(
+        edges, max_pairs=1, threshold=0.0, incr=0.01, max_rounds=2
+    ).toPandas()
+    assert set(out["node"]) == {1, 2, 3, 4, 5}
+    assert len(out) == 5
+    comp = dict(zip(out["node"], out["component"]))
+    capped = dict(zip(out["node"], out["capped"]))
+    # node 1 dropped out at t=.01 as an uncapped singleton
+    assert comp[1] == 1 and not capped[1]
+    # {2,3,4,5} stays ONE capped component (measured state at t=.01)
+    assert comp[2] == comp[3] == comp[4] == comp[5]
+    assert capped[2] and capped[3] and capped[4] and capped[5]

@@ -293,3 +293,15 @@ def test_trace_intervals_disjoint(spark):
         ivals = sorted(zip(grp["start"], grp["stop"]))
         for (s1, e1), (s2, e2) in zip(ivals, ivals[1:]):
             assert e1 < s2 - 1 or e1 < s2  # ordered, non-overlapping
+
+
+@pytest.mark.parametrize("kernel", ["barker", "sqrt", "min1", "max1"])
+def test_informed_kernels_survive_all_forbidden_moves(spark, kernel):
+    """Hard cap 0 (empty array prior): every move weight is -inf. rw1
+    self-loops; the informed kernels must do the same instead of sampling
+    NaN probabilities (logsumexp of all -inf)."""
+    rows = [(1, 101, 2.0, 1), (1, 102, 1.0, 1), (2, 101, 0.5, 1)]
+    out = mcmc.mh_gibbs_count(
+        _pairs_df(spark, rows), nsteps=200, lp_link=[], seed=3, kernel=kernel
+    ).collect()
+    assert all(r["n_linked"] == 0 for r in out)
