@@ -313,6 +313,147 @@ def _cc_sql() -> str:
     return _CC_SQL_TEMPLATE.format(edges=_edges_sql())
 
 
+# -- size-capped components oracle (iterative_bipartite_cluster2) -----------
+#
+# The Spark operator raises the threshold by CAPPED_CC_INCR each round until
+# every component's pair count fits under CAPPED_CC_MAX_PAIRS. Run over the
+# n-gram-Jaccard near-dup graph (w = jac_pct <= 100) with incr spanning the
+# weight range, the loop provably terminates within CAPPED_CC_ROUNDS rounds
+# (at t >= 100 every edge drops), so the oracle can unroll EXACTLY that many
+# rounds as chained recursive-CTE blocks — a static SQL, faithful to every
+# exit path (clean convergence, unsplittable-block flush, round exhaustion).
+CAPPED_CC_T0 = 25.0
+CAPPED_CC_INCR = 25.0
+CAPPED_CC_MAX_PAIRS = 60
+CAPPED_CC_ROUNDS = 4  # t = 25, 50, 75, 100; at 100 no edge survives
+
+
+def _capped_cc_round_sql(r: int, t: float, t_next: float, cap: int) -> str:
+    """CTE block for one threshold round r (active set a_{r} -> a_{r+1}).
+
+    live_{r} gates emissions: once an unsplittable block halted the loop at
+    an earlier round, later rounds must emit nothing (the Spark loop has
+    broken). halt_{r} mirrors the operator's break test: the restricted
+    active set is non-empty but no edge would be dropped by the next
+    threshold (w <= t_next nowhere, which folds the loop's two emptiness
+    probes into one)."""
+    return f"""
+    e_{r} AS MATERIALIZED (SELECT id_a, id_b FROM a_{r} WHERE w > {t!r}e0),
+    -- NB: inside a WITH RECURSIVE block DuckDB treats a CTE's top-level
+    -- UNION as the recursion operator and does NOT dedup a non-recursive
+    -- one, so dedup must be an explicit DISTINCT over UNION ALL
+    an_{r} AS (SELECT DISTINCT node FROM (
+      SELECT id_a AS node FROM a_{r} UNION ALL SELECT id_b FROM a_{r})),
+    bi_{r} AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM e_{r}
+                            UNION ALL SELECT id_b AS a, id_a AS b FROM e_{r}),
+    walk_{r}(node, comp) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM bi_{r})
+      UNION
+      SELECT bi.b, w.comp FROM walk_{r} w JOIN bi_{r} bi ON bi.a = w.node
+      WHERE w.comp < bi.b
+    ),
+    cc_{r} AS MATERIALIZED (SELECT node, min(comp) AS component
+                            FROM walk_{r} GROUP BY node),
+    iso_{r} AS (
+      SELECT node, node AS component, FALSE AS capped FROM an_{r}
+      WHERE node NOT IN (SELECT node FROM cc_{r})
+        AND (SELECT l FROM live_{r})
+    ),
+    ec_{r} AS (SELECT cc.component, count(*) AS n_pairs
+               FROM e_{r} e JOIN cc_{r} cc ON cc.node = e.id_a
+               GROUP BY cc.component),
+    ok_{r} AS (
+      SELECT cc.node, cc.component, FALSE AS capped
+      FROM cc_{r} cc JOIN ec_{r} ec ON ec.component = cc.component
+      WHERE ec.n_pairs <= {cap} AND (SELECT l FROM live_{r})
+    ),
+    over_{r} AS (SELECT cc.node FROM cc_{r} cc
+                 JOIN ec_{r} ec ON ec.component = cc.component
+                 WHERE ec.n_pairs > {cap}),
+    a_{r + 1} AS MATERIALIZED (
+      SELECT a.* FROM a_{r} a
+      WHERE a.id_a IN (SELECT node FROM over_{r})
+        AND a.id_b IN (SELECT node FROM over_{r})
+    ),
+    halt_{r} AS (SELECT EXISTS (SELECT 1 FROM a_{r + 1})
+                   AND NOT EXISTS (SELECT 1 FROM a_{r + 1}
+                                   WHERE w <= {t_next!r}e0) AS h),
+    fe_{r} AS (SELECT id_a, id_b FROM a_{r + 1} WHERE w > {t!r}e0),
+    fbi_{r} AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM fe_{r}
+                             UNION ALL SELECT id_b AS a, id_a AS b FROM fe_{r}),
+    fwalk_{r}(node, comp) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM fbi_{r})
+      UNION
+      SELECT bi.b, w.comp FROM fwalk_{r} w JOIN fbi_{r} bi ON bi.a = w.node
+      WHERE w.comp < bi.b
+    ),
+    fcc_{r} AS (SELECT node, min(comp) AS component FROM fwalk_{r} GROUP BY node),
+    flush_{r} AS (
+      SELECT n.node, coalesce(f.component, n.node) AS component, TRUE AS capped
+      FROM (SELECT DISTINCT node FROM (SELECT id_a AS node FROM a_{r + 1}
+            UNION ALL SELECT id_b FROM a_{r + 1})) n
+      LEFT JOIN fcc_{r} f ON f.node = n.node
+      WHERE (SELECT h FROM halt_{r}) AND (SELECT l FROM live_{r})
+    ),
+    live_{r + 1} AS (SELECT (SELECT l FROM live_{r})
+                       AND NOT (SELECT h FROM halt_{r}) AS l),
+    """
+
+
+def _capped_cc_sql() -> str:
+    """Static unrolled oracle for size_capped_components over the
+    n-gram-Jaccard graph. Emits (node, component, capped) — see
+    _capped_cc_round_sql for the per-round block."""
+    pairs = dedup.ngram_jaccard_pairs_sql(
+        "documents", "doc_id", "text", ["lang", "source"], JACCARD_MIN_PCT
+    )
+    rounds = []
+    emits = []
+    for r in range(CAPPED_CC_ROUNDS):
+        t = CAPPED_CC_T0 + r * CAPPED_CC_INCR
+        rounds.append(
+            _capped_cc_round_sql(r, t, t + CAPPED_CC_INCR, CAPPED_CC_MAX_PAIRS)
+        )
+        emits += [f"SELECT * FROM iso_{r}", f"SELECT * FROM ok_{r}",
+                  f"SELECT * FROM flush_{r}"]
+    # round-exhaustion flush at the LAST MEASURED threshold (t of the final
+    # round) — mirrors the operator's for-else branch
+    k = CAPPED_CC_ROUNDS
+    t_last = CAPPED_CC_T0 + (k - 1) * CAPPED_CC_INCR
+    final = f"""
+    xe AS (SELECT id_a, id_b FROM a_{k} WHERE w > {t_last!r}e0),
+    xbi AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM xe
+                         UNION ALL SELECT id_b AS a, id_a AS b FROM xe),
+    xwalk(node, comp) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM xbi)
+      UNION
+      SELECT bi.b, w.comp FROM xwalk w JOIN xbi bi ON bi.a = w.node
+      WHERE w.comp < bi.b
+    ),
+    xcc AS (SELECT node, min(comp) AS component FROM xwalk GROUP BY node),
+    xflush AS (
+      SELECT n.node, coalesce(f.component, n.node) AS component, TRUE AS capped
+      FROM (SELECT DISTINCT node FROM (SELECT id_a AS node FROM a_{k}
+            UNION ALL SELECT id_b FROM a_{k})) n
+      LEFT JOIN xcc f ON f.node = n.node
+      WHERE (SELECT l FROM live_{k})
+    )
+    """
+    emits.append("SELECT * FROM xflush")
+    body = "".join(rounds)
+    union = "\n    UNION ALL ".join(emits)
+    return f"""
+    WITH RECURSIVE jp AS MATERIALIZED ({pairs}),
+    a_0 AS MATERIALIZED (SELECT id_a, id_b, jac_pct AS w FROM jp),
+    live_0 AS (SELECT TRUE AS l),
+    {body}
+    {final}
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(component AS BIGINT) AS component, capped
+    FROM ({union})
+    """
+
+
 # ---------------------------------------------------------------------------
 # the catalog: name -> (spark_fn, oracle_sql or None, survey ref)
 # ---------------------------------------------------------------------------
@@ -684,19 +825,33 @@ def build_catalog() -> dict[str, dict]:
         "ref": "brute-force cosine top-k (ANN baseline)",
     }
 
-    # --- iterative / non-SQL-expressible ops (rows-only driver check; full
-    # verification lives in pytest property tests) ---
+    # --- size-capped clustering: runs over the n-gram-Jaccard near-dup
+    # graph (dense enough that the cap actually forces threshold raises at
+    # sf>=0.01) with round parameters whose termination bound is static, so
+    # the iterative loop unrolls into an exact recursive-CTE oracle ---
     def _capped_cc(s: SparkSession, d: str) -> DataFrame:
         from ..operators.connected_components import size_capped_components
 
-        wedges = _scored_pairs_spark(s, d).where(F.col("w") > EDGE_THRESHOLD).select(
-            F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "w"
+        p = dedup.ngram_jaccard_pairs(
+            load(s, d, "documents"), "doc_id", "text", ["lang", "source"],
+            JACCARD_MIN_PCT,
         )
-        return size_capped_components(wedges, max_pairs=50, incr=1.0)
+        wedges = p.select(
+            F.col("id_a").alias("src"),
+            F.col("id_b").alias("dst"),
+            F.col("jac_pct").alias("w"),
+        )
+        return size_capped_components(
+            wedges,
+            max_pairs=CAPPED_CC_MAX_PAIRS,
+            threshold=CAPPED_CC_T0,
+            incr=CAPPED_CC_INCR,
+            max_rounds=CAPPED_CC_ROUNDS,
+        )
 
     cat["size_capped_components"] = {
         "spark": _capped_cc,
-        "sql": None,
+        "sql": _capped_cc_sql(),
         "ref": "src/clustering_functions.jl:390-489 (iterative_bipartite_cluster2)",
     }
 
