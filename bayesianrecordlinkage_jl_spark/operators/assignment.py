@@ -192,6 +192,8 @@ def one_to_one(
     pairs: DataFrame,
     method: str = "hungarian",
     exact_max_pairs: int = 10_000,
+    mutual_fast_path: bool = True,
+    with_resolved_by: bool = False,
 ) -> DataFrame:
     """Per-block one-to-one matching.
 
@@ -199,6 +201,21 @@ def one_to_one(
     block_id must partition the positive-weight graph (connected components),
     which guarantees GLOBAL one-to-one-ness of the union of per-block
     solutions (SURVEY 7.4 risk 1).
+
+    Distributed mutual fast path (on by default): a block whose mutual-best
+    pairs cover every node (or with a single node on one side) is PROVABLY
+    solved by those pairs — each pair attains its row/column maximum, so the
+    matching's weight equals the sum of row maxima, an upper bound for any
+    matching. Such blocks resolve with two window passes (pure Catalyst,
+    SQL-oracle-able, tie-break (w desc, id asc)) and never reach the
+    applyInPandas solver; at web scale this is the vast majority of blocks,
+    so the Python-solver path handles only the ambiguous residue. On
+    tie-degenerate blocks with several optimal matchings the fast path
+    DEFINES the output as the mutual-best one (greedy would pick the same;
+    Hungarian/auction might pick another equally-optimal set).
+
+    with_resolved_by adds a `resolved_by` column: 'mutual' for fast-path
+    blocks, the method name for solver blocks.
     """
     p = pairs.select(
         F.col("id_a").cast("long"),
@@ -220,9 +237,44 @@ def one_to_one(
     else:
         raise ValueError(f"unknown method {method!r}")
 
-    return p.repartition("block_id").groupBy("block_id").applyInPandas(
+    if not mutual_fast_path:
+        out = p.repartition("block_id").groupBy("block_id").applyInPandas(
+            fn, schema=MATCH_SCHEMA
+        )
+        if with_resolved_by:
+            out = out.withColumn("resolved_by", F.lit(method))
+        return out
+
+    # consumed by the stats agg, the mutual windows, and the solver residue
+    p = p.localCheckpoint()
+    mut = mutual_best(p)
+    stats = p.groupBy("block_id").agg(
+        F.countDistinct("id_a").alias("_na"), F.countDistinct("id_b").alias("_nb")
+    )
+    resolved_blocks = (
+        stats.join(
+            mut.groupBy("block_id").agg(F.count(F.lit(1)).alias("_nm")),
+            on="block_id",
+            how="left",
+        )
+        .where(
+            (F.col("_na") == 1)
+            | (F.col("_nb") == 1)
+            | ((F.col("_nm") == F.col("_na")) & (F.col("_na") == F.col("_nb")))
+        )
+        .select("block_id")
+    )
+    fast = mut.join(resolved_blocks, on="block_id", how="left_semi").select(
+        "id_a", "id_b", "w", "block_id"
+    )
+    residue = p.join(resolved_blocks, on="block_id", how="left_anti")
+    solved = residue.repartition("block_id").groupBy("block_id").applyInPandas(
         fn, schema=MATCH_SCHEMA
     )
+    if with_resolved_by:
+        fast = fast.withColumn("resolved_by", F.lit("mutual"))
+        solved = solved.withColumn("resolved_by", F.lit(method))
+    return fast.unionByName(solved.select(*fast.columns))
 
 
 def mutual_best(pairs: DataFrame) -> DataFrame:

@@ -876,6 +876,70 @@ def build_catalog() -> dict[str, dict]:
         "ref": "src/maximization_functions.jl:137-244 (max_C_cluster_hungarian)",
     }
 
+    # the mutual-fast-path subset of the SAME operator run: blocks whose
+    # mutual-best pairs cover every node (or 1xn blocks) are provably
+    # optimal without a solver, so this slice of the output is
+    # SQL-expressible — the Hungarian residue stays pytest-validated
+    def _one_to_one_links_mutual(s: SparkSession, d: str) -> DataFrame:
+        from ..operators import assignment
+        from ..operators.connected_components import connected_components
+
+        wp = _scored_pairs_spark(s, d).where(F.col("w") > EDGE_THRESHOLD)
+        comps = connected_components(
+            wp.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        )
+        blocked = wp.join(
+            comps.withColumnRenamed("node", "id_a"), on="id_a"
+        ).withColumnRenamed("component", "block_id")
+        out = assignment.one_to_one(
+            blocked.select("id_a", "id_b", "w", "block_id"),
+            method="hungarian",
+            with_resolved_by=True,
+        )
+        return out.where(F.col("resolved_by") == "mutual").select(
+            "id_a", "id_b", "w", "block_id"
+        )
+
+    cat["one_to_one_links_mutual"] = {
+        "spark": _one_to_one_links_mutual,
+        "sql": f"""
+        WITH RECURSIVE wp AS MATERIALIZED (
+          SELECT * FROM ({_weighted_pairs_sql()}) WHERE w > {EDGE_THRESHOLD!r}e0
+        ),
+        bi AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM wp
+                            UNION ALL SELECT id_b AS a, id_a AS b FROM wp),
+        walk(node, comp) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM bi)
+          UNION
+          SELECT bi.b, w.comp FROM walk w JOIN bi ON bi.a = w.node
+          WHERE w.comp < bi.b
+        ),
+        cc AS MATERIALIZED (SELECT node, min(comp) AS component
+                            FROM walk GROUP BY node),
+        bp AS MATERIALIZED (
+          SELECT wp.id_a, wp.id_b, wp.w, cc.component AS block_id,
+                 row_number() OVER (PARTITION BY wp.id_a
+                                    ORDER BY wp.w DESC, wp.id_b ASC) AS ra,
+                 row_number() OVER (PARTITION BY wp.id_b
+                                    ORDER BY wp.w DESC, wp.id_a ASC) AS rb
+          FROM wp JOIN cc ON cc.node = wp.id_a
+        ),
+        mut AS (SELECT id_a, id_b, w, block_id FROM bp WHERE ra = 1 AND rb = 1),
+        stats AS (SELECT block_id, count(DISTINCT id_a) AS na,
+                         count(DISTINCT id_b) AS nb
+                  FROM bp GROUP BY block_id),
+        mc AS (SELECT block_id, count(*) AS nm FROM mut GROUP BY block_id),
+        resolved AS (
+          SELECT s.block_id FROM stats s JOIN mc ON mc.block_id = s.block_id
+          WHERE s.na = 1 OR s.nb = 1 OR (mc.nm = s.na AND s.na = s.nb)
+        )
+        SELECT m.id_a, m.id_b, m.w, m.block_id
+        FROM mut m JOIN resolved r ON r.block_id = m.block_id
+        """,
+        "ref": "src/maximization_functions.jl:203-244 (fast paths; mutual-total "
+        "blocks are provably solver-free)",
+    }
+
     # --- cost normalization (SURVEY 2.2 compute_costs_shrunk) ---
     cat["shrunk_costs"] = {
         "spark": lambda s, d: _scored_pairs_spark(s, d)

@@ -168,3 +168,51 @@ def test_solvers_agree_at_block_scale(seed):
         cols = [j for _, j in picks]
         assert len(set(rows)) == len(rows) and len(set(cols)) == len(cols)
         assert all(w[i, j] > 0 for i, j in picks)
+
+
+def test_mutual_fast_path_agrees_with_solver_route(spark):
+    """The distributed mutual fast path must not change the operator's
+    output: same links as the all-solver route on random blocks (tie-free
+    weights -> unique optimum), and resolved_by labels partition the
+    output."""
+    rng = random.Random(11)
+    pdf = _random_blocks(rng)
+    # add blocks the fast path provably resolves: a 1x1, a 1xn, and a
+    # mutual-total 2x2 (diagonal dominant)
+    extra = pd.DataFrame(
+        [
+            {"id_a": 900_001, "id_b": 950_001, "w": 1.0, "block_id": 901},
+            {"id_a": 900_101, "id_b": 950_101, "w": 1.0, "block_id": 902},
+            {"id_a": 900_101, "id_b": 950_102, "w": 2.0, "block_id": 902},
+            {"id_a": 900_201, "id_b": 950_201, "w": 5.0, "block_id": 903},
+            {"id_a": 900_201, "id_b": 950_202, "w": 1.0, "block_id": 903},
+            {"id_a": 900_202, "id_b": 950_201, "w": 1.0, "block_id": 903},
+            {"id_a": 900_202, "id_b": 950_202, "w": 4.0, "block_id": 903},
+        ]
+    )
+    pdf = pd.concat([pdf, extra], ignore_index=True)
+    df = spark.createDataFrame(pdf)
+    fast = A.one_to_one(df, method="hungarian", with_resolved_by=True).toPandas()
+    slow = A.one_to_one(df, method="hungarian", mutual_fast_path=False).toPandas()
+    key = lambda d: sorted(zip(d["id_a"], d["id_b"], d["w"]))
+    assert key(fast) == key(slow)
+    assert set(fast["resolved_by"]) <= {"mutual", "hungarian"}
+    assert (fast["resolved_by"] == "mutual").any()  # fast path actually fires
+
+
+def test_mutual_pair_outside_optimum_routes_to_solver(spark):
+    """Canonical trap block: (a1,b1)=10 is mutual-best but the optimum is
+    (a1,b2)+(a2,b1)=18 — mutual is NOT total here, so the block must reach
+    the Hungarian solver and return the 18-weight matching."""
+    pdf = pd.DataFrame(
+        [
+            {"id_a": 1, "id_b": 101, "w": 10.0, "block_id": 1},
+            {"id_a": 1, "id_b": 102, "w": 9.0, "block_id": 1},
+            {"id_a": 2, "id_b": 101, "w": 9.0, "block_id": 1},
+        ]
+    )
+    out = A.one_to_one(
+        spark.createDataFrame(pdf), method="hungarian", with_resolved_by=True
+    ).toPandas()
+    assert sorted(zip(out["id_a"], out["id_b"])) == [(1, 102), (2, 101)]
+    assert (out["resolved_by"] == "hungarian").all()

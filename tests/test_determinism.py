@@ -25,6 +25,10 @@ QUERIES = [
     "segmentlinks",
     "threshold_sensitivity",
     "penalty_path_chain",
+    # round-3 additions
+    "size_capped_components",
+    "one_to_one_links_mutual",
+    "dedup_embedding_cosine",
 ]
 
 
