@@ -2,29 +2,69 @@
 
 Media payloads ride as opaque `binary` columns with typed metadata structs;
 decode / feature-extract / resize / frame-sample run as Arrow-batched
-pandas UDFs over mapInPandas. The image/audio codecs are NOT available in
-this environment, so the decode kernels are stubbed (deterministic fake or
-NotImplementedError) — the Spark-side plumbing (schemas, batch iteration,
-partitioning, UDF signatures) is real and tested.
+pandas UDFs over mapInPandas. The image and audio decode kernels are REAL
+(dependency-free PNG/WAV codecs in functions/png_codec.py — stdlib zlib +
+struct); only video decode remains a stub (no container parser is feasible
+without ffmpeg), its payload is an opaque deterministic byte string.
 
 At scale: media tables are partitioned by content-hash prefix so batches are
 size-uniform; metadata-only predicates (width/duration/mime) prune at the
 parquet scan WITHOUT touching the binary column (column pruning) — keep
 metadata in separate top-level columns, never inside the blob.
+
+Oracle strategy: the synthesized payloads encode pixel/sample values given
+by closed-form integer formulas of (media_id, x, y), so a pure-SQL DuckDB
+twin re-derives the DECODED content without any codec — if the Spark side's
+decode → histogram round-trip is wrong anywhere (filters, CRC, layout), the
+value hash breaks. Histogram denominators are powers of two, so the
+normalized features are dyadic rationals and the comparison is bit-strict.
 """
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
+from ..functions.png_codec import (
+    decode_png,
+    decode_wav,
+    encode_png,
+    encode_wav_pcm8,
+)
+
 MEDIA_SCHEMA = (
     "media_id long, payload binary, mime string, width int, height int, "
     "duration_ms int"
 )
+
+# synthesized-content formulas — single source of truth for the Python
+# encoders AND the SQL oracles (powers of two keep the feature divisions
+# dyadic => bit-strict cross-engine comparison)
+IMG_DIMS = (8, 16, 32)
+AUDIO_N_SAMPLES = 512
+AUDIO_SAMPLE_RATE = 8000
+AUDIO_DURATION_MS = AUDIO_N_SAMPLES * 1000 // AUDIO_SAMPLE_RATE  # 64
+
+
+def _img_dims(mid: int) -> tuple[int, int]:
+    k = mid // 3
+    return IMG_DIMS[k % 3], IMG_DIMS[(k // 3) % 3]
+
+
+def _img_pixels(mid: int) -> np.ndarray:
+    w, h = _img_dims(mid)
+    y, x = np.mgrid[0:h, 0:w]
+    return ((mid * 31 + y * 13 + x * 7) % 256).astype(np.uint8)
+
+
+def _audio_samples(mid: int) -> np.ndarray:
+    i = np.arange(AUDIO_N_SAMPLES)
+    return ((mid * 17 + i * 11) % 256).astype(np.uint8)
+
 
 def feature_schema(dim: int = 8) -> str:
     """Scalar feature columns (f0..f{dim-1}) rather than array<float>: sortable,
@@ -34,32 +74,71 @@ def feature_schema(dim: int = 8) -> str:
 
 
 def synthesize_media(spark, n: int = 64, payload_bytes: int = 256) -> DataFrame:
-    """Deterministic fake media table (payload = repeated md5 bytes)."""
-    return spark.range(n).select(
-        F.col("id").alias("media_id"),
-        F.repeat(F.unhex(F.md5(F.col("id").cast("string"))), payload_bytes // 16)
-        .cast("binary")
-        .alias("payload"),
-        F.when(F.col("id") % 3 == 0, "image/png")
-        .when(F.col("id") % 3 == 1, "audio/wav")
-        .otherwise("video/mp4")
-        .alias("mime"),
-        (F.pmod(F.col("id") * 37, 1920) + 1).cast("int").alias("width"),
-        (F.pmod(F.col("id") * 53, 1080) + 1).cast("int").alias("height"),
-        (F.pmod(F.col("id") * 97, 60_000) + 1).cast("int").alias("duration_ms"),
-    )
+    """Deterministic media table with REAL payloads: image rows are valid
+    PNGs of the formula pixels, audio rows are valid WAVs of the formula
+    samples, video rows are opaque md5-repeat bytes (decode stub). Built
+    distributed (mapInPandas over a range), no driver-side collect."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for raw_id in pdf["id"]:
+                mid = int(raw_id)
+                if mid % 3 == 0:
+                    w, h = _img_dims(mid)
+                    rows.append(
+                        (mid, encode_png(_img_pixels(mid)), "image/png",
+                         w, h, (mid * 97) % 60_000 + 1)
+                    )
+                elif mid % 3 == 1:
+                    rows.append(
+                        (mid,
+                         encode_wav_pcm8(_audio_samples(mid), AUDIO_SAMPLE_RATE),
+                         "audio/wav",
+                         (mid * 37) % 1920 + 1, (mid * 53) % 1080 + 1,
+                         AUDIO_DURATION_MS)
+                    )
+                else:
+                    blob = hashlib.md5(str(mid).encode()).digest() * (
+                        payload_bytes // 16
+                    )
+                    rows.append(
+                        (mid, blob, "video/mp4",
+                         (mid * 37) % 1920 + 1, (mid * 53) % 1080 + 1,
+                         (mid * 97) % 60_000 + 1)
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "payload", "mime", "width", "height",
+                         "duration_ms"],
+            )
+
+    return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
-def decode_image(payload: bytes) -> "np.ndarray":
-    """Real codec not available in this container — see module docstring."""
-    raise NotImplementedError(
-        "image decode requires PIL/opencv (not installed); "
-        "use fake_feature for plumbing tests"
-    )
+def decode_image(payload: bytes) -> np.ndarray:
+    """Decode a PNG payload to uint8 pixels (real kernel — see
+    functions/png_codec.py; raises ValueError on non-PNG bytes)."""
+    return decode_png(payload)
+
+
+def decode_audio(payload: bytes) -> np.ndarray:
+    """Decode a WAV payload to PCM samples (real kernel)."""
+    return decode_wav(payload)[0]
+
+
+def decoded_bytes(payload: bytes, mime: str) -> np.ndarray:
+    """The content bytes features are computed over: decoded pixels for
+    images, decoded PCM for audio, the raw payload for opaque mimes."""
+    if mime == "image/png":
+        return decode_image(payload).ravel()
+    if mime == "audio/wav":
+        return decode_audio(payload).astype(np.uint8).ravel()
+    return np.frombuffer(payload, dtype=np.uint8)
 
 
 def fake_feature(payload: bytes, dim: int = 8) -> np.ndarray:
-    """Deterministic stand-in for a decode+embed kernel: byte histogram
+    """Histogram kernel over raw bytes (the opaque-mime path): byte values
     folded to `dim` float32 buckets, L1-normalized."""
     arr = np.frombuffer(payload, dtype=np.uint8)
     hist = np.bincount(arr % dim, minlength=dim).astype(np.float32)
@@ -69,19 +148,31 @@ def fake_feature(payload: bytes, dim: int = 8) -> np.ndarray:
 
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, one feature row per
-    media item out, feature emitted as `dim` scalar double columns. The batch
-    loop is the real production shape; only the kernel (fake_feature) is a
-    stub. The exact feature values are oracle-checked against a pure-SQL
-    re-derivation of the byte histogram (plans/oracle_queries.py)."""
+    media item out, feature emitted as `dim` scalar double columns. Images
+    and audio are DECODED (real PNG/WAV kernels) and the histogram runs
+    over the decoded content; n_bytes is the decoded byte count. The exact
+    values are oracle-checked against a pure-SQL re-derivation of the
+    synthesized content (features_oracle_sql)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = np.stack(
-                [fake_feature(p, dim) for p in pdf["payload"]]
-            ) if len(pdf) else np.zeros((0, dim), dtype=np.float32)
+            decoded = [
+                decoded_bytes(p, m) for p, m in zip(pdf["payload"], pdf["mime"])
+            ]
+            feats = (
+                np.stack(
+                    [
+                        np.bincount(d % dim, minlength=dim).astype(np.float32)
+                        / max(d.size, 1)
+                        for d in decoded
+                    ]
+                )
+                if len(pdf)
+                else np.zeros((0, dim), dtype=np.float32)
+            )
             out = {
                 "media_id": pdf["media_id"],
-                "n_bytes": [len(p) for p in pdf["payload"]],
+                "n_bytes": [d.size for d in decoded],
             }
             for k in range(dim):
                 out[f"f{k}"] = feats[:, k].astype(np.float64)
@@ -91,39 +182,76 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
 
 
 def features_oracle_sql(n: int = 64, dim: int = 8, payload_bytes: int = 256) -> str:
-    """Pure-SQL (DuckDB) re-derivation of synthesize_media + extract_features.
+    """Pure-SQL (DuckDB) re-derivation of synthesize_media + extract_features
+    — WITHOUT running any codec, from the content formulas:
 
-    The payload is md5(id) bytes repeated `payload_bytes//16` times, so the
-    normalized byte histogram equals the histogram over the 16 md5 bytes
-    divided by 16 — repeats cancel. Bytes are recovered from the md5 hex
-    string via strpos arithmetic (the only cross-engine hash is md5, per the
-    repo invariant). Division is exact in BOTH engines when dim and the byte
-    count are powers of two (counts/16 are dyadic rationals, exactly
-    representable in float32 and float64), so the value-hash comparison is
-    bit-strict, not tolerance-based.
-    """
-    feature_cols = ",\n           ".join(
-        f"CAST(sum(CASE WHEN byte % {dim} = {k} THEN 1 ELSE 0 END) AS DOUBLE)"
-        f" / CAST(16 AS DOUBLE) AS f{k}"
-        for k in range(dim)
+      image rows: pixel(x, y) = (id*31 + y*13 + x*7) % 256 over w*h pixels
+        (dims from IMG_DIMS cycling) — if the Spark side's PNG encode →
+        decode → histogram round-trip deviates anywhere, the hash breaks;
+      audio rows: sample(i) = (id*17 + i*11) % 256 over 512 samples;
+      video rows: payload bytes recovered from the md5 hex string (the only
+        cross-engine hash, per the repo invariant); repeats cancel so the
+        histogram divides by 16.
+
+    All denominators are powers of two => dyadic rationals => bit-strict."""
+    img_w = "CASE (media_id // 3) % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 32 END"
+    img_h = (
+        "CASE ((media_id // 3) // 3) % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 "
+        "ELSE 32 END"
     )
+
+    def hist_cols(denom: str) -> str:
+        return ",\n           ".join(
+            f"CAST(sum(CASE WHEN byte % {dim} = {k} THEN 1 ELSE 0 END) AS DOUBLE)"
+            f" / CAST({denom} AS DOUBLE) AS f{k}"
+            for k in range(dim)
+        )
+
     return f"""
-    WITH h AS (
-      SELECT range AS media_id, md5(CAST(range AS VARCHAR)) AS hx
-      FROM range({n})
+    WITH ids AS (SELECT range AS media_id FROM range({n})),
+    img AS (
+      SELECT media_id, {img_w} AS w, {img_h} AS h
+      FROM ids WHERE media_id % 3 = 0
     ),
-    b AS (
+    img_bytes AS (
+      SELECT m.media_id, m.w * m.h AS n_bytes,
+             (m.media_id * 31 + (i.range // m.w) * 13 + (i.range % m.w) * 7)
+               % 256 AS byte
+      FROM img m, range(1024) i WHERE i.range < m.w * m.h
+    ),
+    img_f AS (
+      SELECT media_id, CAST(any_value(n_bytes) AS BIGINT) AS n_bytes,
+             {hist_cols('any_value(n_bytes)')}
+      FROM img_bytes GROUP BY media_id
+    ),
+    wav_bytes AS (
+      SELECT media_id, (media_id * 17 + i.range * 11) % 256 AS byte
+      FROM ids, range({AUDIO_N_SAMPLES}) i WHERE media_id % 3 = 1
+    ),
+    wav_f AS (
+      SELECT media_id, CAST({AUDIO_N_SAMPLES} AS BIGINT) AS n_bytes,
+             {hist_cols(AUDIO_N_SAMPLES)}
+      FROM wav_bytes GROUP BY media_id
+    ),
+    vid AS (
+      SELECT media_id, md5(CAST(media_id AS VARCHAR)) AS hx
+      FROM ids WHERE media_id % 3 = 2
+    ),
+    vid_bytes AS (
       SELECT media_id,
              (strpos('0123456789abcdef', substr(hx, 2 * i.range + 1, 1)) - 1) * 16
              + (strpos('0123456789abcdef', substr(hx, 2 * i.range + 2, 1)) - 1)
              AS byte
-      FROM h, range(16) i
+      FROM vid, range(16) i
+    ),
+    vid_f AS (
+      SELECT media_id, CAST({(payload_bytes // 16) * 16} AS BIGINT) AS n_bytes,
+             {hist_cols(16)}
+      FROM vid_bytes GROUP BY media_id
     )
-    SELECT media_id,
-           CAST({(payload_bytes // 16) * 16} AS BIGINT) AS n_bytes,
-           {feature_cols}
-    FROM b
-    GROUP BY media_id
+    SELECT * FROM img_f
+    UNION ALL SELECT * FROM wav_f
+    UNION ALL SELECT * FROM vid_f
     """
 
 
@@ -134,7 +262,8 @@ def resize_plan(
     dims, never upscaled — pure Catalyst arithmetic over the metadata
     columns (the parquet scan never touches the payload blob; column
     pruning is the point of keeping dims top-level). The pixel resample
-    itself is the decode-kernel slot (stubbed in this environment)."""
+    itself would chain decode_image -> area-average -> encode_png in the
+    same mapInPandas shape as extract_features."""
     w = F.col("width").cast("double")
     h = F.col("height").cast("double")
     scale = F.least(
@@ -155,12 +284,18 @@ def resize_plan(
 def resize_plan_oracle_sql(n: int = 64, max_w: int = 256, max_h: int = 256) -> str:
     """DuckDB twin over the synthesize_media metadata formulas (pure
     integer arithmetic; float ops are division/least/floor — IEEE-identical
-    in both engines, no transcendentals)."""
+    in both engines, no transcendentals). Image rows carry their REAL PNG
+    dims (IMG_DIMS cycling); video rows the 1920x1080 formulas."""
     return f"""
     WITH m AS (
       SELECT range AS media_id,
-             CAST((range * 37) % 1920 + 1 AS INT) AS width,
-             CAST((range * 53) % 1080 + 1 AS INT) AS height,
+             CASE WHEN range % 3 = 0 THEN
+               CASE (range // 3) % 3 WHEN 0 THEN 8 WHEN 1 THEN 16 ELSE 32 END
+             ELSE CAST((range * 37) % 1920 + 1 AS INT) END AS width,
+             CASE WHEN range % 3 = 0 THEN
+               CASE ((range // 3) // 3) % 3 WHEN 0 THEN 8 WHEN 1 THEN 16
+               ELSE 32 END
+             ELSE CAST((range * 53) % 1080 + 1 AS INT) END AS height,
              CASE WHEN range % 3 = 0 THEN 'image/png'
                   WHEN range % 3 = 1 THEN 'audio/wav'
                   ELSE 'video/mp4' END AS mime
@@ -172,7 +307,7 @@ def resize_plan_oracle_sql(n: int = 64, max_w: int = 256, max_h: int = 256) -> s
       FROM m
       WHERE mime LIKE 'image/%' OR mime LIKE 'video/%'
     )
-    SELECT media_id, width, height,
+    SELECT media_id, CAST(width AS INT) AS width, CAST(height AS INT) AS height,
            CAST(greatest(1, floor(CAST(width AS DOUBLE) * scale)) AS INT)
              AS target_w,
            CAST(greatest(1, floor(CAST(height AS DOUBLE) * scale)) AS INT)

@@ -349,8 +349,15 @@ def test_multimodal_plumbing(spark):
     assert (a[fcols].to_numpy() == b[fcols].to_numpy()).all()
     frames = multimodal.frame_sample_plan(media, every_ms=10_000).toPandas()
     assert (frames["frame_ts_ms"] % 10_000 == 0).all()
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image(b"xx")
+    with pytest.raises(ValueError):
+        multimodal.decode_image(b"xx")  # real decoder rejects non-PNG
+    # the synthesized payloads are REAL media: decode one of each locally
+    rows = {r["media_id"]: r for r in media.where("media_id < 2").collect()}
+    px = multimodal.decode_image(bytes(rows[0]["payload"]))
+    assert px.shape == (rows[0]["height"], rows[0]["width"])
+    assert (px == multimodal._img_pixels(0)).all()
+    pcm = multimodal.decode_audio(bytes(rows[1]["payload"]))
+    assert (pcm == multimodal._audio_samples(1)).all()
 
 
 def test_multimodal_oracle_bit_parity(spark):
