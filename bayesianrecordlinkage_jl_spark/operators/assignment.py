@@ -76,8 +76,13 @@ def hungarian_max(weights: np.ndarray) -> list[tuple[int, int]]:
 
 
 def auction_max(
-    weights: np.ndarray, eps_min: float = 1e-8, scaling: float = 0.2
-) -> list[tuple[int, int]]:
+    weights: np.ndarray,
+    eps_min: float = 1e-8,
+    scaling: float = 0.2,
+    start_prices: np.ndarray | None = None,
+    return_prices: bool = False,
+    stats: dict | None = None,
+) -> list[tuple[int, int]] | tuple[list[tuple[int, int]], np.ndarray]:
     """Max-weight assignment by forward auction with epsilon-scaling
     (Bertsekas), the reference's preferred solver family
     (/root/reference/src/maximization_functions.jl:157-189; auction
@@ -89,21 +94,43 @@ def auction_max(
     is what makes the textbook "clear assignment, keep prices" scaling
     sound. Result is within (n+m)*eps_min of optimal; dummy and
     non-positive assignments are stripped, matching hungarian_max on any
-    block whose weight margins exceed ~(n+m)*eps_min."""
+    block whose weight margins exceed ~(n+m)*eps_min.
+
+    Warm starts (the reference's update=true price-recycling path,
+    /root/reference/src/maximization_functions.jl:598-644 and
+    map_functions.jl:121-151): `start_prices` seeds the REAL columns'
+    prices (dummies at 0). eps-CS at termination holds for ANY starting
+    prices (every row bids at least once per phase after the assignment is
+    cleared), so warm starts change the PHASE SCHEDULE, not the guarantee:
+    near-optimal seeds skip the coarse phases and enter close to eps_min,
+    which is where the penalty-path reuse pays. `stats["phases"]` /
+    `stats["bids"]` are incremented when a dict is passed (test/telemetry
+    hook). return_prices additionally returns the final real-column prices
+    for recycling into the next solve."""
     n, m = weights.shape
     if n == 0 or m == 0:
-        return []
+        out0 = []
+        return (out0, np.zeros(m)) if return_prices else out0
     size = n + m
     W = np.zeros((size, size))
     W[:n, :m] = np.maximum(weights, 0.0)
     wmax = float(W.max())
     if wmax <= 0:
-        return []
+        out0 = []
+        return (out0, np.zeros(m)) if return_prices else out0
     prices = np.zeros(size)
+    if start_prices is not None:
+        prices[:m] = np.maximum(np.asarray(start_prices, dtype=float), 0.0)
+        # near-optimal seed: enter the schedule two decades above eps_min
+        # (not AT eps_min — a poor seed at tiny eps would crawl)
+        eps = max(wmax * 1e-2, eps_min)
+    else:
+        eps = max(wmax / 2.0, eps_min)
     row2col = np.full(size, -1, dtype=np.int64)
     col2row = np.full(size, -1, dtype=np.int64)
-    eps = max(wmax / 2.0, eps_min)
     while True:
+        if stats is not None:
+            stats["phases"] = stats.get("phases", 0) + 1
         row2col[:] = -1
         col2row[:] = -1
         unassigned = list(range(size))
@@ -121,14 +148,17 @@ def auction_max(
             if prev >= 0:
                 row2col[prev] = -1
                 unassigned.append(int(prev))
+            if stats is not None:
+                stats["bids"] = stats.get("bids", 0) + 1
         if eps <= eps_min:
             break
         eps = max(eps * scaling, eps_min)
-    return [
+    out = [
         (int(i), int(row2col[i]))
         for i in range(n)
         if 0 <= row2col[i] < m and weights[i, row2col[i]] > 0
     ]
+    return (out, prices[:m].copy()) if return_prices else out
 
 
 def greedy_max(pairs: pd.DataFrame) -> pd.DataFrame:
@@ -275,6 +305,97 @@ def one_to_one(
         fast = fast.withColumn("resolved_by", F.lit("mutual"))
         solved = solved.withColumn("resolved_by", F.lit(method))
     return fast.unionByName(solved.select(*fast.columns))
+
+
+_PRICED_SCHEMA = (
+    "id_a long, id_b long, w double, block_id long, price double, "
+    "is_price boolean"
+)
+
+
+def one_to_one_auction_warm(
+    pairs: DataFrame,
+    prices: DataFrame | None = None,
+    eps_min: float = 1e-8,
+) -> tuple[DataFrame, DataFrame]:
+    """Per-block auction solve with price recycling (the reference's
+    update=true path across penalty steps). `prices` is (id_b, price) from
+    the PREVIOUS solve; blocks whose columns have seeds enter the auction
+    two decades above eps_min instead of at wmax/2 (see auction_max), so a
+    penalty-path step re-solves in a couple of phases instead of a full
+    epsilon schedule. Returns (links, new_prices) — both DataFrames; the
+    price table is the recycling state to feed the next call (and to
+    persist in the chain checkpoint).
+
+    Single applyInPandas pass per block emitting union-typed rows (link
+    rows + price rows discriminated by is_price) so the price state flows
+    back relationally, never via a driver loop."""
+    p = pairs.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("w").cast("double"),
+        F.col("block_id").cast("long"),
+    ).where(F.col("w") > 0)
+    if prices is not None:
+        p = p.join(
+            prices.select(
+                F.col("id_b").cast("long"),
+                F.col("price").cast("double").alias("_seed"),
+            ),
+            on="id_b",
+            how="left",
+        )
+    else:
+        p = p.withColumn("_seed", F.lit(None).cast("double"))
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        sub = pdf[pdf["w"] > 0]
+        empty = pd.DataFrame(
+            columns=["id_a", "id_b", "w", "block_id", "price", "is_price"]
+        )
+        if len(sub) == 0:
+            return empty
+        block_id = sub["block_id"].iloc[0]
+        ra = {v: i for i, v in enumerate(sorted(sub["id_a"].unique()))}
+        rb = {v: i for i, v in enumerate(sorted(sub["id_b"].unique()))}
+        wmat = np.zeros((len(ra), len(rb)))
+        for row in sub.itertuples(index=False):
+            wmat[ra[row.id_a], rb[row.id_b]] = row.w
+        seed_by_b = (
+            sub.dropna(subset=["_seed"]).groupby("id_b")["_seed"].first()
+        )
+        warm = len(seed_by_b) > 0
+        sp = None
+        if warm:
+            sp = np.zeros(len(rb))
+            for v, i in rb.items():
+                sp[i] = float(seed_by_b.get(v, 0.0))
+        picks, fin = auction_max(
+            wmat, eps_min=eps_min, start_prices=sp, return_prices=True
+        )
+        inv_a = {i: v for v, i in ra.items()}
+        inv_b = {i: v for v, i in rb.items()}
+        link_rows = [
+            {"id_a": inv_a[i], "id_b": inv_b[j], "w": wmat[i, j],
+             "block_id": block_id, "price": np.nan, "is_price": False}
+            for i, j in picks
+        ]
+        price_rows = [
+            {"id_a": -1, "id_b": inv_b[j], "w": np.nan, "block_id": block_id,
+             "price": float(fin[j]), "is_price": True}
+            for j in range(len(rb))
+        ]
+        return pd.DataFrame(link_rows + price_rows, columns=empty.columns)
+
+    res = (
+        p.repartition("block_id")
+        .groupBy("block_id")
+        .applyInPandas(fn, schema=_PRICED_SCHEMA)
+        .localCheckpoint()  # consumed twice (links + prices)
+    )
+    links = res.where(~F.col("is_price")).select("id_a", "id_b", "w", "block_id")
+    new_prices = res.where(F.col("is_price")).select("id_b", "price")
+    return links, new_prices
 
 
 def mutual_best(pairs: DataFrame) -> DataFrame:

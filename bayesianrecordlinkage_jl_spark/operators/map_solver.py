@@ -165,10 +165,16 @@ def penalized_likelihood(
     tol: float = 1e-5,
     max_iter: int = 100,
     method: str = "hungarian",
-) -> tuple[DataFrame, em.FSParams, int]:
+    prices: DataFrame | None = None,
+) -> tuple[DataFrame, em.FSParams, int] | tuple[DataFrame, em.FSParams, int, DataFrame]:
     """One coordinate-ascent solve at a fixed penalty
     (penalized_likelihood_auction analog). pairs must carry (id_a, id_b,
-    vec_id). Returns (links, params, n_iter)."""
+    vec_id). Returns (links, params, n_iter); with method="auction_warm"
+    returns (links, params, n_iter, prices) — the per-column auction price
+    state, recycled across coordinate-ascent iterations here and across
+    penalty steps by penalized_likelihood_search (the reference's
+    update=true path, /root/reference/src/map_functions.jl:121-151)."""
+    warm = method == "auction_warm"
     total = _total_counts(dvecs, gcols, nlevels)
     links = None
     for it in range(1, max_iter + 1):
@@ -182,9 +188,18 @@ def penalized_likelihood(
         blocked = pos.join(
             comps.withColumnRenamed("node", "id_a"), on="id_a"
         ).withColumnRenamed("component", "block_id")
-        links = assignment.one_to_one(
-            blocked.select("id_a", "id_b", "w", "block_id"), method=method
-        ).join(blocked.select("id_a", "id_b", "vec_id"), on=["id_a", "id_b"])
+        if warm:
+            links, prices = assignment.one_to_one_auction_warm(
+                blocked.select("id_a", "id_b", "w", "block_id"), prices
+            )
+            prices = prices.localCheckpoint()
+        else:
+            links = assignment.one_to_one(
+                blocked.select("id_a", "id_b", "w", "block_id"), method=method
+            )
+        links = links.join(
+            blocked.select("id_a", "id_b", "vec_id"), on=["id_a", "id_b"]
+        )
         links = links.localCheckpoint()
         mc = _match_counts(links, dvecs, gcols, nlevels)
         pM, pU = em.max_mu(mc, total, gcols)
@@ -197,8 +212,8 @@ def penalized_likelihood(
             )
         params = em.FSParams(pM=pM, pU=pU, p=params.p)
         if delta <= tol:
-            return links, params, it
-    return links, params, max_iter
+            return (links, params, it, prices) if warm else (links, params, it)
+    return (links, params, max_iter, prices) if warm else (links, params, max_iter)
 
 
 def penalized_likelihood_search(
@@ -221,7 +236,14 @@ def penalized_likelihood_search(
     The interval table stays a DataFrame throughout: each step's update is
     a semi/anti-join of the previous OPEN intervals against the current
     links (extend / close / open — the links_difference statuses), never a
-    driver collect of the links table."""
+    driver collect of the links table.
+
+    method="auction_warm" recycles the per-column auction prices across
+    penalty steps (reference update=true): consecutive penalties shift all
+    weights by the same delta, so the previous step's prices are
+    near-optimal seeds and each re-solve runs a couple of auction phases
+    instead of a full epsilon schedule. The price table is persisted in the
+    chain checkpoint alongside the step links."""
     intervals = spark.createDataFrame(
         [], schema="id_a long, id_b long, start int, stop int"
     )
@@ -229,11 +251,19 @@ def penalized_likelihood_search(
     params = params0
     penalty = penalty0
     step = 0
+    prices: DataFrame | None = None
     while step < max_steps:
         step += 1
-        links, params, _ = penalized_likelihood(
-            spark, pairs, dvecs, gcols, nlevels, params, penalty, method=method
-        )
+        if method == "auction_warm":
+            links, params, _, prices = penalized_likelihood(
+                spark, pairs, dvecs, gcols, nlevels, params, penalty,
+                method=method, prices=prices,
+            )
+        else:
+            links, params, _ = penalized_likelihood(
+                spark, pairs, dvecs, gcols, nlevels, params, penalty,
+                method=method,
+            )
         cur = links.select("id_a", "id_b")
         open_prev = intervals.where(F.col("stop") == step - 1)
         rest = intervals.where(F.col("stop") != step - 1)
@@ -264,6 +294,11 @@ def penalized_likelihood_search(
                 links.select("id_a", "id_b", "w", "block_id"),
                 {"penalty": penalty, "step": step},
             )
+            if prices is not None:
+                checkpoint_store.write(
+                    f"chain_prices_step_{step}", prices,
+                    {"penalty": penalty, "step": step},
+                )
         if n_cur == 0:
             break
         w = em.weights_vector(dvecs, gcols, params)["w"].to_numpy()

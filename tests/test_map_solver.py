@@ -163,3 +163,82 @@ def test_penalty_path_checkpoints(spark, tmp_path):
     back = spark.read.parquet(store.table_path("chain_step_1"))
     assert set(back.columns) == {"id_a", "id_b", "w", "block_id"}
     assert back.count() == chain.nlinks[0]
+
+
+def test_auction_warm_start_unit():
+    """Seeded prices from a uniformly-shifted problem: identical links,
+    strictly fewer auction phases than cold (the reference's update=true
+    price-recycling claim at solver level)."""
+    from bayesianrecordlinkage_jl_spark.operators import assignment as A
+
+    rng = np.random.default_rng(9)
+    w0 = rng.uniform(0.5, 10.0, size=(18, 18))
+    cold_stats: dict = {}
+    picks0, prices0 = A.auction_max(
+        w0, return_prices=True, stats=cold_stats
+    )
+    # penalty step: every weight shifts down by the same delta
+    w1 = w0 - 0.75
+    cold1: dict = {}
+    picks_cold = A.auction_max(w1, stats=cold1)
+    warm1: dict = {}
+    picks_warm = A.auction_max(
+        w1, start_prices=np.maximum(prices0 - 0.75, 0.0), stats=warm1
+    )
+    assert sorted(picks_warm) == sorted(picks_cold)
+    assert warm1["phases"] < cold1["phases"]
+
+
+def test_penalty_path_auction_warm_matches_cold(spark):
+    """penalized_likelihood_search with method='auction_warm' (price
+    recycling across penalty steps) returns the same chain as the cold
+    auction path."""
+    pairs, dvecs = _problem(spark)
+    params0 = em.estimate_em(dvecs, GCOLS, NLEV, p0=0.05)
+    cold = map_solver.penalized_likelihood_search(
+        spark, pairs, dvecs, GCOLS, NLEV, params0, penalty0=0.0,
+        min_incr=1.0, method="auction",
+    )
+    warm = map_solver.penalized_likelihood_search(
+        spark, pairs, dvecs, GCOLS, NLEV, params0, penalty0=0.0,
+        min_incr=1.0, method="auction_warm",
+    )
+    assert warm.nlinks == cold.nlinks
+    assert warm.penalties == pytest.approx(cold.penalties)
+    # tie-degenerate blocks (noise pairs can duplicate the agree-vector,
+    # even at planted nodes) may resolve to a DIFFERENT equally-optimal
+    # matching under seeded prices — the per-step contract is objective
+    # equality (test_auction_warm_solve_objective_matches); here assert the
+    # warm chain recovers the planted matching at step 1 like the cold one
+    s1 = warm.steplinks(1).toPandas()
+    got = set(zip(s1["id_a"], s1["id_b"]))
+    assert len({(i, 1000 + i) for i in range(20)} & got) >= 18
+
+
+def test_auction_warm_solve_objective_matches(spark):
+    """Single solves: the warm-seeded auction reaches the same OBJECTIVE as
+    hungarian/cold-auction at each penalty step, with the prices recycled
+    from the previous step."""
+    pairs, dvecs = _problem(spark)
+    params0 = em.estimate_em(dvecs, GCOLS, NLEV, p0=0.05)
+    links_h, _, _ = map_solver.penalized_likelihood(
+        spark, pairs, dvecs, GCOLS, NLEV, params0, penalty=0.0, max_iter=1
+    )
+    links_w, _, _, prices = map_solver.penalized_likelihood(
+        spark, pairs, dvecs, GCOLS, NLEV, params0, penalty=0.0, max_iter=1,
+        method="auction_warm",
+    )
+    obj_h = links_h.agg(F.sum("w")).collect()[0][0]
+    obj_w = links_w.agg(F.sum("w")).collect()[0][0]
+    assert obj_w == pytest.approx(obj_h, abs=1e-6)
+    # raised penalty, seeded with the previous step's prices
+    links_h2, _, _ = map_solver.penalized_likelihood(
+        spark, pairs, dvecs, GCOLS, NLEV, params0, penalty=1.5, max_iter=1
+    )
+    links_w2, _, _, _ = map_solver.penalized_likelihood(
+        spark, pairs, dvecs, GCOLS, NLEV, params0, penalty=1.5, max_iter=1,
+        method="auction_warm", prices=prices,
+    )
+    obj_h2 = links_h2.agg(F.sum("w")).collect()[0][0]
+    obj_w2 = links_w2.agg(F.sum("w")).collect()[0][0]
+    assert obj_w2 == pytest.approx(obj_h2, abs=1e-6)
