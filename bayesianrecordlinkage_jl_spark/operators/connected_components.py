@@ -240,7 +240,14 @@ def threshold_sensitivity(
 ) -> list[dict]:
     """threshold_sensitivity analog
     (/root/reference/src/weight_functions.jl:471-484): component-size
-    statistics at each candidate blocking threshold (driver diagnostic)."""
+    statistics at each candidate blocking threshold (driver diagnostic).
+
+    Cost model: one CC fixpoint (several Spark jobs) PER threshold — O(len
+    (thresholds)) sequential jobs by design, matching the reference's loop.
+    Fine as a diagnostic over a shortlist of candidate thresholds; for a
+    dense grid, prefer one size_capped_components run (single pass,
+    thresholds discovered adaptively) or localCheckpoint the edge table
+    before calling so each round starts from materialized edges."""
     out = []
     for t in thresholds:
         cc = connected_components(weighted_edges.where(F.col("w") > t))
