@@ -425,7 +425,7 @@ def embedding_cosine_pairs(
     from .blocking import salt_buckets
     from .similarity import band_set_keys, cosine
 
-    keys = band_set_keys(F.col(vec_col), dim, n_planes, n_band_sets)
+    keys = band_set_keys(vec_col, dim, n_planes, n_band_sets)
     base = _spread(df, id_col).select(
         F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
         F.explode(keys).alias("_bk"),

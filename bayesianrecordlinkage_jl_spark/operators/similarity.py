@@ -158,23 +158,39 @@ def hyperplane_bucket_sql(vec: str, dim: int, n_planes: int = 8, seed: int = 42)
 
 
 def band_set_keys(
-    vec: Column, dim: int, n_planes: int, n_band_sets: int, seed: int = 42
+    vec_expr: str, dim: int, n_planes: int, n_band_sets: int, seed: int = 42
 ) -> Column:
     """Array of `n_band_sets` INDEPENDENT sign-LSH keys (set s uses planes
     seeded seed+s; the set index is folded into the key so different sets
     never equi-join). OR-ing several plane sets is the sign-LSH analog of
     MinHash bands: a pair at angle theta collides in >= 1 set with
     probability 1 - (1 - (1-theta/pi)^n_planes)^n_band_sets, which drives
-    near-dup recall -> 1 where a single plane set plateaus around 0.5."""
-    return F.array(
-        *[
-            (
-                F.lit(s << n_planes).cast("long")
-                + hyperplane_bucket(vec, dim, n_planes, seed + s).cast("long")
+    near-dup recall -> 1 where a single plane set plateaus around 0.5.
+
+    `vec_expr` is the COLUMN NAME (or SQL expression) of the vector: the
+    whole key array is emitted as ONE F.expr string parsed server-side.
+    Building the same tree with nested F.lit/F.array/zip_with costs one
+    py4j round trip per literal — 4096 of them took ~6s of DRIVER time per
+    DataFrame build at the 8x8x64 default (execution itself is ~1.6s);
+    the string form parses in milliseconds and produces the IDENTICAL
+    expression (CAST('repr' AS DOUBLE) literals, left-to-right aggregate),
+    so oracle parity is unchanged."""
+    keys = []
+    for s in range(n_band_sets):
+        bits = []
+        for b, plane in enumerate(hyperplanes(dim, n_planes, seed + s)):
+            arr = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in plane)
+            dot = (
+                f"aggregate(zip_with({vec_expr}, array({arr}), "
+                f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
             )
-            for s in range(n_band_sets)
-        ]
-    )
+            bits.append(f"(CASE WHEN {dot} > 0 THEN {1 << b} ELSE 0 END)")
+        keys.append(
+            f"(CAST({s << n_planes} AS BIGINT) "
+            f"+ CAST(({' + '.join(bits)}) AS BIGINT))"
+        )
+    return F.expr("array(" + ", ".join(keys) + ")")
 
 
 def band_set_keys_sql(
@@ -289,18 +305,24 @@ def ivf_topk(
     # the corpus assignment is then a MAP-SIDE argmax (array_position of
     # the max — first occurrence, i.e. ties to the smaller cid, identical
     # to the oracle's ORDER BY cscore DESC, cid ASC). No explode, no
-    # shuffle of the (huge) corpus side.
-    def _cent_scores(v: Column, nv: Column) -> Column:
-        return F.array(
-            *[
-                _dot(v, F.array(*[F.lit(x) for x in c]))
-                / (nv * F.lit(_py_norm(c)))
-                for c in centroids
-            ]
-        )
+    # shuffle of the (huge) corpus side. Emitted as ONE F.expr string (a
+    # nested-F.lit build pays a py4j round trip per literal — see
+    # band_set_keys); CAST('repr' AS DOUBLE) literals keep values
+    # bit-identical to the F.lit form and the oracle.
+    def _cent_scores(v: str, nv: str) -> Column:
+        terms = []
+        for c in centroids:
+            arr = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in c)
+            dot = (
+                f"aggregate(zip_with({v}, array({arr}), "
+                f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+            terms.append(f"({dot} / ({nv} * CAST('{_py_norm(c)!r}' AS DOUBLE)))")
+        return F.expr("array(" + ", ".join(terms) + ")")
 
     corpus = corpus.withColumn("_nv", _norm(F.col("_v")))
-    sc = _cent_scores(F.col("_v"), F.col("_nv"))
+    sc = _cent_scores("_v", "_nv")
     assign = corpus.select(
         "item_id",
         "_v",
@@ -310,7 +332,7 @@ def ivf_topk(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q")
     ).withColumn("_nq", _norm(F.col("_q")))
     qa = q.select(
-        "query_id", "_q", F.posexplode(_cent_scores(F.col("_q"), F.col("_nq")))
+        "query_id", "_q", F.posexplode(_cent_scores("_q", "_nq"))
     ).withColumnsRenamed({"pos": "cid", "col": "cscore"})
     w2 = Window.partitionBy("query_id").orderBy(F.desc("cscore"), F.asc("cid"))
     probes = (
@@ -395,7 +417,7 @@ def lsh_bucketed_topk(
     for one 8-plane set). At 100 TB the explode multiplies the (narrow)
     bucket-key shuffle by n_band_sets, not the vector payload reranked —
     the standard MinHash-band trade."""
-    keys = band_set_keys(F.col(vec_col), dim, n_planes, n_band_sets)
+    keys = band_set_keys(vec_col, dim, n_planes, n_band_sets)
     corpus = df.select(
         F.col(id_col).alias("item_id"),
         F.col(vec_col).alias("_v"),
