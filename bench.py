@@ -54,18 +54,23 @@ def _proc_stat_ticks() -> tuple[int, int]:
         return 0, 0
 
 
-def _md5_microbench(spark) -> float:
+def _md5_microbench(spark) -> tuple[float, list[float]]:
     """Fixed pure-JVM compute job (md5 over 300M rows) — a host-speed
     canary independent of any repo code path. Comparable across rounds:
-    BENCH/BASELINE.md's 32-thread steady-state baseline is ~5.7-6.8s."""
+    BENCH/BASELINE.md's 32-thread steady-state baseline is ~5.7-6.8s.
+    Median-of-3 with per-sample record: single canary shots were observed
+    swinging 9.7-39.4s back-to-back on this VM (see BENCH/BASELINE.md)."""
     # warm codegen once with a tiny run, then time the fixed job
     spark.range(1000).select(F.md5(F.col("id").cast("string")).alias("h")) \
         .write.format("noop").mode("overwrite").save()
-    t0 = time.time()
-    spark.range(300_000_000).select(
-        F.md5(F.col("id").cast("string")).alias("h")
-    ).write.format("noop").mode("overwrite").save()
-    return round(time.time() - t0, 3)
+    samples = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(300_000_000).select(
+            F.md5(F.col("id").cast("string")).alias("h")
+        ).write.format("noop").mode("overwrite").save()
+        samples.append(round(time.time() - t0, 3))
+    return round(statistics.median(samples), 3), samples
 
 HEADLINE = [
     "candidate_pairs",
@@ -166,7 +171,7 @@ def main() -> None:
     d_total = max(total1 - total0, 1)
     extras["steal_pct"] = round(100.0 * (steal1 - steal0) / d_total, 2)
     extras["wall_sec"] = round(time.time() - t_run0, 1)
-    extras["md5_300m_sec"] = _md5_microbench(spark)
+    extras["md5_300m_sec"], extras["md5_300m_samples"] = _md5_microbench(spark)
 
     total = round(sum(timings.values()), 3)
     sf = SF_DIR.rstrip("/").split("sf")[-1]
