@@ -1462,9 +1462,15 @@ def build_catalog() -> dict[str, dict]:
         )
         return links.select("rid_a", "rid_b", "block_id")
 
+    # Oracle-able since round 3: the record fixture is md5-derivable in SQL,
+    # the EM weights are frozen literals (plans/e2e_frozen.json), and the
+    # fixture's one-to-one stage resolves entirely via the provably-optimal
+    # mutual-best fast path (window-expressible). See plans/e2e_oracles.py.
+    from .e2e_oracles import pages_linkage_clusters_sql, two_source_links_sql
+
     cat["two_source_links"] = {
         "spark": _two_source_links,
-        "sql": None,
+        "sql": two_source_links_sql(),
         "ref": "vignette/example.jl end-to-end two-file linkage (600x600, 300 matches)",
     }
 
@@ -1478,9 +1484,14 @@ def build_catalog() -> dict[str, dict]:
         res = run_linkage(s, pages, LinkageConfig())
         return res.clusters.select("url", "cluster_id")
 
+    # Oracle-able since round 3: page rows + EM weights frozen as literals
+    # (the generator's Zipfian host uses pow(), not bit-portable), blocking/
+    # scoring/clustering fully derived in SQL; the size cap provably never
+    # triggers on the fixture (freeze-time assertion: max component pair
+    # count 4x under the cap), so capped-CC == plain recursive-CTE CC.
     cat["pages_linkage_clusters"] = {
         "spark": _pages_linkage,
-        "sql": None,
+        "sql": pages_linkage_clusters_sql(),
         "ref": "SURVEY §3 full lifecycle: blocking -> EM scoring -> CC -> one-to-one",
     }
 
