@@ -43,16 +43,6 @@ def prior_mode(prior: np.ndarray) -> np.ndarray:
     return (prior - 1.0) / (prior.sum() - len(prior))
 
 
-def _loglik(dvecs: pd.DataFrame, gcols: list[str], probs: dict[str, np.ndarray]) -> np.ndarray:
-    """Per-distinct-vector log-likelihood, level 0 (missing) contributes 0."""
-    out = np.zeros(len(dvecs))
-    for g in gcols:
-        lv = dvecs[g].to_numpy().astype(int)
-        obs = lv > 0
-        out[obs] += np.log(probs[g][lv[obs] - 1])
-    return out
-
-
 def estimate_em(
     dvecs: pd.DataFrame,
     gcols: list[str],
@@ -64,53 +54,115 @@ def estimate_em(
     max_iter: int = 5000,
     prior_pseudo: float = 1.01,
 ) -> FSParams:
-    """EM over the distinct-vector table (columns gcols + n_pairs)."""
-    n = dvecs["n_pairs"].to_numpy().astype(float)
-    ntot = n.sum()
+    """EM over the distinct-vector table (columns gcols + n_pairs).
 
-    def init(field: str, matchy: bool) -> np.ndarray:
+    Arithmetic contract (oracle parity): every float op here is +,-,*,/
+    or max — all exactly rounded under IEEE-754, so the iteration is
+    bit-reproducible in any engine that replays the same operation ORDER.
+    The DuckDB twin (plans/em_oracle.py) replays it as a recursive CTE
+    with ORDER-BY-fixed left-to-right list folds; keep the two in
+    lockstep.  Concretely:
+
+      * the E-step uses the PRODUCT form gm = p·Πm / (p·Πm + (1-p)·Πu)
+        (not log-space — exp/log are libm-dependent and banned from
+        oracle-checked columns); products fold left-to-right in gcols
+        order.  Safe from underflow while Π stays above ~1e-300: the
+        Dirichlet pseudocount floors every prob at ~1e-5, so ~60 fields
+        is the practical limit (the reference fits 3-6).
+      * all sums over vectors fold left-to-right in vec_id order from a
+        0.0 accumulator (NOT numpy pairwise sums); dvecs is re-sorted by
+        vec_id here so caller row order cannot change the result.
+      * level pseudocounts are `pseudo + fold`, outer-added AFTER the
+        fold; normalizers fold levels 1..K left-to-right.
+
+    Reference: estimate_EM /root/reference/src/em_functions.jl:72-101
+    (E_step/M_step :7-52; this adds Dirichlet pseudocounts to the M-step
+    so probabilities stay off the simplex boundary).
+    """
+    if "vec_id" in dvecs.columns:
+        dvecs = dvecs.sort_values("vec_id")
+    n = [float(x) for x in dvecs["n_pairs"].tolist()]
+    lv = {g: [int(x) for x in dvecs[g].tolist()] for g in gcols}
+    nrow = len(n)
+    ntot = float(int(dvecs["n_pairs"].sum()))  # integer sum: order-free
+    pseudo = prior_pseudo - 1.0
+
+    def init(field: str, matchy: bool) -> list[float]:
         k = nlevels[field]
-        v = np.ones(k)
+        v = [1.0] * k
         if matchy:
             v[0] = 4.0 * k  # mass on agreement for M-class
         else:
             v[-1] = 4.0 * k  # mass on disagreement for U-class
-        return v / v.sum()
+        s = float(4.0 * k + (k - 1))  # exact: small-int arithmetic
+        return [x / s for x in v]
 
-    pM = {g: np.array(pM0[g], float) for g in gcols} if pM0 else {g: init(g, True) for g in gcols}
-    pU = {g: np.array(pU0[g], float) for g in gcols} if pU0 else {g: init(g, False) for g in gcols}
-    p = p0
+    if pM0:
+        pM = {g: [float(x) for x in pM0[g]] for g in gcols}
+    else:
+        pM = {g: init(g, True) for g in gcols}
+    if pU0:
+        pU = {g: [float(x) for x in pU0[g]] for g in gcols}
+    else:
+        pU = {g: init(g, False) for g in gcols}
+    p = float(p0)
     it = 0
     converged = False
     for it in range(1, max_iter + 1):
-        # E-step (per distinct vector)
-        lm = _loglik(dvecs, gcols, pM) + np.log(p)
-        lu = _loglik(dvecs, gcols, pU) + np.log1p(-p)
-        mx = np.maximum(lm, lu)
-        gm = np.exp(lm - mx) / (np.exp(lm - mx) + np.exp(lu - mx))
-        gu = 1.0 - gm
-        # M-step with Dirichlet pseudocounts
-        new_p = float((gm * n).sum() / ntot)
+        # E-step (per distinct vector, product form; see contract above)
+        gm = [0.0] * nrow
+        for i in range(nrow):
+            prod_m = 1.0
+            prod_u = 1.0
+            for g in gcols:
+                l = lv[g][i]
+                if l > 0:
+                    prod_m = prod_m * pM[g][l - 1]
+                    prod_u = prod_u * pU[g][l - 1]
+            tm = p * prod_m
+            tu = (1.0 - p) * prod_u
+            gm[i] = tm / (tm + tu)
+        # M-step with Dirichlet pseudocounts (ordered folds)
+        accp = 0.0
+        for i in range(nrow):
+            accp = accp + gm[i] * n[i]
+        new_p = accp / ntot
         new_pM, new_pU = {}, {}
-        for g in gcols:
-            k = nlevels[g]
-            lv = dvecs[g].to_numpy().astype(int)
-            cm = np.full(k, prior_pseudo - 1.0)
-            cu = np.full(k, prior_pseudo - 1.0)
-            for lvl in range(1, k + 1):
-                sel = lv == lvl
-                cm[lvl - 1] += (gm[sel] * n[sel]).sum()
-                cu[lvl - 1] += (gu[sel] * n[sel]).sum()
-            new_pM[g] = cm / cm.sum()
-            new_pU[g] = cu / cu.sum()
         delta = abs(new_p - p)
         for g in gcols:
-            delta = max(delta, np.abs(new_pM[g] - pM[g]).max(), np.abs(new_pU[g] - pU[g]).max())
+            k = nlevels[g]
+            cm = [0.0] * k
+            cu = [0.0] * k
+            for lvl in range(1, k + 1):
+                am = 0.0
+                au = 0.0
+                for i in range(nrow):
+                    if lv[g][i] == lvl:
+                        am = am + gm[i] * n[i]
+                        au = au + (1.0 - gm[i]) * n[i]
+                cm[lvl - 1] = pseudo + am
+                cu[lvl - 1] = pseudo + au
+            cms = cm[0]
+            cus = cu[0]
+            for lvl in range(1, k):
+                cms = cms + cm[lvl]
+                cus = cus + cu[lvl]
+            new_pM[g] = [x / cms for x in cm]
+            new_pU[g] = [x / cus for x in cu]
+            for lvl in range(k):
+                delta = max(delta, abs(new_pM[g][lvl] - pM[g][lvl]))
+                delta = max(delta, abs(new_pU[g][lvl] - pU[g][lvl]))
         pM, pU, p = new_pM, new_pU, new_p
         if delta <= tol:
             converged = True
             break
-    return FSParams(pM=pM, pU=pU, p=p, iterations=it, converged=converged)
+    return FSParams(
+        pM={g: np.array(pM[g]) for g in gcols},
+        pU={g: np.array(pU[g]) for g in gcols},
+        p=p,
+        iterations=it,
+        converged=converged,
+    )
 
 
 def max_mu(

@@ -1216,9 +1216,16 @@ def build_catalog() -> dict[str, dict]:
             pd.DataFrame(rows), schema="field string, level int, pM double, pU double"
         )
 
+    # Oracle-able since round 3: estimate_em was rewritten to use only
+    # exactly-rounded ops (+,-,*,/,max) with pinned fold orders, so the
+    # whole EM iteration replays bit-exactly as a DuckDB recursive CTE
+    # (plans/em_oracle.py) — no frozen outputs, the oracle re-derives the
+    # fit from the parquet tables.
+    from .em_oracle import estimate_em_sql
+
     cat["em_estimates"] = {
         "spark": _em_estimates,
-        "sql": None,
+        "sql": estimate_em_sql(_vectors_sql(), GCOLS, NLEVELS),
         "ref": "src/em_functions.jl:72-101 (estimate_EM on distinct vectors)",
     }
 
