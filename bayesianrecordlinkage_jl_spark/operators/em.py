@@ -173,15 +173,28 @@ def max_mu(
     priorU: float = 1.01,
 ) -> tuple[dict[str, np.ndarray], dict[str, np.ndarray]]:
     """Dirichlet-MAP closed form given per-(field,level) matched counts and
-    total observed counts (levels 1..K only; level 0 excluded upstream)."""
+    total observed counts (levels 1..K only; level 0 excluded upstream).
+
+    Same arithmetic contract as estimate_em: only exactly-rounded ops,
+    normalizer folded left-to-right over levels, so the DuckDB penalty-path
+    oracle (plans/pp_oracle.py) can replay it bit-exactly."""
     pM, pU = {}, {}
+    pm_pseudo = priorM - 1.0
+    pu_pseudo = priorU - 1.0
     for g in gcols:
-        mc = match_counts[g].astype(float)
-        uc = total_counts[g].astype(float) - mc
-        am = mc + (priorM - 1.0)
-        au = uc + (priorU - 1.0)
-        pM[g] = am / am.sum()
-        pU[g] = au / au.sum()
+        am = [float(c) + pm_pseudo for c in match_counts[g]]
+        au = [
+            (float(t) - float(c)) + pu_pseudo
+            for t, c in zip(total_counts[g], match_counts[g])
+        ]
+        ams = am[0]
+        aus = au[0]
+        for x in am[1:]:
+            ams = ams + x
+        for x in au[1:]:
+            aus = aus + x
+        pM[g] = np.array([x / ams for x in am])
+        pU[g] = np.array([x / aus for x in au])
     return pM, pU
 
 

@@ -89,7 +89,7 @@ def _init(k: int, matchy: bool) -> list[float]:
     return [x / s for x in v]
 
 
-def estimate_em_sql(
+def em_state_ctes(
     vectors_sql: str,
     gcols: list[str],
     nlevels: dict[str, int],
@@ -98,9 +98,12 @@ def estimate_em_sql(
     max_iter: int = 5000,
     prior_pseudo: float = 1.01,
 ) -> str:
-    """Static SQL returning (field, level, pM, pU) bit-identical to
-    estimate_em over the distinct vectors of `vectors_sql` (a query with
-    columns gcols; one row per pair)."""
+    """CTE block `dv AS (...), em AS (...), fin AS (...)` (no WITH prefix;
+    must be placed inside a WITH RECURSIVE).  `fin` is one row holding the
+    converged EM state as scalar columns m_<g>_<l> / u_<g>_<l> (+ p), and
+    `dv` is the rn-keyed distinct-vector table — both reusable by composite
+    oracles (plans/pp_oracle.py embeds them as the penalty path's entry
+    parameters)."""
     pseudo = prior_pseudo - 1.0
     gl = [(g, lvl) for g in gcols for lvl in range(1, nlevels[g] + 1)]
     params = [f"m_{g}_{l}" for g, l in gl] + [f"u_{g}_{l}" for g, l in gl]
@@ -195,15 +198,8 @@ def estimate_em_sql(
         + f" FROM ({t2}) t2"
     )
 
-    unpivot = " UNION ALL ".join(
-        f"SELECT '{g}' AS field, CAST({l} AS INT) AS level, "
-        f"m_{g}_{l} AS pM, u_{g}_{l} AS pU FROM fin"
-        for g, l in gl
-    )
-
     return f"""
-    WITH RECURSIVE
-    dv AS (
+    dv AS MATERIALIZED (
       SELECT CAST(row_number() OVER (ORDER BY {gorder}) AS BIGINT) AS rn,
              {gorder}, n_pairs, CAST(n_pairs AS DOUBLE) AS nf
       FROM (SELECT {gorder}, CAST(count(*) AS BIGINT) AS n_pairs
@@ -215,5 +211,26 @@ def estimate_em_sql(
       {rec}
     ),
     fin AS (SELECT * FROM em ORDER BY it DESC LIMIT 1)
-    {unpivot}
     """
+
+
+def estimate_em_sql(
+    vectors_sql: str,
+    gcols: list[str],
+    nlevels: dict[str, int],
+    **kw,
+) -> str:
+    """Static SQL returning (field, level, pM, pU) bit-identical to
+    estimate_em over the distinct vectors of `vectors_sql` (a query with
+    columns gcols; one row per pair)."""
+    gl = [(g, lvl) for g in gcols for lvl in range(1, nlevels[g] + 1)]
+    unpivot = " UNION ALL ".join(
+        f"SELECT '{g}' AS field, CAST({l} AS INT) AS level, "
+        f"m_{g}_{l} AS pM, u_{g}_{l} AS pU FROM fin"
+        for g, l in gl
+    )
+    return (
+        "WITH RECURSIVE "
+        + em_state_ctes(vectors_sql, gcols, nlevels, **kw)
+        + unpivot
+    )

@@ -1252,10 +1252,22 @@ def build_catalog() -> dict[str, dict]:
             F.col("stop").cast("long").alias("stop"),
         )
 
+    # Oracle-able since round 3: entry params come from the EM recursive
+    # CTE, each greedy solve replays as a recursive CTE in product space
+    # (log-free), penalties + ascent structure are frozen literals with
+    # decision-equivalence asserted at freeze time (plans/pp_frozen.json,
+    # scripts/freeze_pp_oracle.py). See plans/pp_oracle.py.
+    from .pp_oracle import penalty_path_sql
+
     cat["penalty_path_chain"] = {
         "spark": _penalty_path,
-        "sql": None,
+        "sql": penalty_path_sql(_vectors_sql(), GCOLS, NLEVELS),
         "ref": "src/sequence_map_functions.jl:91-240 (penalized_likelihood_search)",
+        # the ascent structure + penalty literals are frozen from the
+        # sf0.01 gate data (and the greedy replay is O(pairs^2) in the
+        # recursion) — scripts/parity_sweep.py skips this row at other
+        # scales instead of running a knowingly-wrong oracle
+        "gate_only": True,
     }
 
     # --- restricted MCMC surrogate (SURVEY 2.8; per-block chains in

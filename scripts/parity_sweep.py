@@ -42,15 +42,25 @@ def main() -> None:
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    from bayesianrecordlinkage_jl_spark.plans.oracle_queries import (
+        build_catalog,
+    )
+
+    cat = build_catalog()
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
-    ok = bad = skipped = 0
+    at_gate = os.path.normpath(sf).endswith("sf0.01")
+    ok = bad = skipped = gate_locked = 0
     for name in sorted(queries):
         if only and name not in only:
             continue
         sql = oracles.get(name)
         if sql is None:
             skipped += 1
+            continue
+        if cat.get(name, {}).get("gate_only") and not at_gate:
+            gate_locked += 1
+            print(f"SKIP {name}: oracle structure frozen at sf0.01 gate")
             continue
         t0 = time.time()
         try:
@@ -79,7 +89,10 @@ def main() -> None:
         except Exception as e:  # noqa: BLE001
             bad += 1
             print(f"FAIL {name}: {e}", flush=True)
-    print(f"SUMMARY sf={sf}: {ok} pass, {bad} fail, {skipped} rows-only")
+    print(
+        f"SUMMARY sf={sf}: {ok} pass, {bad} fail, {skipped} rows-only, "
+        f"{gate_locked} gate-locked"
+    )
 
 
 if __name__ == "__main__":
