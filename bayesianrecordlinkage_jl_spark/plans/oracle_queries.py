@@ -870,9 +870,56 @@ def build_catalog() -> dict[str, dict]:
             blocked.select("id_a", "id_b", "w", "block_id"), method="hungarian"
         )
 
+    # Oracle-able since round 3: a GLOBAL greedy matching replayed as a
+    # recursive CTE (pick head of the (w DESC, id_a, id_b)-ordered pair
+    # list, drop conflicts, repeat) equals the Spark run because (a)
+    # connected components partition the node set, so global greedy is the
+    # union of per-block greedies, (b) the mutual fast path picks exactly
+    # the pairs greedy would (each attains its row/column max under the
+    # same tie-break), and (c) greedy == Hungarian on the solver residue —
+    # certified per fixture by tests/test_assignment.py::
+    # test_one_to_one_greedy_hungarian_certificate (greedy optimality is
+    # NOT a theorem; the certificate is what makes this oracle valid — it
+    # is asserted at sf0.001/sf0.01 in pytest and re-certified at sf0.1 by
+    # scripts/parity_sweep.py comparing this SQL to the Hungarian run).
+    # w itself is the
+    # bit-portable fs_weights expression, so ordering and output values
+    # replay exactly.
     cat["one_to_one_links"] = {
         "spark": _one_to_one_links,
-        "sql": None,
+        "sql": f"""
+        WITH RECURSIVE wp AS MATERIALIZED (
+          SELECT id_a, id_b, w FROM ({_weighted_pairs_sql()})
+          WHERE w > {EDGE_THRESHOLD!r}e0
+        ),
+        bi AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM wp
+                            UNION ALL SELECT id_b AS a, id_a AS b FROM wp),
+        walk(node, comp) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM bi)
+          UNION
+          SELECT bi.b, w.comp FROM walk w JOIN bi ON bi.a = w.node
+          WHERE w.comp < bi.b
+        ),
+        cc AS MATERIALIZED (SELECT node, min(comp) AS component
+                            FROM walk GROUP BY node),
+        cand AS (SELECT list(struct_pack(ia := id_a, ib := id_b, w := w)
+                             ORDER BY w DESC, id_a, id_b) AS rem FROM wp),
+        g AS (
+          SELECT 0 AS n,
+                 CAST([] AS STRUCT(ia BIGINT, ib BIGINT, w DOUBLE)[]) AS chosen,
+                 (SELECT rem FROM cand) AS rem
+          UNION ALL
+          SELECT n + 1, list_append(chosen, rem[1]),
+                 list_filter(rem[2:], p -> p['ia'] != (rem[1])['ia']
+                             AND p['ib'] != (rem[1])['ib'])
+          FROM g WHERE len(rem) > 0
+        ),
+        lk AS (SELECT u['ia'] AS id_a, u['ib'] AS id_b, u['w'] AS w
+               FROM (SELECT unnest(chosen) AS u
+                     FROM (SELECT chosen FROM g ORDER BY n DESC LIMIT 1)))
+        SELECT lk.id_a, lk.id_b, lk.w, cc.component AS block_id
+        FROM lk JOIN cc ON cc.node = lk.id_a
+        """,
         "ref": "src/maximization_functions.jl:137-244 (max_C_cluster_hungarian)",
     }
 

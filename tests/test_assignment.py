@@ -216,3 +216,38 @@ def test_mutual_pair_outside_optimum_routes_to_solver(spark):
     ).toPandas()
     assert sorted(zip(out["id_a"], out["id_b"])) == [(1, 102), (2, 101)]
     assert (out["resolved_by"] == "hungarian").all()
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_one_to_one_greedy_hungarian_certificate(spark, sf):
+    """Certificate backing the one_to_one_links DuckDB oracle: on the gate
+    fixtures the global greedy matching (the oracle's recursive-CTE replay)
+    picks the IDENTICAL link set as the catalog's mutual-fast-path +
+    Hungarian run.  Greedy optimality is not a theorem — this assertion is
+    what licenses the SQL twin (plans/oracle_queries.py one_to_one_links);
+    if a fixture change breaks it, the oracle must be demoted, not the
+    test."""
+    from bayesianrecordlinkage_jl_spark.plans import oracle_queries as oq
+    from pyspark.sql import functions as F
+
+    d = f"/root/testdata/{sf}"
+    hung = oq.build_catalog()["one_to_one_links"]["spark"](spark, d).toPandas()
+
+    wp = oq._scored_pairs_spark(spark, d).where(F.col("w") > oq.EDGE_THRESHOLD)
+    from bayesianrecordlinkage_jl_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    comps = connected_components(
+        wp.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    blocked = (
+        wp.join(comps.withColumnRenamed("node", "id_a"), on="id_a")
+        .withColumnRenamed("component", "block_id")
+        .select("id_a", "id_b", "w", "block_id")
+    )
+    greedy = A.one_to_one(
+        blocked, method="greedy", mutual_fast_path=False
+    ).toPandas()
+    key = lambda df: sorted(zip(df["id_a"], df["id_b"], df["w"], df["block_id"]))
+    assert key(hung) == key(greedy)
