@@ -400,16 +400,45 @@ def one_to_one_auction_warm(
 
 def mutual_best(pairs: DataFrame) -> DataFrame:
     """One round of mutual-argmax (pure DataFrame; SQL-oracle-able): keep
-    pairs ranked 1 within BOTH their id_a and id_b partitions under
+    pairs that are best within BOTH their id_a and id_b groups under
     (w desc, other-id asc). This is the distributed fast path covering the
-    vast majority of links; the applyInPandas solver handles the rest."""
-    wa = Window.partitionBy("id_a").orderBy(F.desc("w"), F.asc("id_b"))
-    wb = Window.partitionBy("id_b").orderBy(F.desc("w"), F.asc("id_a"))
-    return (
-        pairs.withColumn("_ra", F.row_number().over(wa))
-        .withColumn("_rb", F.row_number().over(wb))
-        .where((F.col("_ra") == 1) & (F.col("_rb") == 1))
-        .drop("_ra", "_rb")
+    vast majority of links; the applyInPandas solver handles the rest.
+
+    Shape: per-side argmax as a deterministic struct-MAX aggregation
+    (lexicographic on (w, -other-id, ...), so ties are impossible for
+    unique (id_a, id_b) and the result is partitioning-independent), then
+    a semi-join of the two one-row-per-id argmax tables. The aggregate
+    combines map-side, so the shuffle carries ~|ids| rows instead of the
+    |pairs| rows a row_number window would sort twice — at web scale
+    (hot blocks: pairs grow quadratically in block size while ids grow
+    linearly) this is the difference between shuffling the pair graph
+    twice and shuffling the id set twice (sf1 measured: 100x pair growth
+    per 10x docs, see BENCH/BASELINE.md).
+
+    CONTRACT: the input is consumed twice (one argmax per side), so an
+    expensive upstream must be materialized by the caller — one_to_one
+    localCheckpoints its block table, the catalog row checkpoints scored
+    pairs. Handing an unmaterialized comparator subtree here doubles the
+    scoring cost (sf1: 82s vs 43s)."""
+    cols = pairs.columns
+
+    def best(group_key: str, other: str) -> DataFrame:
+        sel = F.struct(
+            F.col("w").alias("_w"),
+            (-F.col(other)).alias("_no"),
+            *[F.col(c).alias(c) for c in cols],
+        )
+        return (
+            pairs.groupBy(group_key)
+            .agg(F.max(sel).alias("_s"))
+            .select("_s.*")
+            .drop("_w", "_no")
+        )
+
+    return best("id_a", "id_b").join(
+        best("id_b", "id_a").select("id_a", "id_b"),
+        on=["id_a", "id_b"],
+        how="left_semi",
     )
 
 

@@ -633,25 +633,22 @@ def build_catalog() -> dict[str, dict]:
 
     # --- matching (SURVEY 2.5; single mutual-argmax round is the
     # SQL-expressible fast path; full per-block LSAP is pytest-verified) ---
+    # Spark side is the map-side-combined struct-max aggregation
+    # (operators/assignment.mutual_best — shuffles |ids|, not |pairs|);
+    # the DuckDB twin keeps the equivalent window form. Values identical:
+    # both realize the same (w desc, other-id asc) argmax total order.
+    def _mutual_best_match(s: SparkSession, d: str) -> DataFrame:
+        from ..operators.assignment import mutual_best
+
+        # mutual_best consumes its input twice (one argmax agg per side);
+        # checkpoint so the comparator scoring runs once, not twice
+        # (sf1 measured: 82s uncheckpointed vs 43s checkpointed, with the
+        # argmax step itself 1.5s vs the old window form's ~25s)
+        wp = _scored_pairs_spark(s, d).where(F.col("w") > EDGE_THRESHOLD)
+        return mutual_best(wp.select("id_a", "id_b", "w").localCheckpoint())
+
     cat["mutual_best_match"] = {
-        "spark": lambda s, d: (
-            lambda wp: (
-                wp.withColumn(
-                    "_ra",
-                    F.row_number().over(
-                        Window.partitionBy("id_a").orderBy(F.desc("w"), F.asc("id_b"))
-                    ),
-                )
-                .withColumn(
-                    "_rb",
-                    F.row_number().over(
-                        Window.partitionBy("id_b").orderBy(F.desc("w"), F.asc("id_a"))
-                    ),
-                )
-                .where((F.col("_ra") == 1) & (F.col("_rb") == 1))
-                .select("id_a", "id_b", "w")
-            )
-        )(_scored_pairs_spark(s, d).where(F.col("w") > EDGE_THRESHOLD)),
+        "spark": _mutual_best_match,
         "sql": f"""
         WITH wp AS (SELECT * FROM ({_weighted_pairs_sql()}) WHERE w > {EDGE_THRESHOLD!r}e0)
         SELECT id_a, id_b, w FROM (

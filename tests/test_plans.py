@@ -78,9 +78,14 @@ def test_weight_filter_does_not_reinline_comparators(spark):
     assert opt.count("levenshtein") == 1, opt
 
 
-def test_mutual_best_uses_window_not_join(spark):
+def test_mutual_best_aggregates_before_shuffle(spark):
+    """mutual_best must shuffle |ids|, not |pairs|: the per-side argmax is
+    a struct-MAX groupBy with a partial (map-side) aggregation, and no
+    per-pair row_number window (which would sort the full pair graph
+    twice) appears in the plan."""
     plan = _plan(oq.build_catalog()["mutual_best_match"]["spark"](spark, SF))
-    assert "Window" in plan
+    assert "partial" in plan.lower()
+    assert "row_number" not in plan.lower()
 
 
 def test_event_window_agg_partial(spark):
