@@ -271,6 +271,94 @@ def train_centroids(
     return [[float(x) for x in row] for row in C]
 
 
+def train_centroids_distributed(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_centroids: int = 8,
+    iters: int = 5,
+) -> list[list[float]]:
+    """Distributed spherical k-means — the at-scale twin of
+    train_centroids (which samples to the driver). Every pass is one
+    narrow job over the FULL corpus, never a driver-side sample:
+
+      * init: the n_centroids rows with the smallest md5(id) — a
+        distributed top-k (TakeOrdered), deterministic, no full sort;
+      * assign: map-side argmax over a literal centroid-dot array (the
+        same one-F.expr scorer the ivf_topk serving path uses — no
+        explode, no corpus shuffle, ties to the smaller cid);
+      * update: per-element F.sum over the dim array slots + a count —
+        partial aggregation combines map-side, so the shuffle carries
+        n_centroids x (dim+1) doubles per map partition and nothing else;
+        the k x dim means are re-normalized on the driver.
+
+    The normalized corpus is localCheckpoint'ed once (consumed by every
+    iteration). Driver loop = `iters` jobs on purpose (like
+    threshold_sensitivity) — each job is a full-corpus scan, which is the
+    point at 100 TB: nothing ever funnels through the driver except the
+    k x dim centroid table itself. Output feeds the same freeze path as
+    train_centroids (oracle centroids stay frozen literals,
+    plans/ivf_centroids.json — a trainer can never run at query time).
+    Empty clusters keep their previous centroid. Float sums are
+    partitioning-order-dependent, so cross-partitioning determinism is
+    approximate (unlike the frozen serving literals, which are exact).
+
+    Reference analog: the coarse-quantizer training the IVF literature
+    assumes (Jegou et al.); the reference repo has no ANN surface.
+    """
+    import numpy as np
+
+    n = df.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v")
+    ).withColumn("_nv", F.greatest(_norm(F.col("_v")), F.lit(1e-12)))
+    vn = n.select(
+        "_id",
+        F.expr("transform(_v, x -> CAST(x AS DOUBLE) / _nv)").alias("_vn"),
+    ).localCheckpoint()
+
+    seed_rows = (
+        vn.withColumn("_h", F.md5(F.col("_id").cast("string")))
+        .orderBy("_h")
+        .limit(n_centroids)
+        .select("_vn")
+        .collect()
+    )
+    C = np.array([r["_vn"] for r in seed_rows], dtype=np.float64)
+    C = C / np.maximum(np.linalg.norm(C, axis=1, keepdims=True), 1e-12)
+    dim = C.shape[1]
+
+    for _ in range(iters):
+        dots = []
+        for c in C:
+            arr = ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c)
+            dots.append(
+                f"aggregate(zip_with(_vn, array({arr}), "
+                f"(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+            )
+        sc = F.expr("array(" + ", ".join(dots) + ")")
+        assigned = vn.select(
+            (F.array_position(sc, F.array_max(sc)) - 1).cast("int").alias("cid"),
+            "_vn",
+        )
+        stats = (
+            assigned.groupBy("cid")
+            .agg(
+                F.count(F.lit(1)).alias("_n"),
+                *[
+                    F.sum(F.element_at("_vn", i + 1)).alias(f"_s{i}")
+                    for i in range(dim)
+                ],
+            )
+            .collect()
+        )
+        for r in stats:
+            v = np.array([r[f"_s{i}"] for i in range(dim)]) / r["_n"]
+            nv = np.linalg.norm(v)
+            if nv > 0:
+                C[r["cid"]] = v / nv
+    return [[float(x) for x in row] for row in C]
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
