@@ -251,3 +251,15 @@ def test_one_to_one_greedy_hungarian_certificate(spark, sf):
     ).toPandas()
     key = lambda df: sorted(zip(df["id_a"], df["id_b"], df["w"], df["block_id"]))
     assert key(hung) == key(greedy)
+
+
+def test_mutual_best_edge_cases(spark):
+    """Agg-form mutual_best: empty input, single pair, and extra payload
+    columns all behave; output column order is preserved."""
+    schema = "id_a long, id_b long, w double, block_id long"
+    empty = spark.createDataFrame([], schema)
+    assert A.mutual_best(empty).count() == 0
+    one = spark.createDataFrame([(1, 10, 2.5, 7)], schema)
+    out = A.mutual_best(one).toPandas()
+    assert out.columns.tolist() == ["id_a", "id_b", "w", "block_id"]
+    assert out.values.tolist() == [[1, 10, 2.5, 7]]
