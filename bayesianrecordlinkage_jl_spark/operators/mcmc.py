@@ -597,3 +597,88 @@ def mh_gibbs(
         mc = _match_counts(est, dvecs, gcols, nlevels)
         pM, pU = gibbs_mu_draw(mc, total, gcols, rng)
     return acc, (pM, pU)
+
+
+def exact_posterior_links(
+    pairs: DataFrame,
+    max_pairs_per_block: int = 10,
+    prior_link_ratio: float = 1.0,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact posterior one-to-one matching by per-block enumeration — the
+    distribution the mh_gibbs chains SAMPLE, computed in closed form where
+    the block is small enough to enumerate.
+
+    pairs: (id_a, id_b, r, block_id) with r the PRODUCT-SPACE likelihood
+    ratio of the pair (left-to-right Π m/u over fields — e^w without any
+    libm exp, the same arithmetic as plans/pp_oracle._ratio_expr) and
+    block_id partitioning the positive graph (connected components).
+
+    pi(M) ∝ Π_{p∈M} (r_p · prior_link_ratio) over all one-to-one
+    matchings M of the block (prior_link_ratio = θ is the exppenalty
+    link-count prior; θ=1 ⇒ uniform prior over matchings — reference
+    posterior /root/reference/src/mcmc.jl:56-130 at convergence). Emits
+    (id_a, id_b, block_id, marginal) for pairs whose exact marginal
+    P(p ∈ M) exceeds `threshold`.
+
+    Exact inference is exponential by nature, so the domain is explicit:
+    blocks with more than max_pairs_per_block pairs are EXCLUDED (route
+    them to mh_gibbs / one_to_one); the cap is static and mirrored in the
+    DuckDB oracle. Per-block work is one bitmask sweep over ≤ 2^cap
+    subsets inside applyInPandas — embarrassingly parallel across blocks,
+    nothing reaches the driver. Marginal VALUES are sums of per-matching
+    products whose accumulation order differs between engines (last-ulp),
+    so oracle-checked columns carry only the ids; the > threshold decision
+    is protected by a margin certificate (tests/test_mcmc.py)."""
+    p = pairs.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("r").cast("double"),
+        F.col("block_id").cast("long"),
+    )
+    sizes = p.groupBy("block_id").agg(F.count(F.lit(1)).alias("_np"))
+    small = p.join(
+        sizes.where(F.col("_np") <= max_pairs_per_block).select("block_id"),
+        on="block_id",
+        how="left_semi",
+    )
+    theta = float(prior_link_ratio)
+    thr = float(threshold)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        n = len(pdf)
+        ia = pdf["id_a"].tolist()
+        ib = pdf["id_b"].tolist()
+        r = [float(x) * theta for x in pdf["r"]]
+        z = 0.0
+        num = [0.0] * n
+        for mask in range(1 << n):
+            rows: set = set()
+            cols: set = set()
+            ok = True
+            prod = 1.0
+            for k in range(n):
+                if mask >> k & 1:
+                    if ia[k] in rows or ib[k] in cols:
+                        ok = False
+                        break
+                    rows.add(ia[k])
+                    cols.add(ib[k])
+                    prod *= r[k]
+            if not ok:
+                continue
+            z += prod
+            for k in range(n):
+                if mask >> k & 1:
+                    num[k] += prod
+        keep = [k for k in range(n) if num[k] / z > thr]
+        out = pdf.iloc[keep][["id_a", "id_b", "block_id"]].copy()
+        out["marginal"] = [num[k] / z for k in keep]
+        return out
+
+    return (
+        small.repartition("block_id")
+        .groupBy("block_id")
+        .applyInPandas(fn, schema="id_a long, id_b long, block_id long, marginal double")
+    )

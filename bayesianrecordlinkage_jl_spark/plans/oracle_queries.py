@@ -272,6 +272,54 @@ def _weighted_pairs_sql() -> str:
     return f"SELECT id_a, id_b, {_WEIGHT_EXPR_SQL} AS w FROM ({_vectors_sql()})"
 
 
+# exact-posterior matching: product-space ratio floor + enumeration cap
+# (both static, mirrored verbatim in the DuckDB twin)
+EP_R0 = 0.05
+EP_CAP = 10
+
+
+def _ep_blocked_pairs(s: SparkSession, d: str) -> DataFrame:
+    """(id_a, id_b, r, block_id) for exact_posterior_links: per-pair
+    PRODUCT-SPACE likelihood ratios (left-to-right Π m/u, the same fold as
+    pp_oracle._ratio_expr — no exp/log anywhere) from the live EM fit,
+    thresholded at EP_R0, blocked by connected components."""
+    import pandas as pd
+
+    from ..operators import em
+    from ..operators.comparison_summary import attach_vec_ids
+    from ..operators.connected_components import connected_components
+
+    v = _vectors_spark(s, d)
+    dvdf = distinct_vectors(v, GCOLS)
+    dv = dvdf.orderBy("vec_id").toPandas()
+    params = em.estimate_em(dv, GCOLS, NLEVELS)
+    rs = []
+    for row in dv.itertuples():
+        acc = 1.0
+        for g in GCOLS:  # left-to-right fold == _ratio_expr's _prod
+            lvl = getattr(row, g)
+            if lvl is not None and not pd.isna(lvl) and int(lvl) > 0:
+                acc = acc * (
+                    params.pM[g][int(lvl) - 1] / params.pU[g][int(lvl) - 1]
+                )
+        rs.append({"vec_id": int(row.vec_id), "r": acc})
+    rdf = s.createDataFrame(pd.DataFrame(rs), schema="vec_id long, r double")
+    pairs = attach_vec_ids(v, dvdf, GCOLS).select("id_a", "id_b", "vec_id")
+    rp = (
+        pairs.join(F.broadcast(rdf), on="vec_id")
+        .where(F.col("r") > EP_R0)
+        .select("id_a", "id_b", "r")
+        .localCheckpoint()  # consumed by CC and the block join
+    )
+    comps = connected_components(
+        rp.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    blocked = rp.join(
+        comps.withColumnRenamed("node", "id_a"), on="id_a"
+    ).withColumnRenamed("component", "block_id")
+    return blocked.select("id_a", "id_b", "r", "block_id")
+
+
 def _edges_sql() -> str:
     return f"SELECT id_a, id_b FROM ({_weighted_pairs_sql()}) WHERE w > {EDGE_THRESHOLD!r}e0"
 
@@ -1332,6 +1380,99 @@ def build_catalog() -> dict[str, dict]:
         "spark": _mcmc_counts,
         "sql": None,
         "ref": "src/mcmc.jl:87-137 + README.md:148-151 (mh_gibbs_count Bayes estimate)",
+    }
+
+    # --- exact posterior matching (SURVEY 2.8): the distribution the
+    # mh_gibbs chains sample, computed in closed form per block. EM params
+    # come from the recursive-CTE EM twin (nothing frozen); per-pair
+    # product-space ratios replay bit-exactly (pp_oracle._ratio_expr); the
+    # enumeration is a take/skip recursion over the (ia, ib)-ordered pair
+    # list. Blocks above EP_CAP pairs are excluded in BOTH engines (exact
+    # inference is exponential; big blocks are the mh_gibbs/one_to_one
+    # domain). Marginal sums accumulate in different orders across engines
+    # (last ulp), so only ids are oracle-hashed and the >0.5 decision is
+    # margin-certified (tests/test_mcmc.py::test_exact_posterior_margin).
+    def _exact_posterior(s: SparkSession, d: str) -> DataFrame:
+        from ..operators import mcmc
+
+        return mcmc.exact_posterior_links(
+            _ep_blocked_pairs(s, d), max_pairs_per_block=EP_CAP
+        ).select("id_a", "id_b", "block_id")
+
+    from .em_oracle import em_state_ctes as _em_ctes
+    from .pp_oracle import _ratio_expr as _ratio
+
+    _ep_join = " AND ".join(f"v.{g} = d.{g}" for g in GCOLS)
+    cat["exact_posterior_links"] = {
+        "spark": _exact_posterior,
+        "sql": f"""
+        WITH RECURSIVE
+        {_em_ctes(_vectors_sql(), GCOLS, NLEVELS).strip()},
+        pairs0 AS MATERIALIZED (
+          SELECT v.id_a AS ia, v.id_b AS ib, d.rn AS vec
+          FROM ({_vectors_sql()}) v JOIN dv d ON {_ep_join}),
+        rv AS (SELECT d.rn AS vec, {_ratio("pr", GCOLS, NLEVELS)} AS r
+               FROM dv d, fin pr),
+        rp AS MATERIALIZED (
+          SELECT p.ia, p.ib, rv.r FROM pairs0 p JOIN rv ON p.vec = rv.vec
+          WHERE rv.r > {EP_R0!r}e0),
+        bi AS MATERIALIZED (SELECT ia AS a, ib AS b FROM rp
+                            UNION ALL SELECT ib AS a, ia AS b FROM rp),
+        walk(node, comp) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM bi)
+          UNION
+          SELECT bi.b, wk.comp FROM walk wk JOIN bi ON bi.a = wk.node
+          WHERE wk.comp < bi.b),
+        cc AS MATERIALIZED (SELECT node, min(comp) AS component
+                            FROM walk GROUP BY node),
+        bp AS MATERIALIZED (
+          SELECT rp.ia, rp.ib, rp.r, cc.component AS block_id,
+                 CAST(row_number() OVER (PARTITION BY cc.component
+                                         ORDER BY rp.ia, rp.ib) AS INT) AS k
+          FROM rp JOIN cc ON cc.node = rp.ia),
+        ok_blocks AS (SELECT block_id FROM bp GROUP BY block_id
+                      HAVING count(*) <= {EP_CAP}),
+        pl AS MATERIALIZED (
+          SELECT b.block_id,
+                 list(struct_pack(ia := b.ia, ib := b.ib, r := b.r)
+                      ORDER BY b.ia, b.ib) AS ps
+          FROM bp b JOIN ok_blocks o ON o.block_id = b.block_id
+          GROUP BY b.block_id),
+        en AS (
+          SELECT block_id, ps, 0 AS idx,
+                 CAST([] AS BIGINT[]) AS ua, CAST([] AS BIGINT[]) AS ub,
+                 CAST([] AS INT[]) AS ch, CAST(1.0 AS DOUBLE) AS prod
+          FROM pl
+          UNION ALL
+          SELECT e.block_id, e.ps, e.idx + 1,
+                 CASE WHEN b.t = 1
+                      THEN list_append(e.ua, (e.ps[e.idx+1])['ia'])
+                      ELSE e.ua END,
+                 CASE WHEN b.t = 1
+                      THEN list_append(e.ub, (e.ps[e.idx+1])['ib'])
+                      ELSE e.ub END,
+                 CASE WHEN b.t = 1
+                      THEN list_append(e.ch, e.idx + 1) ELSE e.ch END,
+                 CASE WHEN b.t = 1
+                      THEN e.prod * (e.ps[e.idx+1])['r'] ELSE e.prod END
+          FROM en e JOIN (VALUES (0), (1)) b(t)
+            ON e.idx < len(e.ps)
+           AND (b.t = 0 OR (NOT list_contains(e.ua, (e.ps[e.idx+1])['ia'])
+                        AND NOT list_contains(e.ub, (e.ps[e.idx+1])['ib'])))),
+        term AS MATERIALIZED (SELECT block_id, ch, prod FROM en
+                              WHERE idx = len(ps)),
+        zt AS (SELECT block_id, sum(prod) AS z FROM term GROUP BY block_id),
+        nm AS (SELECT block_id, unnest(ch) AS k, prod FROM term),
+        marg AS (SELECT block_id, k, sum(prod) AS num FROM nm
+                 GROUP BY block_id, k)
+        SELECT b.ia AS id_a, b.ib AS id_b, b.block_id
+        FROM marg m
+        JOIN zt ON zt.block_id = m.block_id
+        JOIN bp b ON b.block_id = m.block_id AND b.k = m.k
+        WHERE m.num / zt.z > 0.5e0
+        """,
+        "ref": "src/mcmc.jl:56-137 (the matching posterior mh_gibbs samples; "
+        "exact enumeration for small blocks)",
     }
 
     # --- ANN scale path: sign-LSH bucketed top-k ---

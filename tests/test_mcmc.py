@@ -305,3 +305,66 @@ def test_informed_kernels_survive_all_forbidden_moves(spark, kernel):
         _pairs_df(spark, rows), nsteps=200, lp_link=[], seed=3, kernel=kernel
     ).collect()
     assert all(r["n_linked"] == 0 for r in out)
+
+
+def test_exact_posterior_links_vs_enumeration(spark):
+    """exact_posterior_links agrees with the brute-force _exact_marginals
+    enumeration on every block (same posterior, computed in product space
+    instead of log space), and blocks above the pair cap are excluded."""
+    import numpy as np
+
+    rng = np.random.default_rng(21)
+    rows = []
+    per_block = {}
+    for b, n in [(1, 1), (2, 3), (3, 4), (4, 6)]:
+        ids_a = [b * 100 + i // 2 for i in range(n)]
+        ids_b = [b * 1000 + (i * 7) % ((n + 1) // 2 + 1) for i in range(n)]
+        seen = set()
+        blk = []
+        for k in range(n):
+            if (ids_a[k], ids_b[k]) in seen:
+                continue
+            seen.add((ids_a[k], ids_b[k]))
+            w = float(rng.normal(0.5, 1.5))
+            blk.append((ids_a[k], ids_b[k], w))
+            rows.append((ids_a[k], ids_b[k], float(np.exp(w)), b))
+        per_block[b] = blk
+    # an oversized block that must be excluded (cap=6)
+    for k in range(7):
+        rows.append((900 + k, 9000 + k, 5.0, 99))
+
+    df = spark.createDataFrame(rows, "id_a long, id_b long, r double, block_id long")
+    out = mcmc.exact_posterior_links(df, max_pairs_per_block=6).toPandas()
+    assert not (out["block_id"] == 99).any()
+    for b, blk in per_block.items():
+        ids_a = [x[0] for x in blk]
+        ids_b = [x[1] for x in blk]
+        w = np.array([x[2] for x in blk])
+        marg = _exact_marginals(ids_a, ids_b, w, 0.0)
+        want = {
+            (ids_a[k], ids_b[k]): marg[k]
+            for k in range(len(blk))
+            if marg[k] > 0.5
+        }
+        got = out[out["block_id"] == b]
+        got_m = dict(zip(zip(got["id_a"], got["id_b"]), got["marginal"]))
+        assert set(got_m) == set(want), b
+        for kk, m in want.items():
+            assert abs(got_m[kk] - m) < 1e-9, (b, kk)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_exact_posterior_margin(spark, sf):
+    """Certificate for the exact_posterior_links oracle: per-pair marginal
+    sums accumulate in engine-specific orders (last-ulp skew), so every
+    marginal on the gate fixtures must clear the 0.5 decision boundary by
+    a margin far above accumulation noise. If a fixture change lands a
+    marginal inside the margin, demote the oracle, don't widen this."""
+    from bayesianrecordlinkage_jl_spark.plans import oracle_queries as oq
+
+    blocked = oq._ep_blocked_pairs(spark, f"/root/testdata/{sf}")
+    allm = mcmc.exact_posterior_links(
+        blocked, max_pairs_per_block=oq.EP_CAP, threshold=-1.0
+    ).toPandas()
+    assert len(allm) > 0
+    assert (abs(allm["marginal"] - 0.5) > 1e-6).all()
