@@ -20,11 +20,16 @@ Reference entry points mirrored (see SURVEY.md section 2):
   - logpCRatios const/array/function priors       -> operators.mcmc
   - get_groupidcounts_* / get_segmentlinks        -> operators.map_solver
   - read_write_h5 checkpoints                     -> sources.checkpoint
+  - exact matching posterior (what mh_gibbs
+    samples, enumerated per small block)          -> operators.mcmc.exact_posterior_links
+  - auction price recycling (update=true)         -> operators.assignment (auction_warm)
 
 Beyond the reference (training-data pipeline): operators.dedup
 (exact/MinHash-LSH/SimHash/Jaccard incl. LSH-verified scale path, all
-hot-bucket-salted), operators.similarity (brute force / sign-LSH / IVF
-ANN), operators.multimodal, functions.text, streaming.ingest.
+hot-bucket-salted), operators.similarity (brute force / multi-band
+sign-LSH / IVF ANN with both driver-sample and fully distributed
+trainers), operators.multimodal (stdlib PNG/WAV decode kernels),
+functions.text, streaming.ingest.
 """
 
-__version__ = "0.2.0"
+__version__ = "0.3.0"

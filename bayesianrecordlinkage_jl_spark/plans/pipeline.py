@@ -48,7 +48,12 @@ class LinkageConfig:
     # background EM needs for identifiability AND a recall backstop; salt
     # caps block size (skew control)
     key_block_max_rows: int = 64
-    method: str = "hungarian"  # per-block solver
+    # per-block solver: hungarian / greedy / auction (MAP matching), or
+    # "exact_posterior" = the reference's Bayes estimate (link iff exact
+    # posterior marginal > 1/2, enumerated per block; blocks above
+    # exact_max_block_pairs fall back to Hungarian MAP)
+    method: str = "hungarian"
+    exact_max_block_pairs: int = 10
     use_em: bool = True
     em_max_iter: int = 200
     # cap on pairs per resolution block; oversized components are re-clustered
@@ -296,6 +301,35 @@ def run_linkage(
 
     # -- per-block one-to-one resolution ------------------------------------
     def _links() -> DataFrame:
+        if cfg.method == "exact_posterior":
+            # Bayes estimate (reference README.md:148-151): link iff the
+            # EXACT posterior marginal over the block's matchings exceeds
+            # 1/2 — enumerated where the block is small enough, Hungarian
+            # MAP elsewhere. One-to-one by construction: two conflicting
+            # pairs are mutually exclusive events over matchings, so their
+            # marginals sum to <= 1 and cannot both exceed 1/2.
+            from ..operators.mcmc import exact_posterior_links
+
+            bp = blocked.select(
+                "id_a", "id_b", F.exp("w").alias("r"), "block_id"
+            ).localCheckpoint()
+            small_ids = (
+                bp.groupBy("block_id")
+                .agg(F.count(F.lit(1)).alias("_np"))
+                .where(F.col("_np") <= cfg.exact_max_block_pairs)
+                .select("block_id")
+            )
+            exact = exact_posterior_links(
+                bp, max_pairs_per_block=cfg.exact_max_block_pairs
+            ).select("id_a", "id_b", "block_id")
+            exact_w = exact.join(
+                blocked.select("id_a", "id_b", "w"), on=["id_a", "id_b"]
+            ).select("id_a", "id_b", "w", "block_id")
+            big = blocked.select("id_a", "id_b", "w", "block_id").join(
+                small_ids, on="block_id", how="left_anti"
+            )
+            solved = assignment.one_to_one(big, method="hungarian")
+            return solved.unionByName(exact_w.select(*solved.columns))
         return assignment.one_to_one(
             blocked.select("id_a", "id_b", "w", "block_id"), method=cfg.method
         )

@@ -117,3 +117,20 @@ def test_pipeline_empty_and_single_inputs(spark):
     assert len(rows) == 1
     assert rows[0]["cluster_id"] == rows[0]["node"]  # own-id singleton
     assert res1.links.count() == 0
+
+
+def test_pipeline_exact_posterior_method(spark, pages):
+    """method="exact_posterior": the Bayes-estimate resolution (exact
+    marginal > 1/2 on enumerable blocks, Hungarian MAP fallback) preserves
+    pipeline F1 and the one-to-one invariant."""
+    from bayesianrecordlinkage_jl_spark.operators.assignment import assert_one_to_one
+
+    truth = labeled_pairs(pages)
+    res = run_linkage(
+        spark,
+        pages.drop("cluster_id", "host"),
+        LinkageConfig(method="exact_posterior"),
+    )
+    stats = pairwise_f1(res.clusters, truth)
+    assert stats["f1"] >= 0.99, stats
+    assert assert_one_to_one(res.links)
