@@ -263,3 +263,34 @@ def test_mutual_best_edge_cases(spark):
     out = A.mutual_best(one).toPandas()
     assert out.columns.tolist() == ["id_a", "id_b", "w", "block_id"]
     assert out.values.tolist() == [[1, 10, 2.5, 7]]
+
+
+def test_mutual_best_property_random_tables(spark):
+    """Property guard for the agg-form mutual_best: on random pair tables
+    it equals the definitional filter (rank 1 within BOTH id groups under
+    (w desc, other-id asc)) computed in pandas."""
+    rng = random.Random(77)
+    for trial in range(8):
+        n_a, n_b = rng.randint(1, 12), rng.randint(1, 12)
+        rows = []
+        seen = set()
+        for _ in range(rng.randint(1, 40)):
+            a, b = rng.randint(0, n_a), 100 + rng.randint(0, n_b)
+            if (a, b) in seen:
+                continue
+            seen.add((a, b))
+            # duplicate weights on purpose: ties must resolve by id
+            rows.append((a, b, float(rng.choice([1.0, 2.0, 3.0, 2.0]))))
+        pdf = pd.DataFrame(rows, columns=["id_a", "id_b", "w"])
+        got = A.mutual_best(
+            spark.createDataFrame(pdf.assign(block_id=1))
+        ).toPandas()
+
+        def best_side(df, key, other):
+            df = df.sort_values(
+                ["w", other], ascending=[False, True]
+            ).groupby(key, as_index=False).first()
+            return set(zip(df["id_a"], df["id_b"]))
+
+        want = best_side(pdf, "id_a", "id_b") & best_side(pdf, "id_b", "id_a")
+        assert set(zip(got["id_a"], got["id_b"])) == want, (trial, rows)
