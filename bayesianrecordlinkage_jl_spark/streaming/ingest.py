@@ -146,3 +146,78 @@ def windowed_crawl_stats(stream: DataFrame, window: str = "1 hour") -> DataFrame
         .groupBy(F.window("warc_ts", window).getField("start").alias("win_start"), "lang")
         .agg(F.count(F.lit(1)).alias("n_pages"), F.sum("n_tokens").alias("n_tokens"))
     )
+
+
+def corpus_band_index(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(corpus_id, band_key) MinHash-band index over the existing corpus —
+    the STATIC side of streaming near-dup flagging. Built with the same
+    shingle → minhash → band-key expressions as dedup.minhash_lsh_pairs
+    (one hash pass per document), so stream and corpus keys are directly
+    comparable. At scale this is written to a bucketed table by the batch
+    pipeline and refreshed on its cadence; the stream re-reads it per
+    micro-batch (stream-static joins re-evaluate the static side)."""
+    return docs.select(
+        F.col(id_col).alias("corpus_id"),
+        T.shingle_hashes(F.col(text_col), shingle_k).alias("_shh"),
+    ).select(
+        "corpus_id",
+        F.explode(
+            F.array(
+                *[
+                    T.band_key_from_hashes(F.col("_shh"), band, rows_per_band)
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+
+
+def flag_near_dups(
+    stream: DataFrame,
+    band_index: DataFrame,
+    text_col: str = "text",
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """Micro-batch near-dup flagging: stream-static equi-join of each
+    batch's band keys against the corpus band index (corpus_band_index).
+
+    Emits HIT RECORDS (url, warc_ts, corpus_id, band_key) in append mode —
+    one row per (page band, corpus doc) collision. The join is STATELESS
+    (stream-static joins keep no state store), so it cannot grow with the
+    stream; a page colliding in several bands emits several records, and
+    the staging consumer treats any hit as a near-dup candidate for the
+    batch verifier (same candidates-then-verify contract as
+    dedup.ngram_jaccard_pairs_via_lsh — LSH flags, exact measures decide).
+    """
+    # two-step projection ON PURPOSE: the shingle-hash pass is an expensive
+    # alias referenced by all n_bands band keys, and CollapseProject
+    # declines to inline a non-cheap alias used more than once — so the md5
+    # pass stays ONE per row (verified: 1 vs 8 md5 nodes in the optimized
+    # plan). The explode runs outside whole-stage codegen, so runtime
+    # subexpression elimination would NOT have saved an inlined form.
+    banded = stream.withColumn(
+        "_shh", T.shingle_hashes(F.col(text_col), shingle_k)
+    ).select(
+        "url",
+        "warc_ts",
+        F.explode(
+            F.array(
+                *[
+                    T.band_key_from_hashes(F.col("_shh"), band, rows_per_band)
+                    for band in range(n_bands)
+                ]
+            )
+        ).alias("band_key"),
+    )
+    return banded.join(band_index, on="band_key").select(
+        "url", "warc_ts", "corpus_id", "band_key"
+    )

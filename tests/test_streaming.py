@@ -124,3 +124,51 @@ def test_stateful_fingerprint_dedup(spark, stream_dirs):
     # suppressed-duplicate accounting covers every input row
     total = batch.count()
     assert got.agg(F.sum(F.col("n_dups") + 1)).collect()[0][0] == total
+
+
+def test_stream_static_near_dup_flagging(spark, stream_dirs):
+    """flag_near_dups: pages re-crawled from the corpus collide with the
+    static band index (stream-static equi-join, stateless); genuinely new
+    text does not. Also pins the hash-once plan shape: exactly one md5
+    shingle pass per stream row despite n_bands band keys."""
+    pages = stream_dirs["pages"]
+    corpus = pages.limit(25).select(
+        F.col("url").alias("corpus_url"), "text"
+    )
+    idx = ingest.corpus_band_index(corpus, "corpus_url", "text")
+
+    stream = ingest.read_page_stream(spark, stream_dirs["in"])
+    flags = ingest.flag_near_dups(stream, idx)
+    q = (
+        flags.writeStream.format("memory")
+        .queryName("near_dup_flags")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    hits = spark.sql("SELECT * FROM near_dup_flags").toPandas()
+    # every corpus page is itself in the stream (the input dir contains the
+    # full corpus), so each must collide with its own index entry
+    corpus_urls = {r["corpus_url"] for r in corpus.select("corpus_url").collect()}
+    hit_urls = set(hits["url"])
+    assert corpus_urls <= hit_urls
+    # a self-hit must pair the url with its own corpus_id in every band
+    self_hits = hits[hits["url"] == hits["corpus_id"]]
+    assert set(self_hits["url"]) == corpus_urls
+    # hash-once plan shape (batch twin of the same expressions, on clean
+    # inputs so the only md5 chains in the plan are the shingle passes —
+    # generate_pages' synthesis lambdas would add their own)
+    plain = spark.createDataFrame(
+        [("u", None, "some text")], "url string, warc_ts timestamp, text string"
+    )
+    tiny_corpus = spark.createDataFrame(
+        [("c", "other text")], "corpus_url string, text string"
+    )
+    batch = ingest.flag_near_dups(
+        plain, ingest.corpus_band_index(tiny_corpus, "corpus_url", "text")
+    )
+    plan = batch._jdf.queryExecution().optimizedPlan().toString().lower()
+    # one md5 chain for the stream side, one for the index side — the
+    # n_bands band keys must NOT re-inline the shingle pass
+    assert plan.count("md5") <= 2, plan.count("md5")
