@@ -248,10 +248,10 @@ def train_centroids(
     the IVF coarse quantizer. Driver numpy on <= sample_rows vectors;
     deterministic (evenly-spaced init over the ordered sample, fixed
     iteration count), so the centroid table is a pure literal that both
-    the Spark plan and the DuckDB oracle can share. At full scale swap the
-    trainer for pyspark.ml KMeans (kmeans||) over a sample — the serving
-    path below is unchanged (centroids are a broadcast literal either
-    way)."""
+    the Spark plan and the DuckDB oracle can share. At full scale use
+    train_centroids_distributed (below) — full-corpus passes, nothing but
+    the k x dim centroid table on the driver; the serving path is
+    unchanged (centroids are a broadcast literal either way)."""
     import numpy as np
 
     pdf = df.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).toPandas()
