@@ -121,13 +121,15 @@ def main() -> None:
     for name in HEADLINE:
         timings[name], timings_min[name] = timed_reps(name)
 
-    # round-2 additions, timed outside the headline total so BENCH_r{N}
+    # round-2/3 additions, timed outside the headline total so BENCH_r{N}
     # totals stay comparable across rounds
     extra_queries: dict[str, float] = {}
     for name in (
         "comparison_vectors_jw",
         "dedup_jaccard_lsh_verified",
         "embedding_topk_ivf",
+        "exact_posterior_links",
+        "one_to_one_links",
     ):
         extra_queries[name], _ = timed_reps(name)
     extras["extra_queries"] = extra_queries

@@ -29,6 +29,8 @@ QUERIES = [
     "size_capped_components",
     "one_to_one_links_mutual",
     "dedup_embedding_cosine",
+    "one_to_one_links",
+    "exact_posterior_links",
 ]
 
 
