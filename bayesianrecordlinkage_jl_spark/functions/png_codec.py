@@ -184,3 +184,44 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
     if channels > 1:
         arr = arr[: (arr.size // channels) * channels].reshape(-1, channels)
     return arr, rate
+
+
+# ---------------------------------------------------------------------------
+# PNGV: a dependency-free video-frame container (magic + u32 frame count +
+# per frame u32 length + PNG bytes). Real containers (mp4/mkv) need codec
+# libraries the environment lacks; PNGV keeps the FRAME PIPELINE real —
+# container parse, per-frame decode, batch shapes, sampling arithmetic —
+# while staying stdlib-only like the PNG/WAV kernels above.
+
+_PNGV_MAGIC = b"PNGV"
+
+
+def encode_pngv(frames: list) -> bytes:
+    """Container-encode a list of uint8 pixel arrays as PNG frames."""
+    out = [_PNGV_MAGIC, struct.pack("<I", len(frames))]
+    for fr in frames:
+        png = encode_png(fr)
+        out.append(struct.pack("<I", len(png)))
+        out.append(png)
+    return b"".join(out)
+
+
+def pngv_n_frames(payload: bytes) -> int:
+    if payload[:4] != _PNGV_MAGIC:
+        raise ValueError("not a PNGV container")
+    return struct.unpack("<I", payload[4:8])[0]
+
+
+def decode_pngv_frame(payload: bytes, idx: int) -> np.ndarray:
+    """Decode frame `idx` without touching other frames' PNG bytes (the
+    container is seekable: length-prefixed frames)."""
+    n = pngv_n_frames(payload)
+    if not 0 <= idx < n:
+        raise IndexError(f"frame {idx} of {n}")
+    pos = 8
+    for k in range(n):
+        (ln,) = struct.unpack("<I", payload[pos : pos + 4])
+        if k == idx:
+            return decode_png(payload[pos + 4 : pos + 4 + ln])
+        pos += 4 + ln
+    raise ValueError("truncated PNGV container")

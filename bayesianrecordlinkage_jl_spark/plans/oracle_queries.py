@@ -1552,6 +1552,25 @@ def build_catalog() -> dict[str, dict]:
         "oracle re-derives the byte histogram in pure SQL)",
     }
 
+    # --- video frame pipeline: PNGV container synth -> frame_sample_plan
+    # -> seek + per-frame PNG decode -> dyadic histograms; the oracle
+    # re-derives every sampled frame's pixels from the closed-form formula
+    # (no codec in SQL), so the container round-trip is value-checked ---
+    def _frame_features(s: SparkSession, d: str) -> DataFrame:
+        from ..operators import multimodal
+
+        vids = multimodal.synthesize_videos(s, n=32)
+        return multimodal.sampled_frame_features(vids, every_ms=500, dim=8)
+
+    from ..operators.multimodal import frame_features_oracle_sql
+
+    cat["multimodal_frame_features"] = {
+        "spark": _frame_features,
+        "sql": frame_features_oracle_sql(n=32, every_ms=500, dim=8),
+        "ref": "video frame sampling + decode (frame_sample_plan is the "
+        "Catalyst planner; PNGV seek keeps decode per sampled frame)",
+    }
+
     # --- threshold sensitivity diagnostic (SURVEY 2.7; driver loop) ---
     def _threshold_sensitivity(s: SparkSession, d: str) -> DataFrame:
         import pandas as pd

@@ -438,3 +438,30 @@ def test_train_centroids_distributed(spark):
     bf_pairs = set(zip(bf["query_id"], bf["item_id"]))
     ivf_pairs = set(zip(ivf["query_id"], ivf["item_id"]))
     assert len(ivf_pairs & bf_pairs) / len(bf_pairs) >= 0.8
+
+
+def test_sampled_frame_features(spark):
+    """Video frame pipeline: sampled frames decode to the formula pixels
+    (container seek + PNG decode), timestamps clamp to the last frame, and
+    features are exact dyadic histograms."""
+    from bayesianrecordlinkage_jl_spark.operators import multimodal as MM
+
+    vids = MM.synthesize_videos(spark, n=12)
+    out = MM.sampled_frame_features(vids, every_ms=500, dim=8).toPandas()
+    meta = vids.select("media_id", "n_frames", "width", "height").toPandas()
+    meta = meta.set_index("media_id")
+    for r in out.itertuples():
+        nf = int(meta.loc[r.media_id, "n_frames"])
+        w = int(meta.loc[r.media_id, "width"])
+        h = int(meta.loc[r.media_id, "height"])
+        assert r.n_pixels == w * h
+        fidx = min(int(r.frame_ts_ms) // MM.FRAME_MS, nf - 1)
+        px = MM._frame_pixels(int(r.media_id), fidx).ravel()
+        want = np.bincount(px % 8, minlength=8) / px.size
+        got = np.array([getattr(r, f"f{k}") for k in range(8)])
+        assert np.array_equal(got, want), (r.media_id, r.frame_ts_ms)
+    # every video contributes duration//500 + 1 sampled frames
+    counts = out.groupby("media_id").size()
+    for mid, c in counts.items():
+        nf = int(meta.loc[mid, "n_frames"])
+        assert c == (nf * MM.FRAME_MS) // 500 + 1

@@ -109,3 +109,28 @@ def test_wav_round_trip_and_16bit():
     assert (out.ravel() == pcm).all()
     with pytest.raises(ValueError):
         decode_wav(b"nonsense")
+
+
+def test_pngv_container_roundtrip():
+    import numpy as np
+
+    from bayesianrecordlinkage_jl_spark.functions.png_codec import (
+        decode_pngv_frame,
+        encode_pngv,
+        pngv_n_frames,
+    )
+
+    frames = [
+        ((np.arange(48, dtype=np.uint8) * k + 7) % 256).reshape(6, 8)
+        for k in range(1, 4)
+    ]
+    b = encode_pngv(frames)
+    assert pngv_n_frames(b) == 3
+    for k in range(3):
+        assert (decode_pngv_frame(b, k) == frames[k]).all()
+    import pytest
+
+    with pytest.raises(IndexError):
+        decode_pngv_frame(b, 3)
+    with pytest.raises(ValueError):
+        pngv_n_frames(b"nope" + b[4:])
