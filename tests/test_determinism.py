@@ -31,6 +31,7 @@ QUERIES = [
     "dedup_embedding_cosine",
     "one_to_one_links",
     "exact_posterior_links",
+    "multimodal_frame_features",
 ]
 
 
