@@ -92,3 +92,21 @@ def test_event_window_agg_partial(spark):
     """Tumbling-window agg must have a partial (map-side) aggregation."""
     plan = _plan(oq.build_catalog()["event_window_counts"]["spark"](spark, SF))
     assert "partial" in plan.lower()
+
+
+def test_column_pruning_reaches_parquet_scan(spark):
+    """The projection must reach the parquet ReadSchema: key-count queries
+    read ONLY the key columns and text queries ONLY (id, text) — never the
+    full documents row. A scan reading all columns for a 2-column
+    projection is the classic 100-TB regression."""
+    import re
+
+    def read_schema(name):
+        q = oq.build_catalog()[name]["spark"](spark, SF)
+        plan = q._jdf.queryExecution().executedPlan().toString()
+        m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+        assert m, f"no parquet ReadSchema in {name}"
+        return {c.split(":")[0] for c in m.group(1).split(",") if c}
+
+    assert read_schema("blocking_key_counts") == {"lang", "source"}
+    assert read_schema("text_stats") == {"doc_id", "text"}
