@@ -430,3 +430,39 @@ def jaro_winkler_ord(a: Column, b: Column) -> Column:
         return pd.Series(lvl, dtype="int8")
 
     return _jw(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Phonetic blocking key — a Soundex-style code as ONE expression string
+# valid verbatim in BOTH Spark SQL and DuckDB (upper/substr/translate/
+# replace/rpad only; no regex, because DuckDB's RE2 lacks the backreference
+# a collapse pattern needs). Deliberate, documented divergence from classic
+# Soundex: adjacent equal codes are collapsed AFTER vowel mapping, so
+# vowel-separated repeats also collapse — the SAME rule in both engines,
+# which is exactly what the oracle certifies. Standard blocking function
+# for person-name linkage (Fellegi-Sunter practice; the reference blocks on
+# exact fields only).
+
+_PHONETIC_SRC = "BFPVCGJKQSXZDTLMNRAEIOUYHW"
+_PHONETIC_DST = "11112222222233455600000000"
+
+
+def phonetic_key_sql(col: str) -> str:
+    """4-char phonetic code: first letter + first 3 consonant classes.
+    Repeat collapse = 5 passes of pairwise replaces (each pass halves any
+    run of equal digits, exact for runs <= 32 => names <= 32 chars)."""
+    up = f"upper({col})"
+    first = f"substr({up}, 1, 1)"
+    s = f"translate(substr({up}, 2), '{_PHONETIC_SRC}', '{_PHONETIC_DST}')"
+    for _ in range(5):
+        for d in "0123456":
+            s = f"replace({s}, '{d}{d}', '{d}')"
+    s = f"replace({s}, '0', '')"
+    return f"rpad({first} || {s}, 4, '0')"
+
+
+def phonetic_key(col: str) -> Column:
+    """Column form of phonetic_key_sql (col is a column NAME — the
+    expression is server-parsed as one string, per the literal-construction
+    invariant)."""
+    return F.expr(phonetic_key_sql(col))

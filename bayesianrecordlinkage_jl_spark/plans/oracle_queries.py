@@ -1697,6 +1697,36 @@ def build_catalog() -> dict[str, dict]:
         "ref": "vignette/example.jl end-to-end two-file linkage (600x600, 300 matches)",
     }
 
+    # --- phonetic blocking keys over the two-source person records ---
+    # (standard name-linkage blocking function; the phonetic expression is
+    # ONE string shared verbatim by both engines, the record fixture is
+    # md5-derivable in SQL via e2e_oracles._records_cte)
+    def _phonetic_keys(s: SparkSession, d: str) -> DataFrame:
+        from ..sources.records import generate_records
+
+        ra, rb = generate_records(s, n=600, n_match=300, seed=42)
+        both = ra.select("rec_id", "gname").unionByName(
+            rb.select("rec_id", "gname")
+        )
+        return both.select(
+            "rec_id", "gname", C.phonetic_key("gname").alias("pkey")
+        )
+
+    from .e2e_oracles import _records_cte
+
+    cat["phonetic_keys"] = {
+        "spark": _phonetic_keys,
+        "sql": f"""
+        WITH ra AS ({_records_cte("A")}),
+        rb AS ({_records_cte("B")}),
+        allr AS (SELECT rid AS rec_id, gname FROM ra
+                 UNION ALL SELECT rid AS rec_id, gname FROM rb)
+        SELECT rec_id, gname, {C.phonetic_key_sql("gname")} AS pkey FROM allr
+        """,
+        "ref": "phonetic (Soundex-family) blocking key — standard FS-linkage "
+        "blocking beyond the reference's exact-field keys",
+    }
+
     def _pages_linkage(s: SparkSession, d: str) -> DataFrame:
         from ..plans.pipeline import LinkageConfig, run_linkage
         from ..sources.pages import generate_pages

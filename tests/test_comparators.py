@@ -117,3 +117,34 @@ def test_cross_engine_parity_comparators_and_weights(spark, duck):
     assert (sp["g2"].values == dp["g2"].values).all()
     # bit-identical doubles (same literals, same association order)
     assert (sp["w"].values == dp["w"].values).all()
+
+
+def test_phonetic_key_values(spark):
+    """Exact code values (both engines evaluate the identical expression
+    string — parity is covered by the phonetic_keys oracle row; this pins
+    the semantics themselves)."""
+    import duckdb
+
+    from bayesianrecordlinkage_jl_spark.functions.comparators import (
+        phonetic_key,
+        phonetic_key_sql,
+    )
+
+    want = {
+        "robert": "R163",
+        "rupert": "R163",   # classic Soundex pair collapses identically
+        "ashcraft": "A226", # documented divergence from classic A261:
+                            # vowel-separated repeats collapse here too
+        "pfister": "P123",
+        "a": "A000",
+        "": "0000",
+    }
+    df = spark.createDataFrame([(n,) for n in want], "gname string")
+    got = {
+        r["gname"]: r["pk"]
+        for r in df.select("gname", phonetic_key("gname").alias("pk")).collect()
+    }
+    assert got == want
+    con = duckdb.connect()
+    for n, k in want.items():
+        assert con.execute(f"SELECT {phonetic_key_sql(repr(n))}").fetchone()[0] == k
