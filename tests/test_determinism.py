@@ -32,6 +32,7 @@ QUERIES = [
     "one_to_one_links",
     "exact_posterior_links",
     "multimodal_frame_features",
+    "phonetic_keys",
 ]
 
 
