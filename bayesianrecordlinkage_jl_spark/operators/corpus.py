@@ -1,0 +1,410 @@
+"""Training-corpus curation operators (beyond the reference — the stages a
+web-scale LLM-data pipeline runs AFTER near-dup pair detection):
+
+  - near_dup_clusters_keep: near-dup pairs -> transitive clusters ->
+    canonical representative per cluster (the "which copy do we keep"
+    step that turns pair detection into an actually deduplicated corpus).
+  - duplicated_span_stats: per-document duplicated k-word-span profile —
+    the relational form of exact-substring dedup (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better"): a span is
+    duplicated iff its content hash occurs in at least one OTHER document.
+  - inverted_postings / conjunctive_search_topk: term->doc inverted index
+    and multi-query conjunctive (AND) search ranked by summed term
+    frequency; bm25_topk adds the standard BM25 ranking on the same
+    postings (library-level: idf/avgdl are data-derived and log-based, so
+    it is pytest-validated rather than oracle-checked).
+
+Reference analog: none (BayesianRecordLinkage.jl stops at entity
+clusters); these compose the repo's own LSH/CC machinery
+(operators/dedup.py, operators/connected_components.py) into corpus ops.
+
+Scale notes (100 TB):
+  - cluster keep: the only non-LSH shuffles are the CC rounds (large-star/
+    small-star over |near-dup edges|) and one struct-MAX aggregate keyed by
+    component — |docs| rows of (component, len, id), never the pair graph
+    (the mutual_best lesson).
+  - span stats: shuffles are keyed by the 60-bit span hash (near-uniform);
+    per-key fan-out of the docs-per-gram join is bounded by document
+    frequency, with the hot side pre-aggregated to one row per
+    (gram, doc) — no quadratic blowup on boilerplate.
+  - search: postings are filtered to the literal query vocabulary
+    MAP-SIDE (right after the explode, before any shuffle), so the ranked
+    window only ever sees docs matching at least one term.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions import text as T
+from .connected_components import components_with_isolated
+from .dedup import _spread, minhash_lsh_pairs, minhash_lsh_pairs_sql
+
+
+# ---------------------------------------------------------------------------
+# near-dup cluster canonicalization
+# ---------------------------------------------------------------------------
+
+
+def near_dup_clusters_keep(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    len_col: str,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """-> (doc_id, rep_id, keep boolean, cluster_size bigint), one row per
+    document. Documents are clustered by the transitive closure of the
+    MinHash-LSH near-dup graph (isolated docs form singleton clusters);
+    each cluster keeps its LONGEST document (len_col desc, id asc
+    tie-break — a total order, so the choice is partitioning-invariant).
+
+    The representative is a struct-MAX aggregate keyed by component
+    (partial aggregation combines map-side; the shuffle carries |docs|
+    rows, never the pair graph)."""
+    pairs = minhash_lsh_pairs(
+        df, id_col, text_col, n_bands, rows_per_band, shingle_k
+    )
+    edges = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    nodes = df.select(
+        F.col(id_col).cast("long").alias("node"),
+        F.col(len_col).cast("long").alias("_len"),
+    )
+    comps = components_with_isolated(edges, nodes.select("node"))
+    # comps is backed by CC's localCheckpoint (and own-id for isolates), so
+    # consuming `labeled` twice re-runs only a cheap scan+join, not the LSH.
+    labeled = comps.join(nodes, on="node")
+    reps = (
+        labeled.groupBy("component")
+        .agg(
+            F.max(
+                F.struct(F.col("_len"), (-F.col("node")).alias("_nid"))
+            ).alias("_m"),
+            F.count(F.lit(1)).alias("cluster_size"),
+        )
+        .select(
+            "component",
+            (-F.col("_m._nid")).cast("long").alias("rep_id"),
+            F.col("cluster_size").cast("long").alias("cluster_size"),
+        )
+    )
+    return labeled.join(reps, on="component").select(
+        F.col("node").alias("doc_id"),
+        "rep_id",
+        (F.col("node") == F.col("rep_id")).alias("keep"),
+        "cluster_size",
+    )
+
+
+def near_dup_clusters_keep_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    len_col: str,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> str:
+    pairs = minhash_lsh_pairs_sql(
+        table, id_col, text_col, n_bands, rows_per_band, shingle_k
+    )
+    return f"""
+    WITH RECURSIVE jp AS MATERIALIZED ({pairs}),
+    nodes AS (SELECT CAST({id_col} AS BIGINT) AS node,
+                     CAST({len_col} AS BIGINT) AS _len FROM {table}),
+    bi AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM jp
+         UNION ALL SELECT id_b AS a, id_a AS b FROM jp),
+    walk(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT bi.b, walk.comp FROM walk JOIN bi ON bi.a = walk.node
+      WHERE walk.comp < bi.b
+    ),
+    cc AS MATERIALIZED (SELECT node, min(comp) AS component
+                        FROM walk GROUP BY node),
+    ranked AS (
+      SELECT cc.node, cc.component, n._len,
+             row_number() OVER (PARTITION BY cc.component
+                                ORDER BY n._len DESC, cc.node ASC) AS _rn,
+             count(*) OVER (PARTITION BY cc.component) AS _csize
+      FROM cc JOIN nodes n ON n.node = cc.node
+    ),
+    reps AS (SELECT component, node AS rep_id, _csize FROM ranked
+             WHERE _rn = 1)
+    SELECT cc.node AS doc_id, reps.rep_id, cc.node = reps.rep_id AS keep,
+           CAST(reps._csize AS BIGINT) AS cluster_size
+    FROM cc JOIN reps ON reps.component = cc.component
+    """
+
+
+# ---------------------------------------------------------------------------
+# duplicated-span statistics (exact-substring dedup, relational form)
+# ---------------------------------------------------------------------------
+
+
+def duplicated_span_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """-> (doc_id, n_grams bigint, dup_grams bigint, dup_frac double), one
+    row per document. A k-word span (position) counts as duplicated iff
+    its 60-bit content hash (functions.text.phash of the space-joined
+    window) occurs in at least one OTHER document — within-document
+    repetition alone is not duplication.
+
+    Tokenize/shingle/md5 runs ONCE per document behind a unique-key
+    aggregate barrier (the minhash_lsh_pairs pattern) and is
+    localCheckpoint'ed: the per-(gram, doc) occurrence table is consumed
+    by both the document-frequency aggregate and the join back."""
+    hashed = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.transform(
+                T.word_shingles(F.col(text_col), k), lambda s: T.phash(s)
+            ).alias("_gh"),
+        )
+        .groupBy("doc_id")
+        .agg(F.first("_gh").alias("_gh"))
+        .localCheckpoint()
+    )
+    per_gram_doc = (
+        hashed.select(
+            "doc_id",
+            F.size("_gh").cast("long").alias("n_grams"),
+            F.explode("_gh").alias("gh"),
+        )
+        .groupBy("gh", "doc_id", "n_grams")
+        .agg(F.count(F.lit(1)).alias("_occ"))
+    )
+    gram_docs = per_gram_doc.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("_ndocs")
+    )
+    return (
+        per_gram_doc.join(gram_docs, on="gh")
+        .groupBy("doc_id", "n_grams")
+        .agg(
+            F.sum(
+                F.when(F.col("_ndocs") >= 2, F.col("_occ")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("dup_grams")
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            "dup_grams",
+            (
+                F.col("dup_grams").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("dup_frac"),
+        )
+    )
+
+
+def duplicated_span_stats_sql(
+    table: str, id_col: str, text_col: str, k: int = 8
+) -> str:
+    grams = (
+        f"list_transform({T.word_shingles_sql(text_col, k)}, "
+        f"s -> {T.phash_sql('s')})"
+    )
+    return f"""
+    WITH hashed AS MATERIALIZED (
+      SELECT CAST({id_col} AS BIGINT) AS doc_id, {grams} AS _gh FROM {table}
+    ),
+    occ AS (SELECT doc_id, CAST(len(_gh) AS BIGINT) AS n_grams,
+                   unnest(_gh) AS gh FROM hashed),
+    pgd AS (SELECT gh, doc_id, n_grams, count(*) AS _occ
+            FROM occ GROUP BY gh, doc_id, n_grams),
+    gd AS (SELECT gh, count(*) AS _ndocs FROM pgd GROUP BY gh)
+    SELECT doc_id, n_grams,
+           CAST(sum(CASE WHEN _ndocs >= 2 THEN _occ ELSE 0 END) AS BIGINT)
+             AS dup_grams,
+           CAST(CAST(sum(CASE WHEN _ndocs >= 2 THEN _occ ELSE 0 END)
+                     AS BIGINT) AS DOUBLE)
+             / CAST(n_grams AS DOUBLE) AS dup_frac
+    FROM pgd JOIN gd USING (gh) GROUP BY doc_id, n_grams
+    """
+
+
+# ---------------------------------------------------------------------------
+# inverted index + conjunctive search
+# ---------------------------------------------------------------------------
+
+
+def inverted_postings(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """-> (term, doc_id, tf bigint): the term->document inverted index."""
+    return (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(T.tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+
+
+def conjunctive_search_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: dict[int, tuple[str, ...]],
+    k: int = 10,
+) -> DataFrame:
+    """-> (query_id int, doc_id, score bigint, rank int): for each query,
+    the top-k documents containing ALL its terms, ranked by summed term
+    frequency (ties to the smaller doc_id — total order).
+
+    The literal query table (query_id, term, n_terms) is broadcast onto
+    the postings; postings themselves are filtered to the union query
+    vocabulary map-side, before any shuffle, so the per-query window sees
+    only matching docs (bounded by document frequency, not corpus size)."""
+    spark = df.sparkSession
+    rows = [
+        (int(qid), t, len(set(terms)))
+        for qid, terms in sorted(queries.items())
+        for t in sorted(set(terms))
+    ]
+    qdf = spark.createDataFrame(
+        rows, schema="query_id int, term string, n_terms int"
+    )
+    vocab = sorted({t for terms in queries.values() for t in terms})
+    postings = inverted_postings(df, id_col, text_col).where(
+        F.col("term").isin(vocab)
+    )
+    matched = (
+        postings.join(F.broadcast(qdf), on="term")
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("_nmatch"),
+            F.first("n_terms").alias("_need"),  # unique per query_id
+            F.sum("tf").cast("long").alias("score"),
+        )
+        .where(F.col("_nmatch") == F.col("_need"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        matched.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )
+
+
+def conjunctive_search_topk_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    queries: dict[int, tuple[str, ...]],
+    k: int = 10,
+) -> str:
+    vals = ", ".join(
+        f"({int(qid)}, '{t}', {len(set(terms))})"
+        for qid, terms in sorted(queries.items())
+        for t in sorted(set(terms))
+    )
+    return f"""
+    WITH q(query_id, term, n_terms) AS (VALUES {vals}),
+    postings AS (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT CAST({id_col} AS BIGINT) AS doc_id,
+               unnest({T.tokens_sql(text_col)}) AS term FROM {table}
+      ) WHERE term IN (SELECT term FROM q) GROUP BY term, doc_id
+    ),
+    matched AS (
+      SELECT q.query_id, p.doc_id, CAST(sum(p.tf) AS BIGINT) AS score
+      FROM postings p JOIN q USING (term)
+      GROUP BY q.query_id, p.doc_id, q.n_terms
+      HAVING count(*) = q.n_terms
+    )
+    SELECT query_id, doc_id, score, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY score DESC, doc_id ASC) AS INT) AS rank
+      FROM matched
+    ) WHERE rank <= {k}
+    """
+
+
+def bm25_topk(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    queries: dict[int, tuple[str, ...]],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25-ranked disjunctive (OR) search: (query_id, doc_id, score
+    double, rank int). idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (the
+    Lucene/ATIRE non-negative form), length-normalized tf saturation with
+    the standard (k1, b).
+
+    N and avgdl are single scalar aggregates (two tiny jobs); df comes
+    from one postings aggregate and rides the broadcast query join.
+    Library-level only: the score is log-based and corpus-derived, so it
+    is validated by pytest against a driver-side numpy replica rather
+    than a static DuckDB oracle (repo invariant: no exp/log in
+    oracle-checked columns)."""
+    spark = df.sparkSession
+    rows = [
+        (int(qid), t)
+        for qid, terms in sorted(queries.items())
+        for t in sorted(set(terms))
+    ]
+    qdf = spark.createDataFrame(rows, schema="query_id int, term string")
+    vocab = sorted({t for terms in queries.values() for t in terms})
+
+    stats = df.select(
+        F.count(F.lit(1)).alias("_n"),
+        F.avg(T.token_count(F.col(text_col))).alias("_avgdl"),
+    ).collect()[0]
+    n_docs, avgdl = int(stats["_n"]), float(stats["_avgdl"])
+
+    dl = _spread(df, id_col).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        T.token_count(F.col(text_col)).alias("_dl"),
+    )
+    postings = inverted_postings(df, id_col, text_col).where(
+        F.col("term").isin(vocab)
+    )
+    dfreq = postings.groupBy("term").agg(
+        F.count(F.lit(1)).cast("double").alias("_df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.lit(float(n_docs)) - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
+    )
+    tf_norm = (F.col("tf").cast("double") * F.lit(k1 + 1.0)) / (
+        F.col("tf").cast("double")
+        + F.lit(k1)
+        * (
+            F.lit(1.0 - b)
+            + F.lit(b) * F.col("_dl").cast("double") / F.lit(avgdl)
+        )
+    )
+    scored = (
+        postings.join(F.broadcast(qdf), on="term")
+        .join(F.broadcast(dfreq), on="term")
+        .join(dl, on="doc_id")
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(idf * tf_norm).alias("score"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("score"), F.asc("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= k)
+        .select("query_id", "doc_id", "score", "rank")
+    )

@@ -20,7 +20,7 @@ from ..functions import comparators as C
 from ..functions import text as T
 from ..functions import weights as W
 from ..functions.text import phash
-from ..operators import dedup, similarity
+from ..operators import corpus, dedup, similarity
 from ..operators.comparison_summary import distinct_vectors, marginal_counts
 
 # ---------------------------------------------------------------------------
@@ -45,6 +45,9 @@ TOPK_QUERY_MAX_ID = 10
 EMB_DIM_DEDUP = 64
 EMB_COS_MIN = 0.3  # sf testdata max pairwise cosine is ~0.51
 EMB_LSH_PLANES = 4
+SPAN_K = 8  # duplicated-span gram width (words)
+SEARCH_K = 10
+SEARCH_QUERIES = {1: ("spark", "window"), 2: ("customer", "join", "table")}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -829,6 +832,41 @@ def build_catalog() -> dict[str, dict]:
             dim=EMB_DIM_DEDUP, min_cosine=EMB_COS_MIN, n_planes=EMB_LSH_PLANES,
         ),
         "ref": "embedding-cosine near-dup (sign-LSH buckets + exact verify)",
+    }
+
+    # --- corpus curation (training-data ops; operators/corpus.py) ---
+    cat["dedup_cluster_keep"] = {
+        "spark": lambda s, d: corpus.near_dup_clusters_keep(
+            load(s, d, "documents"), "doc_id", "text", "n_chars"
+        ),
+        "sql": corpus.near_dup_clusters_keep_sql(
+            "documents", "doc_id", "text", "n_chars"
+        ),
+        "ref": "near-dup pairs -> transitive clusters -> canonical keep "
+        "(longest doc, id tie-break); turns LSH pair detection into a "
+        "deduplicated corpus",
+    }
+    cat["dup_span_stats"] = {
+        "spark": lambda s, d: corpus.duplicated_span_stats(
+            load(s, d, "documents"), "doc_id", "text", k=SPAN_K
+        ),
+        "sql": corpus.duplicated_span_stats_sql(
+            "documents", "doc_id", "text", k=SPAN_K
+        ),
+        "ref": "exact duplicated k-word spans across documents "
+        "(Lee et al. 2022 substring dedup, relational form)",
+    }
+    cat["search_conjunctive"] = {
+        "spark": lambda s, d: corpus.conjunctive_search_topk(
+            load(s, d, "documents"), "doc_id", "text",
+            SEARCH_QUERIES, k=SEARCH_K,
+        ),
+        "sql": corpus.conjunctive_search_topk_sql(
+            "documents", "doc_id", "text", SEARCH_QUERIES, k=SEARCH_K
+        ),
+        "ref": "inverted-index conjunctive search, tf-ranked top-k "
+        "(map-side vocabulary filter; per-query window over matched "
+        "docs only)",
     }
 
     # --- text analysis (training-data ops) ---

@@ -130,6 +130,9 @@ def main() -> None:
         "embedding_topk_ivf",
         "exact_posterior_links",
         "one_to_one_links",
+        "dedup_cluster_keep",
+        "dup_span_stats",
+        "search_conjunctive",
     ):
         extra_queries[name], _ = timed_reps(name)
     extras["extra_queries"] = extra_queries

@@ -1,0 +1,199 @@
+"""Corpus-curation operators (operators/corpus.py): near-dup cluster
+canonicalization, duplicated-span stats, inverted-index search, BM25."""
+
+import hashlib
+import math
+import re
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from bayesianrecordlinkage_jl_spark.operators import corpus
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(7),
+            "text": [
+                "the quick brown fox jumps over the lazy dog near the river",
+                "the quick brown fox jumps over the lazy dog near the river",
+                "a quick brown fox jumps over the lazy dog near the river bank today",
+                "completely different text about spark engines and window functions",
+                "spark window spark window customer table join table join customer",
+                "unrelated words entirely here none shared with anything else at all",
+                "customer table join",
+            ],
+        }
+    )
+    pdf["n_chars"] = pdf["text"].str.len()
+    return spark.createDataFrame(pdf).cache()
+
+
+def _tokens(t: str) -> list[str]:
+    return [x for x in re.split(r"[^a-z0-9]+", t.lower()) if x]
+
+
+def _grams(t: str, k: int) -> list[str]:
+    toks = _tokens(t)
+    n = max(len(toks) - (k - 1), 1)
+    return [" ".join(toks[i : i + k]) for i in range(n)]
+
+
+def _phash(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+# ---------------------------------------------------------------------------
+# near_dup_clusters_keep
+# ---------------------------------------------------------------------------
+
+
+def test_cluster_keep_structure(docs):
+    out = corpus.near_dup_clusters_keep(
+        docs, "doc_id", "text", "n_chars"
+    ).toPandas()
+    # one row per document; keep <=> own rep
+    assert sorted(out["doc_id"]) == list(range(7))
+    assert (out["keep"] == (out["doc_id"] == out["rep_id"])).all()
+    # exact dups 0/1 and near-dup 2 share a cluster; rep is the LONGEST (2)
+    by_id = out.set_index("doc_id")
+    assert by_id.loc[0, "rep_id"] == by_id.loc[1, "rep_id"] == 2
+    assert by_id.loc[2, "keep"] and by_id.loc[2, "cluster_size"] == 3
+    # isolated docs are singleton keepers
+    assert by_id.loc[5, "keep"] and by_id.loc[5, "cluster_size"] == 1
+    # exactly one keeper per rep_id
+    assert out.groupby("rep_id")["keep"].sum().eq(1).all()
+
+
+def test_cluster_keep_tiebreak_smaller_id(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [10, 11],
+            "text": ["same text here for both docs exactly"] * 2,
+        }
+    )
+    pdf["n_chars"] = pdf["text"].str.len()
+    out = corpus.near_dup_clusters_keep(
+        spark.createDataFrame(pdf), "doc_id", "text", "n_chars"
+    ).toPandas()
+    # equal lengths: the smaller id wins
+    assert set(out.loc[out["keep"], "doc_id"]) == {10}
+
+
+# ---------------------------------------------------------------------------
+# duplicated_span_stats
+# ---------------------------------------------------------------------------
+
+
+def test_dup_span_stats_matches_bruteforce(docs, spark):
+    k = 4
+    out = (
+        corpus.duplicated_span_stats(docs, "doc_id", "text", k=k)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    pdf = docs.toPandas()
+    gram_docs: dict[int, set[int]] = {}
+    per_doc: dict[int, list[int]] = {}
+    for _, r in pdf.iterrows():
+        hs = [_phash(g) for g in _grams(r["text"], k)]
+        per_doc[r["doc_id"]] = hs
+        for h in set(hs):
+            gram_docs.setdefault(h, set()).add(r["doc_id"])
+    for did, hs in per_doc.items():
+        n_grams = len(hs)
+        dup = sum(1 for h in hs if len(gram_docs[h]) >= 2)
+        assert out.loc[did, "n_grams"] == n_grams
+        assert out.loc[did, "dup_grams"] == dup, did
+        assert out.loc[did, "dup_frac"] == pytest.approx(dup / n_grams)
+    # exact dups are 100% duplicated spans
+    assert out.loc[0, "dup_frac"] == 1.0 and out.loc[1, "dup_frac"] == 1.0
+    # the unrelated doc has none
+    assert out.loc[5, "dup_grams"] == 0
+
+
+def test_dup_span_within_doc_repeat_not_duplicated(spark):
+    # a doc that repeats its own span is NOT duplicated unless another doc
+    # shares the span
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0],
+            "text": ["alpha beta gamma alpha beta gamma alpha beta gamma"],
+        }
+    )
+    out = corpus.duplicated_span_stats(
+        spark.createDataFrame(pdf), "doc_id", "text", k=3
+    ).toPandas()
+    assert out.iloc[0]["dup_grams"] == 0
+
+
+# ---------------------------------------------------------------------------
+# search
+# ---------------------------------------------------------------------------
+
+
+def test_conjunctive_search_bruteforce(docs):
+    queries = {1: ("spark", "window"), 2: ("customer", "table", "join")}
+    out = corpus.conjunctive_search_topk(
+        docs, "doc_id", "text", queries, k=10
+    ).toPandas()
+    pdf = docs.toPandas()
+    for qid, terms in queries.items():
+        exp = []
+        for _, r in pdf.iterrows():
+            toks = _tokens(r["text"])
+            if all(t in toks for t in terms):
+                exp.append((r["doc_id"], sum(toks.count(t) for t in terms)))
+        exp.sort(key=lambda x: (-x[1], x[0]))
+        got = out[out["query_id"] == qid].sort_values("rank")
+        assert list(got["doc_id"]) == [d for d, _ in exp]
+        assert list(got["score"]) == [s for _, s in exp]
+        assert list(got["rank"]) == list(range(1, len(exp) + 1))
+
+
+def test_conjunctive_requires_all_terms(docs):
+    # doc 3 has 'spark' and 'window' but not 'customer'
+    out = corpus.conjunctive_search_topk(
+        docs, "doc_id", "text", {9: ("spark", "customer")}, k=10
+    ).toPandas()
+    assert 3 not in set(out["doc_id"])
+
+
+def test_bm25_matches_numpy_replica(docs):
+    queries = {1: ("spark", "window", "customer")}
+    k1, b = 1.2, 0.75
+    out = (
+        corpus.bm25_topk(docs, "doc_id", "text", queries, k=10, k1=k1, b=b)
+        .toPandas()
+        .set_index("doc_id")
+    )
+    pdf = docs.toPandas()
+    toks = {r["doc_id"]: _tokens(r["text"]) for _, r in pdf.iterrows()}
+    n = len(pdf)
+    avgdl = float(np.mean([len(t) for t in toks.values()]))
+    dfreq = {
+        t: sum(1 for ts in toks.values() if t in ts) for t in queries[1]
+    }
+    exp = {}
+    for did, ts in toks.items():
+        s = 0.0
+        for t in queries[1]:
+            tf = ts.count(t)
+            if tf == 0 or dfreq[t] == 0:
+                continue
+            idf = math.log(1.0 + (n - dfreq[t] + 0.5) / (dfreq[t] + 0.5))
+            s += idf * tf * (k1 + 1.0) / (
+                tf + k1 * (1.0 - b + b * len(ts) / avgdl)
+            )
+        if s > 0:
+            exp[did] = s
+    assert set(out.index) == set(exp)
+    for did, s in exp.items():
+        assert out.loc[did, "score"] == pytest.approx(s, rel=1e-12)
+    # ranking follows score desc
+    ranked = out.sort_values("rank")
+    assert (np.diff(ranked["score"].to_numpy()) <= 1e-15).all()

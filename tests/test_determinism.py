@@ -33,6 +33,9 @@ QUERIES = [
     "exact_posterior_links",
     "multimodal_frame_features",
     "phonetic_keys",
+    "dedup_cluster_keep",
+    "dup_span_stats",
+    "search_conjunctive",
 ]
 
 
