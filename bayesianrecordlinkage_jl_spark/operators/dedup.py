@@ -411,11 +411,19 @@ def embedding_cosine_pairs(
     n_planes: int = 6,
     max_bucket_rows: int | None = 1000,
     n_band_sets: int = 6,
+    key_impl: str = "arrow",
 ):
     """Embedding-cosine near-dup pairs: sign-LSH bucket equi-self-join +
     exact cosine verify (>= min_cosine). Returns (id_a, id_b, sim).
     Oversized sign buckets (e.g. zero/duplicate vectors) are salt-split
     (blocking.salt_buckets).
+
+    The salted self-join is NARROW — (id, bucket-key) rows only; the
+    vector payload never rides the n_band_sets explode. Candidate pairs
+    are deduped (distinct) across plane sets, then both vectors are
+    re-attached by id-keyed equi-joins so each survivor pays exactly one
+    exact cosine. Keys come from similarity.band_set_keys_kernel (numpy
+    batch; key_impl="expr" selects the bit-identical Catalyst twin).
 
     Recall: one n_planes-plane set collides a theta-angle pair with
     probability (1 - theta/pi)^n_planes (~0.53 at cos 0.95 with 6 planes),
@@ -423,28 +431,45 @@ def embedding_cosine_pairs(
     MinHash bands: recall 1-(1-p)^n_band_sets (~0.99 at the 6x6 default).
     Every candidate is verified exactly, so precision is 1 regardless."""
     from .blocking import salt_buckets
-    from .similarity import band_set_keys, cosine
+    from .similarity import (
+        band_set_keys,
+        band_set_keys_kernel,
+        cosine,
+        cosine_kernel,
+    )
 
-    keys = band_set_keys(vec_col, dim, n_planes, n_band_sets)
-    base = _spread(df, id_col).select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_v"),
-        F.explode(keys).alias("_bk"),
-    ).localCheckpoint()  # bucket projection consumed 3x (see minhash)
-    base = salt_buckets(base, "_bk", "_id", max_bucket_rows)
-    a = base.select(
-        F.col("_id").alias("id_a"), F.col("_v").alias("va"), "_bk", "_bsalt"
+    if key_impl == "arrow":
+        keys = band_set_keys_kernel(dim, n_planes, n_band_sets)(F.col(vec_col))
+    else:
+        keys = band_set_keys(vec_col, dim, n_planes, n_band_sets)
+    keyed = (
+        _spread(df, id_col)
+        .select(F.col(id_col).alias("_id"), F.explode(keys).alias("_bk"))
+        .localCheckpoint()  # consumed 3x: salt hot-key count + both join sides
     )
-    b = base.select(
-        F.col("_id").alias("id_b"), F.col("_v").alias("vb"), "_bk", "_bsalt"
-    )
-    return (
+    keyed = salt_buckets(keyed, "_bk", "_id", max_bucket_rows)
+    a = keyed.select(F.col("_id").alias("id_a"), "_bk", "_bsalt")
+    b = keyed.select(F.col("_id").alias("id_b"), "_bk", "_bsalt")
+    pairs = (
         a.join(b, on=["_bk", "_bsalt"])
         .where(F.col("id_a") < F.col("id_b"))
         # dedupe multi-set collisions BEFORE the exact verify so each
-        # surviving pair pays one cosine; (id_a, id_b) determines (va, vb)
-        .groupBy("id_a", "id_b")
-        .agg(F.first("va").alias("va"), F.first("vb").alias("vb"))
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("sim"))
+        # surviving pair pays one cosine
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("_vid"), F.col(vec_col).alias("_vv"))
+    sim = (
+        cosine_kernel()(F.col("va"), F.col("vb"))
+        if key_impl == "arrow"
+        else cosine(F.col("va"), F.col("vb"))
+    )
+    return (
+        pairs.join(vecs.withColumnRenamed("_vid", "id_a")
+                   .withColumnRenamed("_vv", "va"), on="id_a")
+        .join(vecs.withColumnRenamed("_vid", "id_b")
+              .withColumnRenamed("_vv", "vb"), on="id_b")
+        .select("id_a", "id_b", sim.alias("sim"))
         .where(F.col("sim") >= min_cosine)
     )
 

