@@ -233,6 +233,102 @@ def duplicated_span_stats_sql(
     """
 
 
+def contamination_flags(
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    benchmark: DataFrame,
+    bench_id_col: str,
+    bench_text_col: str,
+    k: int = 8,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: -> (doc_id, n_hits bigint, contaminated
+    boolean), one row per CORPUS document. A hit is a k-word span
+    (position) in the corpus doc whose content hash also occurs in ANY
+    benchmark document; docs with >= min_hits hits are flagged (the
+    standard n-gram-overlap test-set decontamination rule, e.g. GPT-3
+    appendix C / Lee et al. 2022).
+
+    Semantics are pure content overlap: any shared span flags, including
+    a doc matching itself when it is present in both inputs (exclude
+    benchmark ids from the corpus upstream if that is not wanted).
+
+    Scale shape: both sides hash spans once per document behind an
+    aggregate barrier; the benchmark's DISTINCT span-hash set is
+    typically tiny relative to the corpus (test sets are small), so the
+    probe is an equi-join on the 60-bit hash that AQE turns into a
+    broadcast when it fits — the corpus explode never shuffles more than
+    (doc_id, hash) rows either way."""
+
+    def _span_hashes(df: DataFrame, idc: str, tc: str) -> DataFrame:
+        return (
+            _spread(df, idc)
+            .select(
+                F.col(idc).cast("long").alias("doc_id"),
+                F.transform(
+                    T.word_shingles(F.col(tc), k), lambda s: T.phash(s)
+                ).alias("_gh"),
+            )
+            .groupBy("doc_id")
+            .agg(F.first("_gh").alias("_gh"))
+        )
+
+    bench_set = (
+        _span_hashes(benchmark, bench_id_col, bench_text_col)
+        .select(F.explode("_gh").alias("gh"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    corpus_spans = _span_hashes(corpus, id_col, text_col).select(
+        "doc_id", F.explode("_gh").alias("gh")
+    )
+    return (
+        corpus_spans.join(bench_set, on="gh", how="left")
+        .groupBy("doc_id")
+        .agg(F.sum(F.coalesce(F.col("_hit"), F.lit(0))).cast("long").alias("n_hits"))
+        .select(
+            "doc_id",
+            "n_hits",
+            (F.col("n_hits") >= min_hits).alias("contaminated"),
+        )
+    )
+
+
+def contamination_flags_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    bench_filter: str,
+    k: int = 8,
+    min_hits: int = 1,
+) -> str:
+    """DuckDB twin for the catalog case where the benchmark set is a
+    static filter over the same table."""
+    grams = (
+        f"list_transform({T.word_shingles_sql(text_col, k)}, "
+        f"s -> {T.phash_sql('s')})"
+    )
+    return f"""
+    WITH hashed AS MATERIALIZED (
+      SELECT CAST({id_col} AS BIGINT) AS doc_id, {grams} AS _gh,
+             ({bench_filter}) AS _is_bench
+      FROM {table}
+    ),
+    bench_set AS (SELECT DISTINCT unnest(_gh) AS gh FROM hashed
+                  WHERE _is_bench),
+    corpus_spans AS (SELECT doc_id, unnest(_gh) AS gh FROM hashed),
+    hits AS (
+      SELECT c.doc_id,
+             CAST(sum(CASE WHEN b.gh IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_hits
+      FROM corpus_spans c LEFT JOIN bench_set b ON b.gh = c.gh
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_hits, n_hits >= {min_hits} AS contaminated FROM hits
+    """
+
+
 # ---------------------------------------------------------------------------
 # inverted index + conjunctive search
 # ---------------------------------------------------------------------------

@@ -856,6 +856,19 @@ def build_catalog() -> dict[str, dict]:
         "ref": "exact duplicated k-word spans across documents "
         "(Lee et al. 2022 substring dedup, relational form)",
     }
+    cat["decontamination"] = {
+        "spark": lambda s, d: corpus.contamination_flags(
+            load(s, d, "documents"), "doc_id", "text",
+            load(s, d, "documents").where("doc_id % 37 = 0"),
+            "doc_id", "text", k=SPAN_K, min_hits=1,
+        ),
+        "sql": corpus.contamination_flags_sql(
+            "documents", "doc_id", "text", "doc_id % 37 = 0",
+            k=SPAN_K, min_hits=1,
+        ),
+        "ref": "benchmark decontamination: flag corpus docs sharing "
+        "k-word spans with a (static-filter) benchmark set",
+    }
     cat["search_conjunctive"] = {
         "spark": lambda s, d: corpus.conjunctive_search_topk(
             load(s, d, "documents"), "doc_id", "text",

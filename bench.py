@@ -133,6 +133,7 @@ def main() -> None:
         "dedup_cluster_keep",
         "dup_span_stats",
         "search_conjunctive",
+        "decontamination",
     ):
         extra_queries[name], _ = timed_reps(name)
     extras["extra_queries"] = extra_queries

@@ -132,6 +132,47 @@ def test_dup_span_within_doc_repeat_not_duplicated(spark):
 
 
 # ---------------------------------------------------------------------------
+# decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_contamination_flags_bruteforce(docs, spark):
+    k = 4
+    bench = docs.where("doc_id IN (0, 4)")
+    out = (
+        corpus.contamination_flags(
+            docs, "doc_id", "text", bench, "doc_id", "text", k=k
+        )
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    pdf = docs.toPandas()
+    bench_hashes = set()
+    for _, r in pdf[pdf["doc_id"].isin([0, 4])].iterrows():
+        bench_hashes |= {_phash(g) for g in _grams(r["text"], k)}
+    for _, r in pdf.iterrows():
+        hs = [_phash(g) for g in _grams(r["text"], k)]
+        n_hits = sum(1 for h in hs if h in bench_hashes)
+        assert out.loc[r["doc_id"], "n_hits"] == n_hits, r["doc_id"]
+        assert out.loc[r["doc_id"], "contaminated"] == (n_hits >= 1)
+    # benchmark members present in the corpus flag themselves
+    assert out.loc[0, "contaminated"] and out.loc[4, "contaminated"]
+    # the exact dup of a benchmark doc is contaminated; unrelated doc isn't
+    assert out.loc[1, "contaminated"]
+    assert not out.loc[5, "contaminated"]
+
+
+def test_contamination_min_hits_threshold(docs):
+    bench = docs.where("doc_id = 0")
+    hi = corpus.contamination_flags(
+        docs, "doc_id", "text", bench, "doc_id", "text", k=4, min_hits=10**6
+    ).toPandas()
+    assert not hi["contaminated"].any()
+    assert (hi["n_hits"] >= 0).all() and len(hi) == 7
+
+
+# ---------------------------------------------------------------------------
 # search
 # ---------------------------------------------------------------------------
 

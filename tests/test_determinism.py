@@ -36,6 +36,7 @@ QUERIES = [
     "dedup_cluster_keep",
     "dup_span_stats",
     "search_conjunctive",
+    "decontamination",
 ]
 
 
