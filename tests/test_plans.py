@@ -110,3 +110,26 @@ def test_column_pruning_reaches_parquet_scan(spark):
 
     assert read_schema("blocking_key_counts") == {"lang", "source"}
     assert read_schema("text_stats") == {"doc_id", "text"}
+
+
+def test_lsh_band_join_is_narrow(spark):
+    """The sign-LSH band explode must carry only (id, band-key) rows —
+    the vector payload must NOT ride the n_band_sets explode (a payload
+    regression multiplies shuffle bytes by n_band_sets at scale). The
+    Generate (explode) node's output must therefore never include the
+    embedding column alongside the key."""
+    from pyspark.sql import functions as F
+
+    from bayesianrecordlinkage_jl_spark.operators import similarity
+
+    emb = oq.load(spark, SF, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    df = similarity.lsh_bucketed_topk(emb, "vec_id", "embedding", q, dim=64, k=3)
+    opt = _optimized(df)
+    gen_lines = [l for l in opt.splitlines() if "Generate explode" in l]
+    assert len(gen_lines) == 2  # corpus side + query side
+    for line in gen_lines:
+        # the Generate node neither requires nor emits the vector column —
+        # only the UDF key array in, (id, _bk) out
+        assert "embedding#" not in line, line
+        assert "_bk#" in line, line
