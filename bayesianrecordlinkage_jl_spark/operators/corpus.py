@@ -233,6 +233,100 @@ def duplicated_span_stats_sql(
     """
 
 
+def ngram_repetition_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 2
+) -> DataFrame:
+    """Within-document repetition signals (the Gopher/MassiveText-style
+    quality filter, Rae et al. 2021 §A1.1): -> (doc_id, n_tokens bigint,
+    n_grams bigint, dup_gram_frac double, top_gram_frac double).
+
+      - dup_gram_frac: fraction of k-gram POSITIONS whose k-gram occurs
+        more than once in the SAME document (cf. "duplicate n-gram
+        fraction");
+      - top_gram_frac: occurrences of the document's most frequent k-gram
+        over all k-gram positions (cf. "top n-gram fraction").
+
+    Unlike duplicated_span_stats (cross-document), this is purely
+    intra-document: tokenize/shingle/hash once per doc behind the
+    aggregate barrier, explode, and aggregate per (doc, gram) then per
+    doc — shuffles are keyed by (doc, 60-bit gram hash), so hot grams
+    cannot skew a single reducer across documents."""
+    hashed = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            T.token_count(F.col(text_col)).alias("n_tokens"),
+            F.transform(
+                T.word_shingles(F.col(text_col), k), lambda s: T.phash(s)
+            ).alias("_gh"),
+        )
+        .groupBy("doc_id")
+        .agg(F.first("n_tokens").alias("n_tokens"), F.first("_gh").alias("_gh"))
+    )
+    per_gram = (
+        hashed.select(
+            "doc_id",
+            "n_tokens",
+            F.size("_gh").cast("long").alias("n_grams"),
+            F.explode("_gh").alias("gh"),
+        )
+        .groupBy("doc_id", "n_tokens", "n_grams", "gh")
+        .agg(F.count(F.lit(1)).alias("_cnt"))
+    )
+    return (
+        per_gram.groupBy("doc_id", "n_tokens", "n_grams")
+        .agg(
+            F.sum(
+                F.when(F.col("_cnt") >= 2, F.col("_cnt")).otherwise(F.lit(0))
+            )
+            .cast("long")
+            .alias("_dup_pos"),
+            F.max("_cnt").cast("long").alias("_top_cnt"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_grams",
+            (
+                F.col("_dup_pos").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("dup_gram_frac"),
+            (
+                F.col("_top_cnt").cast("double")
+                / F.col("n_grams").cast("double")
+            ).alias("top_gram_frac"),
+        )
+    )
+
+
+def ngram_repetition_stats_sql(
+    table: str, id_col: str, text_col: str, k: int = 2
+) -> str:
+    grams = (
+        f"list_transform({T.word_shingles_sql(text_col, k)}, "
+        f"s -> {T.phash_sql('s')})"
+    )
+    return f"""
+    WITH hashed AS MATERIALIZED (
+      SELECT CAST({id_col} AS BIGINT) AS doc_id,
+             {T.token_count_sql(text_col)} AS n_tokens, {grams} AS _gh
+      FROM {table}
+    ),
+    per_gram AS (
+      SELECT doc_id, n_tokens, n_grams, gh, count(*) AS _cnt FROM (
+        SELECT doc_id, n_tokens, CAST(len(_gh) AS BIGINT) AS n_grams,
+               unnest(_gh) AS gh FROM hashed
+      ) GROUP BY doc_id, n_tokens, n_grams, gh
+    )
+    SELECT doc_id, n_tokens, n_grams,
+           CAST(CAST(sum(CASE WHEN _cnt >= 2 THEN _cnt ELSE 0 END) AS BIGINT)
+                AS DOUBLE) / CAST(n_grams AS DOUBLE) AS dup_gram_frac,
+           CAST(CAST(max(_cnt) AS BIGINT) AS DOUBLE)
+             / CAST(n_grams AS DOUBLE) AS top_gram_frac
+    FROM per_gram GROUP BY doc_id, n_tokens, n_grams
+    """
+
+
 def contamination_flags(
     corpus: DataFrame,
     id_col: str,

@@ -856,6 +856,16 @@ def build_catalog() -> dict[str, dict]:
         "ref": "exact duplicated k-word spans across documents "
         "(Lee et al. 2022 substring dedup, relational form)",
     }
+    cat["repetition_stats"] = {
+        "spark": lambda s, d: corpus.ngram_repetition_stats(
+            load(s, d, "documents"), "doc_id", "text", k=2
+        ),
+        "sql": corpus.ngram_repetition_stats_sql(
+            "documents", "doc_id", "text", k=2
+        ),
+        "ref": "within-document n-gram repetition signals "
+        "(Gopher/MassiveText quality filter)",
+    }
     cat["decontamination"] = {
         "spark": lambda s, d: corpus.contamination_flags(
             load(s, d, "documents"), "doc_id", "text",

@@ -134,6 +134,7 @@ def main() -> None:
         "dup_span_stats",
         "search_conjunctive",
         "decontamination",
+        "repetition_stats",
     ):
         extra_queries[name], _ = timed_reps(name)
     extras["extra_queries"] = extra_queries

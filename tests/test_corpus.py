@@ -132,6 +132,44 @@ def test_dup_span_within_doc_repeat_not_duplicated(spark):
 
 
 # ---------------------------------------------------------------------------
+# repetition stats
+# ---------------------------------------------------------------------------
+
+
+def test_repetition_stats_bruteforce(docs):
+    k = 2
+    out = (
+        corpus.ngram_repetition_stats(docs, "doc_id", "text", k=k)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    pdf = docs.toPandas()
+    for _, r in pdf.iterrows():
+        toks = _tokens(r["text"])
+        grams = _grams(r["text"], k)
+        counts: dict[str, int] = {}
+        for g in grams:
+            counts[g] = counts.get(g, 0) + 1
+        dup_pos = sum(c for c in counts.values() if c >= 2)
+        top = max(counts.values())
+        did = r["doc_id"]
+        assert out.loc[did, "n_tokens"] == len(toks)
+        assert out.loc[did, "n_grams"] == len(grams)
+        assert out.loc[did, "dup_gram_frac"] == pytest.approx(
+            dup_pos / len(grams)
+        )
+        assert out.loc[did, "top_gram_frac"] == pytest.approx(
+            top / len(grams)
+        )
+    # doc 4 ("spark window spark window customer table join table join
+    # customer") is heavily repetitive; doc 6 ("customer table join") has
+    # no repeated 2-gram
+    assert out.loc[4, "dup_gram_frac"] > 0.3
+    assert out.loc[6, "dup_gram_frac"] == 0.0 and out.loc[6, "top_gram_frac"] == pytest.approx(0.5)
+
+
+# ---------------------------------------------------------------------------
 # decontamination
 # ---------------------------------------------------------------------------
 

@@ -37,6 +37,7 @@ QUERIES = [
     "dup_span_stats",
     "search_conjunctive",
     "decontamination",
+    "repetition_stats",
 ]
 
 
