@@ -233,6 +233,48 @@ def duplicated_span_stats_sql(
     """
 
 
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    splits: dict[str, int],
+    salt: str = "split",
+) -> DataFrame:
+    """Deterministic train/val/test assignment: -> (doc_id, split string).
+    Buckets = phash(salt || id) mod sum(weights); each named split owns a
+    contiguous weight range, so assignment is a pure per-row function of
+    the id — stable across runs, partitionings and engines (phash is the
+    shared 60-bit md5 hash), and growing the corpus never reassigns an
+    existing id. splits e.g. {"train": 98, "val": 1, "test": 1}."""
+    total = sum(splits.values())
+    expr = None
+    lo = 0
+    bucket = T.phash(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % total
+    for name, w in splits.items():
+        cond = bucket < F.lit(lo + w)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo += w
+    return df.select(
+        F.col(id_col).cast("long").alias("doc_id"), expr.alias("split")
+    )
+
+
+def hash_split_sql(
+    table: str, id_col: str, splits: dict[str, int], salt: str = "split"
+) -> str:
+    total = sum(splits.values())
+    bucket = T.phash_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)") + f" % {total}"
+    cases = []
+    lo = 0
+    for name, w in splits.items():
+        cases.append(f"WHEN ({bucket}) < {lo + w} THEN '{name}'")
+        lo += w
+    return f"""
+    SELECT CAST({id_col} AS BIGINT) AS doc_id,
+           CASE {' '.join(cases)} END AS split
+    FROM {table}
+    """
+
+
 def ngram_repetition_stats(
     df: DataFrame, id_col: str, text_col: str, k: int = 2
 ) -> DataFrame:

@@ -856,6 +856,16 @@ def build_catalog() -> dict[str, dict]:
         "ref": "exact duplicated k-word spans across documents "
         "(Lee et al. 2022 substring dedup, relational form)",
     }
+    cat["corpus_splits"] = {
+        "spark": lambda s, d: corpus.hash_split(
+            load(s, d, "documents"), "doc_id",
+            {"train": 98, "val": 1, "test": 1},
+        ),
+        "sql": corpus.hash_split_sql(
+            "documents", "doc_id", {"train": 98, "val": 1, "test": 1}
+        ),
+        "ref": "deterministic hash-bucketed train/val/test assignment",
+    }
     cat["repetition_stats"] = {
         "spark": lambda s, d: corpus.ngram_repetition_stats(
             load(s, d, "documents"), "doc_id", "text", k=2

@@ -131,6 +131,27 @@ def test_dup_span_within_doc_repeat_not_duplicated(spark):
     assert out.iloc[0]["dup_grams"] == 0
 
 
+def test_hash_split_deterministic_and_stable(docs, spark):
+    splits = {"train": 8, "val": 1, "test": 1}
+    out = corpus.hash_split(docs, "doc_id", splits).toPandas()
+    assert set(out["split"]) <= {"train", "val", "test"}
+    assert len(out) == 7 and out["split"].notna().all()
+    # pure function of the id: the same ids in a DIFFERENT df get the
+    # same assignment (corpus growth never reassigns)
+    sub = corpus.hash_split(
+        docs.where("doc_id < 3"), "doc_id", splits
+    ).toPandas()
+    merged = sub.merge(out, on="doc_id", suffixes=("_sub", "_full"))
+    assert (merged["split_sub"] == merged["split_full"]).all()
+    # replicates the driver-side phash rule exactly
+    for _, r in out.iterrows():
+        b = int(
+            hashlib.md5(f"split:{r['doc_id']}".encode()).hexdigest()[:15], 16
+        ) % 10
+        want = "train" if b < 8 else ("val" if b < 9 else "test")
+        assert r["split"] == want
+
+
 # ---------------------------------------------------------------------------
 # repetition stats
 # ---------------------------------------------------------------------------

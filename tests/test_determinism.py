@@ -38,6 +38,7 @@ QUERIES = [
     "search_conjunctive",
     "decontamination",
     "repetition_stats",
+    "corpus_splits",
 ]
 
 
