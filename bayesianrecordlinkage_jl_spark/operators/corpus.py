@@ -640,3 +640,185 @@ def bm25_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "doc_id", "score", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# per-key frequency capping (domain cap)
+# ---------------------------------------------------------------------------
+
+
+def frequency_cap(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    cap: int,
+    salt: str = "cap",
+) -> DataFrame:
+    """Per-key frequency capping (the C4/RefinedWeb "domain cap": keep at
+    most `cap` documents per host/source so hot domains cannot dominate
+    the corpus): -> (doc_id, key, rank int), the SURVIVING rows only.
+
+    Selection is a pure function of the id: within a key, docs are ranked
+    by (phash(salt || id) asc, doc_id asc) — a deterministic shuffle, so
+    the kept subset is stable across runs, partitionings and engines, and
+    is an unbiased uniform sample of the key's docs.
+
+    Scale shape: the rank<=cap filter over row_number() is rewritten by
+    Spark (InferWindowGroupLimit, 3.5+) into a WindowGroupLimit that
+    drops rows PARTIAL/map-side before the shuffle — a Zipf-hot key ships
+    at most `cap` rows per input partition instead of its full row set
+    (plan shape pinned in tests/test_plans.py)."""
+    h = T.phash(
+        F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("key").orderBy(F.asc("_h"), F.asc("doc_id"))
+    return (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(key_col).alias("key"),
+            h.alias("_h"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("int"))
+        .where(F.col("rank") <= cap)
+        .select("doc_id", "key", "rank")
+    )
+
+
+def frequency_cap_sql(
+    table: str, id_col: str, key_col: str, cap: int, salt: str = "cap"
+) -> str:
+    h = T.phash_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
+    return f"""
+    SELECT doc_id, key, rank FROM (
+      SELECT CAST({id_col} AS BIGINT) AS doc_id, {key_col} AS key,
+             CAST(row_number() OVER (
+               PARTITION BY {key_col}
+               ORDER BY {h} ASC, CAST({id_col} AS BIGINT) ASC
+             ) AS INT) AS rank
+      FROM {table}
+    ) WHERE rank <= {cap}
+    """
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (fixed token-budget training windows)
+# ---------------------------------------------------------------------------
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    len_col: str,
+    budget: int,
+    n_buckets: int = 8,
+    salt: str = "pack",
+) -> DataFrame:
+    """Greedy sequence packing for LLM training (fill fixed context
+    windows with whole documents, Raffel et al. 2020 §2.3 / Krell et al.
+    2021): -> (doc_id, bucket int, seq_id bigint, offset bigint), one row
+    per document.
+
+    Packing a whole corpus is inherently sequential, so the scale shape
+    is hash-sharded independence: each doc goes to one of `n_buckets`
+    packers (bucket = phash(salt||id) % n_buckets — at 100 TB set
+    n_buckets ~ cores so every packer's doc list fits an executor);
+    within a bucket, docs are visited in (phash, doc_id) order — a
+    deterministic shuffle — and appended to the current sequence while
+    the running fill + len <= budget, else a new sequence starts. A doc
+    longer than `budget` occupies a sequence alone (never truncated).
+    seq_id = bucket * 2^40 + per-bucket sequence index; offset is the
+    doc's token offset inside its sequence.
+
+    The per-bucket scan is one applyInPandas pass (Arrow batch in, one
+    sequential numpy-array walk — the irreducibly serial part of packing,
+    bounded by bucket size and parallel across buckets); everything
+    upstream and downstream stays relational. Oracle twin: per-bucket
+    recursive CTE replaying the same greedy rule row-by-row."""
+    import numpy as np
+    import pandas as pd
+
+    h = T.phash(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+    prepared = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(len_col).cast("long").alias("_len"),
+        h.alias("_h"),
+        (h % n_buckets).cast("int").alias("bucket"),
+    )
+    out_schema = (
+        "doc_id long, bucket int, seq_id long, offset long"
+    )
+    budget_i = int(budget)
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["_h", "doc_id"], ignore_index=True)
+        lens = pdf["_len"].to_numpy(dtype=np.int64)
+        seqs = np.empty(len(pdf), dtype=np.int64)
+        offs = np.empty(len(pdf), dtype=np.int64)
+        seq, fill = 0, None
+        for i, ln in enumerate(lens):
+            if fill is not None and fill + ln <= budget_i:
+                offs[i] = fill
+                fill += ln
+            else:
+                if fill is not None:
+                    seq += 1
+                offs[i] = 0
+                fill = ln
+            seqs[i] = seq
+        bucket = int(pdf["bucket"].iloc[0]) if len(pdf) else 0
+        return pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "bucket": np.int32(bucket),
+                "seq_id": (bucket << 40) + seqs,
+                "offset": offs,
+            }
+        )
+
+    return prepared.groupBy("bucket").applyInPandas(_pack, out_schema)
+
+
+def pack_sequences_sql(
+    table: str,
+    id_col: str,
+    len_col: str,
+    budget: int,
+    n_buckets: int = 8,
+    salt: str = "pack",
+) -> str:
+    """DuckDB twin: the greedy scan as a per-bucket recursive CTE — each
+    iteration advances every bucket by one row (rn -> rn+1), carrying
+    (seq, fill) state; depth = max rows per bucket. NB the recursive
+    member uses UNION ALL (linear recursion, one new row per bucket per
+    step — the repo's WITH RECURSIVE dedup trap does not apply because
+    rows are unique by construction)."""
+    h = T.phash_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
+    return f"""
+    WITH RECURSIVE ordered AS MATERIALIZED (
+      SELECT CAST({id_col} AS BIGINT) AS doc_id,
+             CAST({len_col} AS BIGINT) AS _len,
+             CAST(({h}) % {n_buckets} AS INT) AS bucket,
+             row_number() OVER (
+               PARTITION BY ({h}) % {n_buckets}
+               ORDER BY {h} ASC, CAST({id_col} AS BIGINT) ASC
+             ) AS rn
+      FROM {table}
+    ),
+    walk(bucket, rn, doc_id, seq, fill) AS (
+      SELECT bucket, rn, doc_id, CAST(0 AS BIGINT) AS seq, _len AS fill
+      FROM ordered WHERE rn = 1
+      UNION ALL
+      SELECT o.bucket, o.rn, o.doc_id,
+             CASE WHEN w.fill + o._len <= {int(budget)}
+                  THEN w.seq ELSE w.seq + 1 END,
+             CASE WHEN w.fill + o._len <= {int(budget)}
+                  THEN w.fill + o._len ELSE o._len END
+      FROM walk w JOIN ordered o
+        ON o.bucket = w.bucket AND o.rn = w.rn + 1
+    )
+    SELECT w.doc_id, w.bucket,
+           (CAST(w.bucket AS BIGINT) * 1099511627776) + w.seq AS seq_id,
+           w.fill - o._len AS offset
+    FROM walk w JOIN ordered o
+      ON o.bucket = w.bucket AND o.rn = w.rn
+    """

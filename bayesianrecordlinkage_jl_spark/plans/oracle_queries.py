@@ -889,6 +889,32 @@ def build_catalog() -> dict[str, dict]:
         "ref": "benchmark decontamination: flag corpus docs sharing "
         "k-word spans with a (static-filter) benchmark set",
     }
+    cat["frequency_caps"] = {
+        "spark": lambda s, d: corpus.frequency_cap(
+            load(s, d, "documents"), "doc_id", "source", cap=10
+        ),
+        "sql": corpus.frequency_cap_sql(
+            "documents", "doc_id", "source", cap=10
+        ),
+        "ref": "per-source frequency capping (C4/RefinedWeb domain cap): "
+        "deterministic-hash uniform keep of <=cap docs per source, "
+        "WindowGroupLimit plan shape",
+    }
+    cat["packed_sequences"] = {
+        "spark": lambda s, d: corpus.pack_sequences(
+            load(s, d, "documents").select(
+                "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+            ),
+            "doc_id", "n_tokens", budget=256, n_buckets=8,
+        ),
+        "sql": corpus.pack_sequences_sql(
+            "documents", "doc_id", T.token_count_sql("text"),
+            budget=256, n_buckets=8,
+        ),
+        "ref": "greedy whole-document sequence packing into 256-token "
+        "training windows, hash-sharded across 8 independent packers "
+        "(applyInPandas scan; recursive-CTE oracle replay)",
+    }
     cat["search_conjunctive"] = {
         "spark": lambda s, d: corpus.conjunctive_search_topk(
             load(s, d, "documents"), "doc_id", "text",

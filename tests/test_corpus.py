@@ -297,3 +297,128 @@ def test_bm25_matches_numpy_replica(docs):
     # ranking follows score desc
     ranked = out.sort_values("rank")
     assert (np.diff(ranked["score"].to_numpy()) <= 1e-15).all()
+
+
+def _phash(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_frequency_cap_bruteforce(docs):
+    pdf = docs.toPandas()
+    pdf["key"] = ["a", "a", "a", "a", "b", "b", "b"]
+    df = docs.sparkSession.createDataFrame(pdf)
+    out = (
+        corpus.frequency_cap(df, "doc_id", "key", cap=2)
+        .toPandas()
+        .sort_values(["key", "rank"], ignore_index=True)
+    )
+    # replay: per key, 2 smallest (phash, id)
+    exp = []
+    for key, grp in pdf.groupby("key"):
+        order = sorted(
+            (_phash(f"cap:{i}"), i) for i in grp["doc_id"]
+        )[:2]
+        exp.extend((i, key, r + 1) for r, (_, i) in enumerate(order))
+    exp = sorted(exp, key=lambda t: (t[1], t[2]))
+    assert list(map(tuple, out[["doc_id", "key", "rank"]].values)) == exp
+    # per-key counts never exceed the cap
+    assert (out.groupby("key").size() <= 2).all()
+
+
+def test_frequency_cap_stable_under_corpus_growth(docs, spark):
+    """Selection is a pure function of the id-hash ORDER within a key:
+    docs kept at a loose cap remain a superset of those kept at a tight
+    cap, and ranks are growth-independent for unchanged ids."""
+    full = corpus.frequency_cap(docs, "doc_id", "text", cap=3)
+    # key by a constant to get one global key
+    pdf = docs.toPandas()
+    pdf["key"] = "k"
+    df = spark.createDataFrame(pdf)
+    keep2 = set(
+        corpus.frequency_cap(df, "doc_id", "key", 2).toPandas()["doc_id"]
+    )
+    keep4 = set(
+        corpus.frequency_cap(df, "doc_id", "key", 4).toPandas()["doc_id"]
+    )
+    assert keep2 < keep4
+    assert full.count() == 7  # every text unique -> all kept at cap 3
+
+
+def test_pack_sequences_invariants(docs, spark):
+    pdf = docs.toPandas()
+    df = spark.createDataFrame(pdf)
+    out = corpus.pack_sequences(
+        df, "doc_id", "n_chars", budget=100, n_buckets=2
+    ).toPandas()
+    # every doc packed exactly once
+    assert sorted(out["doc_id"]) == sorted(pdf["doc_id"])
+    lens = dict(zip(pdf["doc_id"], pdf["n_chars"]))
+    merged = out.copy()
+    merged["len"] = merged["doc_id"].map(lens)
+    for seq_id, grp in merged.groupby("seq_id"):
+        grp = grp.sort_values("offset")
+        # offsets are the prefix sums of member lengths, fill <= budget
+        # unless the sequence is a single oversized doc
+        offs = grp["offset"].to_numpy()
+        ls = grp["len"].to_numpy()
+        assert offs[0] == 0
+        assert (offs[1:] == np.cumsum(ls)[:-1]).all()
+        fill = int(ls.sum())
+        assert fill <= 100 or len(grp) == 1
+        # seq_id embeds the bucket
+        assert (grp["bucket"] == (seq_id >> 40)).all()
+
+
+def test_pack_sequences_oversized_doc_alone(spark):
+    pdf = pd.DataFrame(
+        {"doc_id": [1, 2, 3], "n": [500, 10, 10]}
+    )
+    df = spark.createDataFrame(pdf)
+    out = corpus.pack_sequences(
+        df, "doc_id", "n", budget=100, n_buckets=1
+    ).toPandas()
+    by_doc = out.set_index("doc_id")
+    big_seq = by_doc.loc[1, "seq_id"]
+    # the oversized doc shares its sequence with nobody
+    assert (out["seq_id"] == big_seq).sum() == 1
+    assert by_doc.loc[1, "offset"] == 0
+
+
+def test_pack_sequences_greedy_replay(docs, spark):
+    """Full greedy replay in pure Python against the operator."""
+    pdf = docs.toPandas()
+    out = corpus.pack_sequences(
+        docs, "doc_id", "n_chars", budget=120, n_buckets=2
+    ).toPandas()
+    exp = {}
+    rows = sorted(
+        (
+            _phash(f"pack:{i}") % 2,
+            _phash(f"pack:{i}"),
+            i,
+            n,
+        )
+        for i, n in zip(pdf["doc_id"], pdf["n_chars"])
+    )
+    from collections import defaultdict
+
+    per_bucket = defaultdict(list)
+    for b, h, i, n in rows:
+        per_bucket[b].append((h, i, n))
+    for b, items in per_bucket.items():
+        seq, fill = 0, None
+        for h, i, n in sorted(items):
+            if fill is not None and fill + n <= 120:
+                off = fill
+                fill += n
+            else:
+                if fill is not None:
+                    seq += 1
+                off = 0
+                fill = n
+            exp[i] = (b, (b << 40) + seq, off)
+    got = {
+        r.doc_id: (r.bucket, r.seq_id, r.offset)
+        for r in out.itertuples()
+    }
+    assert got == exp

@@ -39,6 +39,8 @@ QUERIES = [
     "decontamination",
     "repetition_stats",
     "corpus_splits",
+    "frequency_caps",
+    "packed_sequences",
 ]
 
 
