@@ -712,6 +712,7 @@ def pack_sequences(
     budget: int,
     n_buckets: int = 8,
     salt: str = "pack",
+    group_col: str | None = None,
 ) -> DataFrame:
     """Greedy sequence packing for LLM training (fill fixed context
     windows with whole documents, Raffel et al. 2020 §2.3 / Krell et al.
@@ -729,6 +730,11 @@ def pack_sequences(
     seq_id = bucket * 2^40 + per-bucket sequence index; offset is the
     doc's token offset inside its sequence.
 
+    With `group_col` set (e.g. a train/val/test split), packers are keyed
+    by (group, bucket) so sequences never mix groups; seq_id is then
+    unique WITHIN a group — (group, seq_id) is the global key — and the
+    group column rides through to the output.
+
     The per-bucket scan is one applyInPandas pass (Arrow batch in, one
     sequential numpy-array walk — the irreducibly serial part of packing,
     bounded by bucket size and parallel across buckets); everything
@@ -738,16 +744,20 @@ def pack_sequences(
     import pandas as pd
 
     h = T.phash(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
-    prepared = df.select(
+    cols = [
         F.col(id_col).cast("long").alias("doc_id"),
         F.col(len_col).cast("long").alias("_len"),
         h.alias("_h"),
         (h % n_buckets).cast("int").alias("bucket"),
-    )
-    out_schema = (
-        "doc_id long, bucket int, seq_id long, offset long"
-    )
+    ]
+    if group_col is not None:
+        cols.append(F.col(group_col).cast("string").alias(group_col))
+    prepared = df.select(*cols)
+    out_schema = "doc_id long, bucket int, seq_id long, offset long"
+    if group_col is not None:
+        out_schema += f", {group_col} string"
     budget_i = int(budget)
+    gcol = group_col
 
     def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(["_h", "doc_id"], ignore_index=True)
@@ -766,16 +776,18 @@ def pack_sequences(
                 fill = ln
             seqs[i] = seq
         bucket = int(pdf["bucket"].iloc[0]) if len(pdf) else 0
-        return pd.DataFrame(
-            {
-                "doc_id": pdf["doc_id"],
-                "bucket": np.int32(bucket),
-                "seq_id": (bucket << 40) + seqs,
-                "offset": offs,
-            }
-        )
+        out = {
+            "doc_id": pdf["doc_id"],
+            "bucket": np.int32(bucket),
+            "seq_id": (bucket << 40) + seqs,
+            "offset": offs,
+        }
+        if gcol is not None:
+            out[gcol] = pdf[gcol]
+        return pd.DataFrame(out)
 
-    return prepared.groupBy("bucket").applyInPandas(_pack, out_schema)
+    keys = ["bucket"] if group_col is None else [group_col, "bucket"]
+    return prepared.groupBy(*keys).applyInPandas(_pack, out_schema)
 
 
 def pack_sequences_sql(
@@ -785,40 +797,175 @@ def pack_sequences_sql(
     budget: int,
     n_buckets: int = 8,
     salt: str = "pack",
+    group_col: str | None = None,
 ) -> str:
     """DuckDB twin: the greedy scan as a per-bucket recursive CTE — each
-    iteration advances every bucket by one row (rn -> rn+1), carrying
-    (seq, fill) state; depth = max rows per bucket. NB the recursive
-    member uses UNION ALL (linear recursion, one new row per bucket per
-    step — the repo's WITH RECURSIVE dedup trap does not apply because
-    rows are unique by construction)."""
+    iteration advances every (group,) bucket by one row (rn -> rn+1),
+    carrying (seq, fill) state; depth = max rows per bucket. NB the
+    recursive member uses UNION ALL (linear recursion, one new row per
+    bucket per step — the repo's WITH RECURSIVE dedup trap does not
+    apply because rows are unique by construction)."""
     h = T.phash_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)")
+    gsel = f", CAST({group_col} AS VARCHAR) AS _grp" if group_col else ""
+    gpart = f"CAST({group_col} AS VARCHAR), " if group_col else ""
+    gw = ", _grp" if group_col else ""
+    gjoin = " AND o._grp = w._grp" if group_col else ""
+    gout = f", w._grp AS {group_col}" if group_col else ""
     return f"""
     WITH RECURSIVE ordered AS MATERIALIZED (
       SELECT CAST({id_col} AS BIGINT) AS doc_id,
              CAST({len_col} AS BIGINT) AS _len,
-             CAST(({h}) % {n_buckets} AS INT) AS bucket,
+             CAST(({h}) % {n_buckets} AS INT) AS bucket{gsel},
              row_number() OVER (
-               PARTITION BY ({h}) % {n_buckets}
+               PARTITION BY {gpart}({h}) % {n_buckets}
                ORDER BY {h} ASC, CAST({id_col} AS BIGINT) ASC
              ) AS rn
       FROM {table}
     ),
-    walk(bucket, rn, doc_id, seq, fill) AS (
-      SELECT bucket, rn, doc_id, CAST(0 AS BIGINT) AS seq, _len AS fill
+    walk(bucket, rn, doc_id, seq, fill{gw}) AS (
+      SELECT bucket, rn, doc_id, CAST(0 AS BIGINT) AS seq, _len AS fill{gw}
       FROM ordered WHERE rn = 1
       UNION ALL
       SELECT o.bucket, o.rn, o.doc_id,
              CASE WHEN w.fill + o._len <= {int(budget)}
                   THEN w.seq ELSE w.seq + 1 END,
              CASE WHEN w.fill + o._len <= {int(budget)}
-                  THEN w.fill + o._len ELSE o._len END
+                  THEN w.fill + o._len ELSE o._len END{
+               ', o._grp' if group_col else ''}
       FROM walk w JOIN ordered o
-        ON o.bucket = w.bucket AND o.rn = w.rn + 1
+        ON o.bucket = w.bucket AND o.rn = w.rn + 1{gjoin}
     )
     SELECT w.doc_id, w.bucket,
            (CAST(w.bucket AS BIGINT) * 1099511627776) + w.seq AS seq_id,
-           w.fill - o._len AS offset
+           w.fill - o._len AS offset{gout}
     FROM walk w JOIN ordered o
-      ON o.bucket = w.bucket AND o.rn = w.rn
+      ON o.bucket = w.bucket AND o.rn = w.rn{gjoin}
+    """
+
+
+# ---------------------------------------------------------------------------
+# end-to-end curation pipeline: documents in -> packed training windows out
+# ---------------------------------------------------------------------------
+
+
+def curation_pipeline(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    q_min: float = 0.5,
+    rep_max: float = 0.125,
+    rep_k: int = 2,
+    cap: int = 15,
+    splits: dict[str, int] | None = None,
+    budget: int = 256,
+    n_buckets: int = 4,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """The whole training-data curation flow as ONE relational pipeline —
+    raw documents in, packed training windows out:
+
+      1. quality gate: quality_score >= q_min AND within-doc duplicate
+         k-gram fraction <= rep_max (Gopher-style filters);
+      2. near-dup dedup: MinHash-LSH clusters, keep the longest doc per
+         cluster;
+      3. domain cap: at most `cap` survivors per source
+         (deterministic-hash uniform keep);
+      4. split: hash-bucketed train/val/test;
+      5. pack: greedy whole-doc packing into `budget`-token windows,
+         grouped by split so sequences never mix splits.
+
+    -> (doc_id, split, seq_id, offset), one row per document that
+    survives the gates; (split, seq_id, offset) addresses its slot in
+    the packed corpus. All thresholds are dyadic so the whole pipeline
+    is bit-portable (oracle twin composes the per-stage SQL twins).
+
+    Scale notes: the gated working set is localCheckpoint'ed because
+    three consumers read it (the LSH cluster pass and two id joins) —
+    the mutual_best double-consumption lesson; every later stage is a
+    pure function of (id, n_tokens, source), so nothing re-reads text
+    after stage 2."""
+    splits = splits or {"train": 98, "val": 1, "test": 1}
+    rep = ngram_repetition_stats(df, id_col, text_col, k=rep_k)
+    base = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.col(text_col).alias("_text"),
+        F.col(source_col).alias("_source"),
+        T.quality_score(F.col(text_col)).alias("_q"),
+    )
+    gated = (
+        base.join(rep.select("doc_id", "n_tokens", "dup_gram_frac"), on="doc_id")
+        .where((F.col("_q") >= F.lit(q_min)) & (F.col("dup_gram_frac") <= F.lit(rep_max)))
+        .select("doc_id", "_text", "_source", "n_tokens")
+        .localCheckpoint()
+    )
+    keepers = near_dup_clusters_keep(
+        gated, "doc_id", "_text", "n_tokens", n_bands, rows_per_band, shingle_k
+    ).where("keep").select("doc_id")
+    survivors = gated.join(keepers, on="doc_id")
+    capped = frequency_cap(survivors, "doc_id", "_source", cap).select("doc_id")
+    kept = survivors.join(capped, on="doc_id")
+    split = hash_split(kept, "doc_id", splits)
+    packin = kept.select("doc_id", "n_tokens").join(split, on="doc_id")
+    return pack_sequences(
+        packin, "doc_id", "n_tokens", budget, n_buckets, group_col="split"
+    ).select("doc_id", "split", "seq_id", "offset")
+
+
+def curation_pipeline_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    source_col: str,
+    q_min: float = 0.5,
+    rep_max: float = 0.125,
+    rep_k: int = 2,
+    cap: int = 15,
+    splits: dict[str, int] | None = None,
+    budget: int = 256,
+    n_buckets: int = 4,
+    n_bands: int = 4,
+    rows_per_band: int = 2,
+    shingle_k: int = 3,
+) -> str:
+    """DuckDB twin: composes the per-stage SQL twins — each stage's full
+    statement (own WITH RECURSIVE where needed) rides as a parenthesized
+    subquery inside one outer WITH, so no recursive blocks merge (the
+    repo's WITH RECURSIVE dedup trap stays contained per stage)."""
+    splits = splits or {"train": 98, "val": 1, "test": 1}
+    rep = ngram_repetition_stats_sql(table, id_col, text_col, k=rep_k)
+    q = T.quality_score_sql(f"d.{text_col}")
+    ck = near_dup_clusters_keep_sql(
+        "gated", "doc_id", "_text", "n_tokens", n_bands, rows_per_band, shingle_k
+    )
+    capsql = frequency_cap_sql("surv", "doc_id", "_source", cap)
+    spsql = hash_split_sql("kept", "doc_id", splits)
+    packsql = pack_sequences_sql(
+        "packin", "doc_id", "n_tokens", budget, n_buckets, group_col="split"
+    )
+    return f"""
+    WITH gated AS MATERIALIZED (
+      SELECT CAST(d.{id_col} AS BIGINT) AS doc_id, d.{text_col} AS _text,
+             d.{source_col} AS _source, r.n_tokens
+      FROM {table} d JOIN ({rep}) r ON r.doc_id = CAST(d.{id_col} AS BIGINT)
+      WHERE ({q}) >= {q_min!r}e0 AND r.dup_gram_frac <= {rep_max!r}e0
+    ),
+    keepers AS MATERIALIZED (
+      SELECT doc_id FROM ({ck}) WHERE keep
+    ),
+    surv AS MATERIALIZED (
+      SELECT g.* FROM gated g JOIN keepers USING (doc_id)
+    ),
+    capped AS (SELECT doc_id FROM ({capsql})),
+    kept AS MATERIALIZED (
+      SELECT s.* FROM surv s JOIN capped USING (doc_id)
+    ),
+    sp AS ({spsql}),
+    packin AS (
+      SELECT k.doc_id, k.n_tokens, sp.split
+      FROM kept k JOIN sp USING (doc_id)
+    )
+    SELECT doc_id, split, seq_id, "offset" FROM ({packsql})
     """

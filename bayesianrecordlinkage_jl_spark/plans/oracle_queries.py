@@ -915,6 +915,17 @@ def build_catalog() -> dict[str, dict]:
         "training windows, hash-sharded across 8 independent packers "
         "(applyInPandas scan; recursive-CTE oracle replay)",
     }
+    cat["curation_pipeline"] = {
+        "spark": lambda s, d: corpus.curation_pipeline(
+            load(s, d, "documents"), "doc_id", "text", "source"
+        ),
+        "sql": corpus.curation_pipeline_sql(
+            "documents", "doc_id", "text", "source"
+        ),
+        "ref": "end-to-end curation: quality+repetition gate -> near-dup "
+        "cluster keep -> domain cap -> split -> packed training windows, "
+        "one relational pipeline (oracle composes the per-stage twins)",
+    }
     cat["search_conjunctive"] = {
         "spark": lambda s, d: corpus.conjunctive_search_topk(
             load(s, d, "documents"), "doc_id", "text",

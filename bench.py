@@ -135,6 +135,8 @@ def main() -> None:
         "search_conjunctive",
         "decontamination",
         "repetition_stats",
+        "frequency_caps",
+        "packed_sequences",
     ):
         extra_queries[name], _ = timed_reps(name)
     extras["extra_queries"] = extra_queries

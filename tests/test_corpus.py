@@ -422,3 +422,55 @@ def test_pack_sequences_greedy_replay(docs, spark):
         for r in out.itertuples()
     }
     assert got == exp
+
+
+def test_pack_sequences_grouped_never_mixes_groups(docs, spark):
+    pdf = docs.toPandas()
+    pdf["grp"] = ["x", "y", "x", "y", "x", "y", "x"]
+    df = spark.createDataFrame(pdf)
+    out = corpus.pack_sequences(
+        df, "doc_id", "n_chars", budget=200, n_buckets=1, group_col="grp"
+    ).toPandas()
+    grp_of = dict(zip(pdf["doc_id"], pdf["grp"]))
+    out["grp_expect"] = out["doc_id"].map(grp_of)
+    assert (out["grp"] == out["grp_expect"]).all()
+    # grouped packing == packing each group independently (seq_id is
+    # unique within a group; (grp, seq_id) is the global key)
+    for g in ("x", "y"):
+        solo = corpus.pack_sequences(
+            df.where(f"grp = '{g}'"), "doc_id", "n_chars", 200, 1
+        ).toPandas().sort_values("doc_id", ignore_index=True)
+        sub = (
+            out[out["grp"] == g][["doc_id", "bucket", "seq_id", "offset"]]
+            .sort_values("doc_id", ignore_index=True)
+        )
+        pd.testing.assert_frame_equal(sub, solo)
+    # ungrouped call unchanged (back-compat): no group column in output
+    plain = corpus.pack_sequences(df, "doc_id", "n_chars", 200, 1)
+    assert plain.columns == ["doc_id", "bucket", "seq_id", "offset"]
+
+
+def test_curation_pipeline_invariants(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = corpus.curation_pipeline(
+        docs, "doc_id", "text", "source"
+    ).toPandas()
+    pdf = docs.toPandas().set_index("doc_id")
+    # survivors are real docs, each packed exactly once
+    assert out["doc_id"].is_unique
+    assert set(out["doc_id"]) <= set(pdf.index)
+    # the domain cap held: <= 15 survivors per source
+    out["source"] = out["doc_id"].map(pdf["source"])
+    assert (out.groupby("source").size() <= 15).all()
+    # gates held: every survivor passes quality + repetition thresholds
+    from bayesianrecordlinkage_jl_spark.operators.corpus import (
+        ngram_repetition_stats,
+    )
+    rep = ngram_repetition_stats(docs, "doc_id", "text", k=2).toPandas()
+    rep = rep.set_index("doc_id").loc[out["doc_id"]]
+    assert (rep["dup_gram_frac"] <= 0.125).all()
+    # offsets stay inside the budget for multi-doc sequences
+    out["len"] = rep["n_tokens"].to_numpy()
+    for seq_id, grp in out.groupby(["split", "seq_id"]):
+        fill = grp["len"].sum()
+        assert fill <= 256 or len(grp) == 1

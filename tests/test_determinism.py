@@ -41,6 +41,7 @@ QUERIES = [
     "corpus_splits",
     "frequency_caps",
     "packed_sequences",
+    "curation_pipeline",
 ]
 
 
