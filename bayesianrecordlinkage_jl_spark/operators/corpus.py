@@ -969,3 +969,184 @@ def curation_pipeline_sql(
     )
     SELECT doc_id, split, seq_id, "offset" FROM ({packsql})
     """
+
+
+# ---------------------------------------------------------------------------
+# hashed linear quality classifier (fastText/CCNet-style model gate)
+# ---------------------------------------------------------------------------
+
+QC_BUCKETS = 256
+
+
+def classifier_weights(n_buckets: int = QC_BUCKETS, seed: str = "qw") -> list[int]:
+    """Frozen integer weights in [-8, 8], one per hash bucket, derived
+    once from md5 of the bucket index.  The same Python constants feed
+    both emitters (the MinHash affine-constant pattern), so the "model"
+    is static — never trained at query time (oracle-staticity invariant).
+    At production scale the ints would come from an offline fastText /
+    logistic fit quantized to this grid; the serving plan is identical."""
+    import hashlib
+
+    return [
+        int(hashlib.md5(f"{seed}:{i}".encode()).hexdigest()[:15], 16) % 17 - 8
+        for i in range(n_buckets)
+    ]
+
+
+_QC_TOKENS = "filter(split(lower({c}), '[^a-z0-9]+'), t -> t != '')"
+_QC_HASH = "CAST(conv(substring(md5(t),1,15),16,10) AS BIGINT)"
+
+
+def quality_classifier(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = QC_BUCKETS,
+    seed: str = "qw",
+) -> DataFrame:
+    """-> (doc_id, n_tokens bigint, raw_score bigint, cls_score double,
+    keep boolean): a hashed-bag-of-words linear classifier score per
+    document — the model-based quality gate (fastText/CCNet-style) that
+    complements the heuristic quality_score.
+
+    Token bucket = shared 60-bit md5 hash mod n_buckets; raw_score is the
+    INTEGER sum of frozen per-bucket weights over all tokens (tf
+    weighting; integer addition commutes, so the score is partitioning-
+    invariant with no fold-order pinning needed).  cls_score normalizes
+    by 8*n_tokens in ONE final division (exactly rounded, bit-identical
+    across engines).  keep = raw_score >= 0.
+
+    100 TB: pure per-row Catalyst (aggregate over the token array with an
+    element_at into a 256-int literal array — one server-parsed expr
+    string, no py4j literal loop, no shuffle, no Python)."""
+    w = classifier_weights(n_buckets, seed)
+    arr = f"array({','.join(str(x) for x in w)})"
+    toks = _QC_TOKENS.format(c=text_col)
+    raw = (
+        f"coalesce(aggregate({toks}, CAST(0 AS BIGINT), (acc, t) -> acc + "
+        f"element_at({arr}, CAST(({_QC_HASH} % {n_buckets}) AS INT) + 1)), "
+        f"CAST(0 AS BIGINT))"
+    )
+    ntok = f"CAST(size({toks}) AS BIGINT)"
+    return _spread(df, id_col).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        F.expr(ntok).alias("n_tokens"),
+        F.expr(raw).alias("raw_score"),
+        F.expr(
+            f"CAST(({raw}) AS DOUBLE) / "
+            f"CAST(8 * greatest({ntok}, 1) AS DOUBLE)"
+        ).alias("cls_score"),
+        F.expr(f"({raw}) >= 0").alias("keep"),
+    )
+
+
+def quality_classifier_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = QC_BUCKETS,
+    seed: str = "qw",
+) -> str:
+    w = classifier_weights(n_buckets, seed)
+    lst = f"[{','.join(str(x) for x in w)}]"
+    toks = T.tokens_sql(text_col)
+    h = T.phash_sql("t")
+    raw = (
+        f"coalesce(list_aggregate(list_transform({toks}, "
+        f"t -> ({lst})[CAST(({h} % {n_buckets}) AS INT) + 1]), 'sum'), 0)"
+    )
+    ntok = f"CAST(len({toks}) AS BIGINT)"
+    return f"""
+    SELECT CAST({id_col} AS BIGINT) AS doc_id,
+           {ntok} AS n_tokens,
+           CAST({raw} AS BIGINT) AS raw_score,
+           CAST({raw} AS DOUBLE) / CAST(8 * greatest({ntok}, 1) AS DOUBLE)
+             AS cls_score,
+           ({raw}) >= 0 AS keep
+    FROM {table}
+    """
+
+
+# ---------------------------------------------------------------------------
+# data-mixture sampling / epoch upsampling (DoReMi-style source reweighting)
+# ---------------------------------------------------------------------------
+
+_MIX_DENOM = 4096
+
+
+def mixture_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """-> (doc_id, source, epoch int), one output row per training COPY of
+    a document under per-source mixture rates (epochs).  rate 2.5 emits 2
+    guaranteed copies plus a third for a deterministic 50% of ids; rate
+    0.25 keeps 25% of docs; rate 0 drops the source.
+
+    The fractional part is resolved by the shared 60-bit hash of
+    (salt:id) against rate*4096 — integer-only, so assignment is stable
+    across runs, partitionings, engines, and corpus growth (adding docs
+    never flips an existing id's copy count).
+
+    100 TB: a per-row CASE + bounded explode — no shuffle, no state; the
+    natural way to materialize a DoReMi/epoch-weighted mixture as a flat
+    training corpus."""
+    r4096 = {s: int(round(r * _MIX_DENOM)) for s, r in rates.items()}
+    dflt = int(round(default_rate * _MIX_DENOM))
+    rate = None
+    for s, r in sorted(r4096.items()):
+        cond = F.col(source_col) == s
+        rate = F.when(cond, F.lit(r)) if rate is None else rate.when(cond, F.lit(r))
+    rate = F.lit(dflt) if rate is None else rate.otherwise(F.lit(dflt))
+    bucket = (
+        T.phash(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string")))
+        % _MIX_DENOM
+    )
+    n_copies = (rate / F.lit(_MIX_DENOM)).cast("int") + F.when(
+        bucket < rate % _MIX_DENOM, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(source_col).alias("source"),
+            n_copies.alias("_n"),
+        )
+        .where(F.col("_n") > 0)
+        .select(
+            "doc_id",
+            "source",
+            F.explode(F.sequence(F.lit(0), F.col("_n") - 1)).alias("_e"),
+        )
+        .select("doc_id", "source", F.col("_e").cast("int").alias("epoch"))
+    )
+
+
+def mixture_sample_sql(
+    table: str,
+    id_col: str,
+    source_col: str,
+    rates: dict[str, float],
+    default_rate: float = 1.0,
+    salt: str = "mix",
+) -> str:
+    r4096 = {s: int(round(r * _MIX_DENOM)) for s, r in rates.items()}
+    dflt = int(round(default_rate * _MIX_DENOM))
+    cases = " ".join(
+        f"WHEN {source_col} = '{s}' THEN {r}" for s, r in sorted(r4096.items())
+    )
+    rate = f"(CASE {cases} ELSE {dflt} END)" if cases else str(dflt)
+    bucket = T.phash_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)") + f" % {_MIX_DENOM}"
+    n = f"(CAST({rate} // {_MIX_DENOM} AS INT) + CASE WHEN ({bucket}) < {rate} % {_MIX_DENOM} THEN 1 ELSE 0 END)"
+    return f"""
+    SELECT doc_id, source, CAST(unnest(range(_n)) AS INT) AS epoch
+    FROM (
+      SELECT CAST({id_col} AS BIGINT) AS doc_id, {source_col} AS source,
+             {n} AS _n
+      FROM {table}
+    ) WHERE _n > 0
+    """

@@ -48,6 +48,9 @@ EMB_LSH_PLANES = 4
 SPAN_K = 8  # duplicated-span gram width (words)
 SEARCH_K = 10
 SEARCH_QUERIES = {1: ("spark", "window"), 2: ("customer", "join", "table")}
+# mixture/epoch rates: upsampled, default-1.0, downsampled, and dropped
+# sources all exercised (src names are stable across SFs in the fixture)
+MIXTURE_RATES = {"src0": 2.5, "src1": 2.0, "src2": 0.5, "src3": 0.25, "src19": 0.0}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -937,6 +940,68 @@ def build_catalog() -> dict[str, dict]:
         "ref": "inverted-index conjunctive search, tf-ranked top-k "
         "(map-side vocabulary filter; per-query window over matched "
         "docs only)",
+    }
+    cat["quality_classifier"] = {
+        "spark": lambda s, d: corpus.quality_classifier(
+            load(s, d, "documents"), "doc_id", "text"
+        ),
+        "sql": corpus.quality_classifier_sql("documents", "doc_id", "text"),
+        "ref": "hashed-bag-of-words linear quality classifier "
+        "(fastText/CCNet-style model gate; frozen integer weights, "
+        "one exactly-rounded final division)",
+    }
+    cat["mixture_sample"] = {
+        "spark": lambda s, d: corpus.mixture_sample(
+            load(s, d, "documents"), "doc_id", "source", MIXTURE_RATES
+        ),
+        "sql": corpus.mixture_sample_sql(
+            "documents", "doc_id", "source", MIXTURE_RATES
+        ),
+        "ref": "per-source mixture/epoch reweighting (DoReMi-style): "
+        "deterministic-hash fractional epochs, one row per training copy",
+    }
+    cat["pii_redaction"] = {
+        # Synthetic PII is injected into every 3rd document from doc_id
+        # (the corpus fixture has none), identically in both emitters, so
+        # the masking regexes are exercised on real positives AND on
+        # untouched documents (zero-count path).
+        "spark": lambda s, d: load(s, d, "documents")
+        .withColumn(
+            "_t",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.col("text"),
+                    F.lit(" contact user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@example.com or call 555-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.col("text")),
+        )
+        .select(
+            "doc_id",
+            T.pii_email_count(F.col("_t")).alias("n_emails"),
+            T.pii_phone_count(F.col("_t")).alias("n_phones"),
+            T.phash(T.pii_redact(F.col("_t"))).alias("redacted_hash"),
+        ),
+        "sql": f"""
+        SELECT doc_id,
+               {T.pii_email_count_sql('_t')} AS n_emails,
+               {T.pii_phone_count_sql('_t')} AS n_phones,
+               {T.phash_sql(T.pii_redact_sql('_t'))} AS redacted_hash
+        FROM (
+          SELECT doc_id,
+                 CASE WHEN doc_id % 3 = 0 THEN text || ' contact user'
+                      || CAST(doc_id AS VARCHAR) || '@example.com or call 555-'
+                      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                 ELSE text END AS _t
+          FROM documents
+        )
+        """,
+        "ref": "PII scrub stage: email/phone detection counts + masked-text "
+        "fingerprint (Java-regex/RE2 common-subset patterns, all-occurrence "
+        "replace in both engines)",
     }
 
     # --- text analysis (training-data ops) ---

@@ -474,3 +474,118 @@ def test_curation_pipeline_invariants(spark):
     for seq_id, grp in out.groupby(["split", "seq_id"]):
         fill = grp["len"].sum()
         assert fill <= 256 or len(grp) == 1
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier
+# ---------------------------------------------------------------------------
+
+
+def test_quality_classifier_bruteforce(docs):
+    w = corpus.classifier_weights()
+    out = {
+        r["doc_id"]: r
+        for r in corpus.quality_classifier(docs, "doc_id", "text").collect()
+    }
+    for row in docs.select("doc_id", "text").collect():
+        toks = _tokens(row["text"])
+        raw = sum(w[_phash(t) % corpus.QC_BUCKETS] for t in toks)
+        got = out[row["doc_id"]]
+        assert got["n_tokens"] == len(toks)
+        assert got["raw_score"] == raw
+        assert got["cls_score"] == raw / (8 * max(len(toks), 1))
+        assert got["keep"] == (raw >= 0)
+
+
+def test_quality_classifier_empty_text(spark):
+    d = spark.createDataFrame([(1, "!!! ???")], "doc_id long, text string")
+    row = corpus.quality_classifier(d, "doc_id", "text").collect()[0]
+    assert row["n_tokens"] == 0
+    assert row["raw_score"] == 0
+    assert row["cls_score"] == 0.0
+    assert row["keep"]
+
+
+# ---------------------------------------------------------------------------
+# mixture_sample
+# ---------------------------------------------------------------------------
+
+_RATES = {"a": 2.5, "b": 0.5, "c": 0.0}
+
+
+def _mix_copies(doc_id: int, rate: float) -> int:
+    r = int(round(rate * 4096))
+    bucket = _phash(f"mix:{doc_id}") % 4096
+    return r // 4096 + (1 if bucket < r % 4096 else 0)
+
+
+def test_mixture_sample_bruteforce(spark):
+    rows = [(i, "abcd"[i % 4]) for i in range(200)]  # 'd' takes the default
+    d = spark.createDataFrame(rows, "doc_id long, source string")
+    out = (
+        corpus.mixture_sample(d, "doc_id", "source", _RATES)
+        .groupBy("doc_id", "source")
+        .count()
+        .collect()
+    )
+    got = {r["doc_id"]: r["count"] for r in out}
+    for i, src in rows:
+        want = _mix_copies(i, _RATES.get(src, 1.0))
+        assert got.get(i, 0) == want, (i, src)
+    # epochs are 0..n-1 per doc
+    eps = (
+        corpus.mixture_sample(d, "doc_id", "source", _RATES)
+        .groupBy("doc_id")
+        .agg({"epoch": "min", "epoch": "max"})
+        .collect()
+    )
+    assert all(r[1] >= 0 for r in eps)
+
+
+def test_mixture_sample_stable_under_growth(spark):
+    small = spark.createDataFrame(
+        [(i, "a") for i in range(50)], "doc_id long, source string"
+    )
+    big = spark.createDataFrame(
+        [(i, "a") for i in range(150)], "doc_id long, source string"
+    )
+    f = lambda d: {
+        (r["doc_id"], r["epoch"])
+        for r in corpus.mixture_sample(d, "doc_id", "source", _RATES).collect()
+        if r["doc_id"] < 50
+    }
+    assert f(small) == f(big)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction functions
+# ---------------------------------------------------------------------------
+
+
+def test_pii_redact_masks_and_counts(spark):
+    from bayesianrecordlinkage_jl_spark.functions import text as T
+    from pyspark.sql import functions as F
+
+    d = spark.createDataFrame(
+        [
+            (1, "write to jane.doe+x@mail.example.org or call 555-0199 now"),
+            (2, "no pii here at all"),
+            (3, "two mails a@b.io c@d.net and 555-1234 555-9999"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r
+        for r in d.select(
+            "doc_id",
+            T.pii_email_count(F.col("text")).alias("ne"),
+            T.pii_phone_count(F.col("text")).alias("np"),
+            T.pii_redact(F.col("text")).alias("red"),
+        ).collect()
+    }
+    assert out[1]["ne"] == 1 and out[1]["np"] == 1
+    assert out[1]["red"] == "write to <EMAIL> or call <PHONE> now"
+    assert out[2]["ne"] == 0 and out[2]["np"] == 0
+    assert out[2]["red"] == "no pii here at all"
+    assert out[3]["ne"] == 2 and out[3]["np"] == 2
+    assert "@" not in out[3]["red"] and "555-" not in out[3]["red"]
