@@ -42,6 +42,9 @@ QUERIES = [
     "frequency_caps",
     "packed_sequences",
     "curation_pipeline",
+    "quality_classifier",
+    "mixture_sample",
+    "pii_redaction",
 ]
 
 
