@@ -233,6 +233,31 @@ def duplicated_span_stats_sql(
     """
 
 
+def split_column(id_col: str, splits: dict[str, int], salt: str = "split"):
+    """The split-name Column as a pure per-row function of the id (shared
+    by hash_split and any operator that filters by split without a join)."""
+    total = sum(splits.values())
+    expr = None
+    lo = 0
+    bucket = T.phash(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % total
+    for name, w in splits.items():
+        cond = bucket < F.lit(lo + w)
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+        lo += w
+    return expr
+
+
+def split_case_sql(id_col: str, splits: dict[str, int], salt: str = "split") -> str:
+    total = sum(splits.values())
+    bucket = T.phash_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)") + f" % {total}"
+    cases = []
+    lo = 0
+    for name, w in splits.items():
+        cases.append(f"WHEN ({bucket}) < {lo + w} THEN '{name}'")
+        lo += w
+    return f"CASE {' '.join(cases)} END"
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,
@@ -245,32 +270,18 @@ def hash_split(
     the id — stable across runs, partitionings and engines (phash is the
     shared 60-bit md5 hash), and growing the corpus never reassigns an
     existing id. splits e.g. {"train": 98, "val": 1, "test": 1}."""
-    total = sum(splits.values())
-    expr = None
-    lo = 0
-    bucket = T.phash(F.concat(F.lit(salt + ":"), F.col(id_col).cast("string"))) % total
-    for name, w in splits.items():
-        cond = bucket < F.lit(lo + w)
-        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
-        lo += w
     return df.select(
-        F.col(id_col).cast("long").alias("doc_id"), expr.alias("split")
+        F.col(id_col).cast("long").alias("doc_id"),
+        split_column(id_col, splits, salt).alias("split"),
     )
 
 
 def hash_split_sql(
     table: str, id_col: str, splits: dict[str, int], salt: str = "split"
 ) -> str:
-    total = sum(splits.values())
-    bucket = T.phash_sql(f"'{salt}:' || CAST({id_col} AS VARCHAR)") + f" % {total}"
-    cases = []
-    lo = 0
-    for name, w in splits.items():
-        cases.append(f"WHEN ({bucket}) < {lo + w} THEN '{name}'")
-        lo += w
     return f"""
     SELECT CAST({id_col} AS BIGINT) AS doc_id,
-           CASE {' '.join(cases)} END AS split
+           {split_case_sql(id_col, splits, salt)} AS split
     FROM {table}
     """
 
@@ -438,9 +449,11 @@ def contamination_flags_sql(
     bench_filter: str,
     k: int = 8,
     min_hits: int = 1,
+    corpus_filter: str = "TRUE",
 ) -> str:
     """DuckDB twin for the catalog case where the benchmark set is a
-    static filter over the same table."""
+    static filter over the same table (and, optionally, the flagged
+    corpus is another static filter — the split-decontamination case)."""
     grams = (
         f"list_transform({T.word_shingles_sql(text_col, k)}, "
         f"s -> {T.phash_sql('s')})"
@@ -448,12 +461,13 @@ def contamination_flags_sql(
     return f"""
     WITH hashed AS MATERIALIZED (
       SELECT CAST({id_col} AS BIGINT) AS doc_id, {grams} AS _gh,
-             ({bench_filter}) AS _is_bench
+             ({bench_filter}) AS _is_bench, ({corpus_filter}) AS _is_corpus
       FROM {table}
     ),
     bench_set AS (SELECT DISTINCT unnest(_gh) AS gh FROM hashed
                   WHERE _is_bench),
-    corpus_spans AS (SELECT doc_id, unnest(_gh) AS gh FROM hashed),
+    corpus_spans AS (SELECT doc_id, unnest(_gh) AS gh FROM hashed
+                     WHERE _is_corpus),
     hits AS (
       SELECT c.doc_id,
              CAST(sum(CASE WHEN b.gh IS NULL THEN 0 ELSE 1 END) AS BIGINT)
@@ -1150,3 +1164,106 @@ def mixture_sample_sql(
       FROM {table}
     ) WHERE _n > 0
     """
+
+
+# ---------------------------------------------------------------------------
+# vocabulary builder (tokenizer-training prep)
+# ---------------------------------------------------------------------------
+
+
+def vocabulary_topk(
+    df: DataFrame, id_col: str, text_col: str, k: int = 100
+) -> DataFrame:
+    """-> (term, tf bigint, df bigint, rank int): the top-k corpus
+    vocabulary by total term frequency (ties to the lexicographically
+    smaller term — total order), with document frequency alongside — the
+    aggregation a BPE/WordPiece tokenizer-training pass starts from.
+
+    Scale shape: reuses the inverted-postings aggregate (shuffle keyed by
+    near-uniform terms, partial map-side combine); the global top-k is
+    TakeOrderedAndProject (per-partition partial top-k merged on the
+    driver, never a full sort); the rank window runs on k rows only."""
+    stats = (
+        inverted_postings(df, id_col, text_col)
+        .groupBy("term")
+        .agg(
+            F.sum("tf").cast("long").alias("tf"),
+            F.count(F.lit(1)).cast("long").alias("df"),
+        )
+    )
+    topk = stats.orderBy(F.desc("tf"), F.asc("term")).limit(k)
+    w = Window.orderBy(F.desc("tf"), F.asc("term"))
+    return topk.withColumn("rank", F.row_number().over(w).cast("int"))
+
+
+def vocabulary_topk_sql(
+    table: str, id_col: str, text_col: str, k: int = 100
+) -> str:
+    return f"""
+    SELECT term, tf, df, CAST(row_number() OVER
+             (ORDER BY tf DESC, term ASC) AS INT) AS rank
+    FROM (
+      SELECT term, CAST(sum(tf) AS BIGINT) AS tf,
+             CAST(count(*) AS BIGINT) AS df
+      FROM (
+        SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+          SELECT CAST({id_col} AS BIGINT) AS doc_id,
+                 unnest({T.tokens_sql(text_col)}) AS term FROM {table}
+        ) GROUP BY term, doc_id
+      ) GROUP BY term
+    ) ORDER BY tf DESC, term ASC LIMIT {k}
+    """
+
+
+# ---------------------------------------------------------------------------
+# train/test split decontamination (leakage check across hash splits)
+# ---------------------------------------------------------------------------
+
+
+def split_decontamination(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    splits: dict[str, int],
+    train: str = "train",
+    test: str = "test",
+    k: int = 8,
+    min_hits: int = 1,
+    salt: str = "split",
+) -> DataFrame:
+    """-> (doc_id, n_hits bigint, contaminated boolean), one row per TRAIN
+    document: flags training documents that share a k-word span with any
+    held-out TEST document under the deterministic hash split — the
+    leakage audit run after splitting, before training.
+
+    Split membership is the pure per-row split_column function (no join
+    against a split table), so the whole operator is contamination_flags
+    over two filters of one scan."""
+    labeled = _spread(df, id_col).withColumn(
+        "_split", split_column(id_col, splits, salt)
+    )
+    return contamination_flags(
+        labeled.where(F.col("_split") == train), id_col, text_col,
+        labeled.where(F.col("_split") == test), id_col, text_col,
+        k=k, min_hits=min_hits,
+    )
+
+
+def split_decontamination_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    splits: dict[str, int],
+    train: str = "train",
+    test: str = "test",
+    k: int = 8,
+    min_hits: int = 1,
+    salt: str = "split",
+) -> str:
+    case = split_case_sql(id_col, splits, salt)
+    return contamination_flags_sql(
+        table, id_col, text_col,
+        bench_filter=f"({case}) = '{test}'",
+        k=k, min_hits=min_hits,
+        corpus_filter=f"({case}) = '{train}'",
+    )

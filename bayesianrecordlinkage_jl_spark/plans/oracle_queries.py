@@ -51,6 +51,10 @@ SEARCH_QUERIES = {1: ("spark", "window"), 2: ("customer", "join", "table")}
 # mixture/epoch rates: upsampled, default-1.0, downsampled, and dropped
 # sources all exercised (src names are stable across SFs in the fixture)
 MIXTURE_RATES = {"src0": 2.5, "src1": 2.0, "src2": 0.5, "src3": 0.25, "src19": 0.0}
+VOCAB_K = 50
+# 80/10/10 + SPAN_K gives real cross-split span collisions at sf0.01
+# (near-dup planted docs landing on opposite sides of the hash split)
+DECON_SPLITS = {"train": 80, "val": 10, "test": 10}
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -940,6 +944,27 @@ def build_catalog() -> dict[str, dict]:
         "ref": "inverted-index conjunctive search, tf-ranked top-k "
         "(map-side vocabulary filter; per-query window over matched "
         "docs only)",
+    }
+    cat["vocabulary_topk"] = {
+        "spark": lambda s, d: corpus.vocabulary_topk(
+            load(s, d, "documents"), "doc_id", "text", k=VOCAB_K
+        ),
+        "sql": corpus.vocabulary_topk_sql("documents", "doc_id", "text", k=VOCAB_K),
+        "ref": "corpus vocabulary top-k by term frequency with document "
+        "frequency (tokenizer-training prep; TakeOrdered partial top-k, "
+        "never a full sort)",
+    }
+    cat["split_decontamination"] = {
+        "spark": lambda s, d: corpus.split_decontamination(
+            load(s, d, "documents"), "doc_id", "text",
+            DECON_SPLITS, k=SPAN_K, min_hits=1,
+        ),
+        "sql": corpus.split_decontamination_sql(
+            "documents", "doc_id", "text", DECON_SPLITS, k=SPAN_K, min_hits=1
+        ),
+        "ref": "train/test leakage audit: flags TRAIN docs sharing k-word "
+        "spans with held-out TEST docs under the deterministic hash split "
+        "(split membership is a per-row function — no split-table join)",
     }
     cat["quality_classifier"] = {
         "spark": lambda s, d: corpus.quality_classifier(

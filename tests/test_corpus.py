@@ -589,3 +589,58 @@ def test_pii_redact_masks_and_counts(spark):
     assert out[2]["red"] == "no pii here at all"
     assert out[3]["ne"] == 2 and out[3]["np"] == 2
     assert "@" not in out[3]["red"] and "555-" not in out[3]["red"]
+
+
+# ---------------------------------------------------------------------------
+# vocabulary_topk
+# ---------------------------------------------------------------------------
+
+
+def test_vocabulary_topk_bruteforce(docs):
+    from collections import Counter
+
+    tf, df_ = Counter(), Counter()
+    for row in docs.select("text").collect():
+        toks = _tokens(row["text"])
+        tf.update(toks)
+        df_.update(set(toks))
+    want = sorted(tf, key=lambda t: (-tf[t], t))[:5]
+    got = corpus.vocabulary_topk(docs, "doc_id", "text", k=5).collect()
+    got = sorted(got, key=lambda r: r["rank"])
+    assert [r["term"] for r in got] == want
+    for r in got:
+        assert r["tf"] == tf[r["term"]]
+        assert r["df"] == df_[r["term"]]
+    assert [r["rank"] for r in got] == list(range(1, len(got) + 1))
+
+
+# ---------------------------------------------------------------------------
+# split_decontamination
+# ---------------------------------------------------------------------------
+
+
+def test_split_decontamination_bruteforce(docs):
+    splits = {"train": 1, "test": 1}  # 50/50 so collisions are plentiful
+    k = 3
+
+    def split_of(i: int) -> str:
+        return "train" if _phash(f"split:{i}") % 2 == 0 else "test"
+
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    test_spans = set()
+    for i, t in rows.items():
+        if split_of(i) == "test":
+            test_spans.update(_grams(t, k))
+    want = {}
+    for i, t in rows.items():
+        if split_of(i) == "train":
+            hits = sum(1 for g in _grams(t, k) if g in test_spans)
+            want[i] = (hits, hits >= 1)
+    got = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in corpus.split_decontamination(
+            docs, "doc_id", "text", splits, k=k
+        ).collect()
+    }
+    assert got == want
+    assert any(v[1] for v in want.values())  # the fixture must exercise hits

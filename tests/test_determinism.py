@@ -45,6 +45,8 @@ QUERIES = [
     "quality_classifier",
     "mixture_sample",
     "pii_redaction",
+    "vocabulary_topk",
+    "split_decontamination",
 ]
 
 
