@@ -1,0 +1,274 @@
+"""Web link-graph operators: href extraction, host-graph aggregation, and
+fixed-point integer PageRank.
+
+The crawl-side complement to the record-linkage pipeline: a Common-Crawl
+style corpus is a *graph* (pages link to hosts), and host-level authority
+scores (PageRank) are a standard quality / crawl-prioritization signal in
+web-scale training-data pipelines (cf. the host ranks shipped with Common
+Crawl's public crawl metadata). The reference has no graph operators beyond
+connected components (src/clustering_functions.jl); PageRank extends the
+same iterative-join family to a weighted, damped recurrence.
+
+Because the sandbox testdata has no hyperlink column, the html wrap is
+derived deterministically from the `documents` table in BOTH engines (the
+same trick `pages_extract_text` uses): each doc gets a <nav> block of
+1..MAX_OUT hrefs whose target hosts are md5-derived (skewed toward low host
+ids via a modulus-of-modulus draw, so hot hosts exist and the aggregation
+sees real skew). Extraction itself is the honest operator: a pure-Catalyst
+`regexp_extract_all` over the html string, mirrored by DuckDB's RE2
+`regexp_extract_all` (Java/RE2 common-subset pattern, same discipline as
+the PII regexes).
+
+PageRank is computed in FIXED-POINT INTEGER arithmetic so the oracle is
+bit-strict and the result is partitioning-invariant:
+
+  r0(h)  = RANK_SCALE                       (one million, per host)
+  c(e)   = (r(src) * w(e)) div outw(src)    (integer floor division)
+  r'(h)  = BASE_FP + (85 * sum c) div 100   (damping 0.85, integer)
+
+Integer sums are order-independent, so no float-association pinning is
+needed anywhere. Divergence from textbook PageRank (documented semantics):
+dangling-host mass is dropped, not redistributed — total mass is therefore
+not conserved, but ordering/magnitudes behave normally and every value is
+reproducible to the last bit in both engines.
+
+Scale shape (100 TB / 10^8 hosts): `extract_links` is a pure projection
+(no shuffle). `host_link_graph` is one map-side-combined aggregation keyed
+by (src_host, dst_host). PageRank iterations join edges→ranks on src_host
+then aggregate on dst_host: edges are materialized ONCE (localCheckpoint —
+they are consumed 2×iterations times) and stay hash-partitioned by
+src_host so every iteration reuses the same exchange; the per-iteration
+shuffle moves only |hosts| rank rows plus the dst-keyed partial sums,
+never the corpus. At 10^8 hosts the rank table is a normal shuffle join
+(too big to broadcast); AQE handles hot dst hosts (the skew is on the
+aggregate side, which partial-aggregates map-side first).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.text import phash, phash_sql
+
+N_HOSTS = 40      # host-universe cap (modulus-of-modulus skews toward 0)
+MAX_OUT = 3       # 1..MAX_OUT outlinks per document
+RANK_SCALE = 1_000_000
+BASE_FP = 150_000          # RANK_SCALE * (1 - damping)
+DAMP_NUM, DAMP_DEN = 85, 100  # damping 0.85 as an exact integer ratio
+PAGERANK_ITERS = 4
+
+HREF_RE = '<a href="([^"]+)"'
+HOST_RE = "https://([^/]+)/"
+
+_NAV_OPEN = '<html><head><title>d</title></head><body><nav>'
+_NAV_CLOSE = "</nav><article>"
+_TAIL = "</article></body></html>"
+
+
+# --- shared deterministic derivations (Spark Column + SQL string twins) ----
+
+
+def _hp(salt: str, *cols: Column) -> Column:
+    return phash(F.concat_ws(":", F.lit(salt), *[c.cast("string") for c in cols]))
+
+
+def _hp_sql(salt: str, *exprs: str) -> str:
+    joined = " || ':' || ".join(f"CAST({e} AS VARCHAR)" for e in exprs)
+    return phash_sql(f"'{salt}:' || {joined}")
+
+
+def _skewed_host(salt: str, *keys) -> Column:
+    """Host id in [0, N_HOSTS], harmonically skewed toward low ids."""
+    cols = [k if isinstance(k, Column) else F.lit(k) for k in keys]
+    h1 = _hp(f"lg:{salt}:a", *cols)
+    h2 = _hp(f"lg:{salt}:b", *cols)
+    return h1 % (1 + (h2 % N_HOSTS))
+
+
+def _skewed_host_sql(salt: str, *keys: str) -> str:
+    h1 = _hp_sql(f"lg:{salt}:a", *keys)
+    h2 = _hp_sql(f"lg:{salt}:b", *keys)
+    return f"(({h1}) % (1 + (({h2}) % {N_HOSTS})))"
+
+
+def page_host(id_col: str) -> Column:
+    """Deterministic host of the page itself (skewed like the targets)."""
+    hid = _skewed_host("self", F.col(id_col))
+    return F.concat(F.lit("host"), hid.cast("string"), F.lit(".example.org"))
+
+
+def page_host_sql(id_col: str) -> str:
+    hid = _skewed_host_sql("self", id_col)
+    return f"('host' || CAST({hid} AS VARCHAR) || '.example.org')"
+
+
+def wrapped_html(id_col: str, text_col: str) -> Column:
+    """documents row -> html string with a deterministic <nav> of hrefs.
+
+    Unrolled per-slot CASEs (MAX_OUT is a compile-time constant), per the
+    repo's Catalyst lore: literal unrolled expressions beat lambda forms."""
+    idc = F.col(id_col)
+    n_out = 1 + (_hp("lg:n", idc) % MAX_OUT)
+    parts = [F.lit(_NAV_OPEN)]
+    for i in range(1, MAX_OUT + 1):
+        tgt = _skewed_host("t", idc, F.lit(i))
+        anchor = F.concat(
+            F.lit('<a href="https://host'),
+            tgt.cast("string"),
+            F.lit(".example.org/p/"),
+            idc.cast("string"),
+            F.lit('">x</a>'),
+        )
+        parts.append(F.when(F.lit(i) <= n_out, anchor).otherwise(F.lit("")))
+    parts += [F.lit(_NAV_CLOSE), F.col(text_col), F.lit(_TAIL)]
+    return F.concat(*parts)
+
+
+def wrapped_html_sql(id_col: str, text_col: str) -> str:
+    n_out = f"(1 + (({_hp_sql('lg:n', id_col)}) % {MAX_OUT}))"
+    parts = [f"'{_NAV_OPEN}'"]
+    for i in range(1, MAX_OUT + 1):
+        tgt = _skewed_host_sql("t", id_col, str(i))
+        anchor = (
+            f"('<a href=\"https://host' || CAST({tgt} AS VARCHAR)"
+            f" || '.example.org/p/' || CAST({id_col} AS VARCHAR)"
+            f" || '\">x</a>')"
+        )
+        parts.append(f"CASE WHEN {i} <= {n_out} THEN {anchor} ELSE '' END")
+    parts += [f"'{_NAV_CLOSE}'", text_col, f"'{_TAIL}'"]
+    return "(" + " || ".join(parts) + ")"
+
+
+# --- operators -------------------------------------------------------------
+
+
+def extract_links(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """-> (doc_id bigint, pos int, src_host, href): every outbound href of
+    every document, in document order. Pure projection + posexplode — no
+    shuffle; the regex runs once per document inside codegen."""
+    d = df.select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        page_host(id_col).alias("src_host"),
+        F.regexp_extract_all(
+            wrapped_html(id_col, text_col), F.lit(HREF_RE), F.lit(1)
+        ).alias("hrefs"),
+    )
+    return d.select(
+        "doc_id",
+        F.posexplode("hrefs").alias("pos", "href"),
+        "src_host",
+    ).select("doc_id", F.col("pos").cast("int").alias("pos"), "src_host", "href")
+
+
+def extract_links_sql(table: str, id_col: str, text_col: str) -> str:
+    html = wrapped_html_sql(id_col, text_col)
+    return f"""
+    SELECT doc_id, CAST(i - 1 AS INT) AS pos, src_host, hrefs[i] AS href
+    FROM (
+      SELECT CAST({id_col} AS BIGINT) AS doc_id,
+             {page_host_sql(id_col)} AS src_host,
+             regexp_extract_all({html}, '{HREF_RE}', 1) AS hrefs
+      FROM {table}
+    ), unnest(range(1, len(hrefs) + 1)) AS u(i)
+    """
+
+
+def host_link_graph(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """-> (src_host, dst_host, n_links bigint): the host-level link graph.
+    One map-side-combined aggregation; self-loop edges are kept (a host
+    linking to itself is a normal edge for the PageRank recurrence)."""
+    links = extract_links(df, id_col, text_col)
+    return (
+        links.withColumn(
+            "dst_host", F.regexp_extract(F.col("href"), HOST_RE, 1)
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_links"))
+    )
+
+
+def host_link_graph_sql(table: str, id_col: str, text_col: str) -> str:
+    return f"""
+    SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+    FROM (
+      SELECT src_host, regexp_extract(href, '{HOST_RE}', 1) AS dst_host
+      FROM ({extract_links_sql(table, id_col, text_col)})
+    ) GROUP BY src_host, dst_host
+    """
+
+
+def pagerank_hosts(
+    edges: DataFrame, iterations: int = PAGERANK_ITERS
+) -> DataFrame:
+    """edges(src_host, dst_host, n_links) -> (host, rank_fp bigint).
+
+    Fixed-point integer PageRank (see module docstring for the exact
+    recurrence and the dangling-mass semantics). `div` on positive longs
+    truncates == floors, matching DuckDB's `//`. Edges are materialized
+    once and consumed 2x per iteration (contribution join + nothing else —
+    nodes/outw are derived from the same checkpoint)."""
+    edges = edges.localCheckpoint()
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    outw = edges.groupBy("src_host").agg(
+        F.sum("n_links").cast("long").alias("outw")
+    )
+    wedges = edges.join(outw, "src_host")
+    ranks = nodes.withColumn("rank_fp", F.lit(RANK_SCALE).cast("long"))
+    for _ in range(iterations):
+        contrib = (
+            wedges.join(ranks, wedges["src_host"] == ranks["host"])
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr("(rank_fp * n_links) div outw").alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        ranks = nodes.join(contrib, "host", "left").select(
+            "host",
+            (
+                F.lit(BASE_FP)
+                + F.expr(
+                    f"({DAMP_NUM} * coalesce(s, CAST(0 AS BIGINT))) div {DAMP_DEN}"
+                )
+            ).cast("long").alias("rank_fp"),
+        )
+    return ranks
+
+
+def pagerank_hosts_sql(
+    table: str, id_col: str, text_col: str, iterations: int = PAGERANK_ITERS
+) -> str:
+    """Chained-CTE oracle: r0 -> r1 -> ... -> r<iterations>, same integer
+    recurrence (DuckDB `//` floors; all values positive)."""
+    ctes = [
+        f"""edges AS ({host_link_graph_sql(table, id_col, text_col)})""",
+        """nodes AS (
+          SELECT DISTINCT host FROM (
+            SELECT src_host AS host FROM edges
+            UNION ALL SELECT dst_host AS host FROM edges))""",
+        """outw AS (
+          SELECT src_host, CAST(sum(n_links) AS BIGINT) AS outw
+          FROM edges GROUP BY src_host)""",
+        f"""r0 AS (SELECT host, CAST({RANK_SCALE} AS BIGINT) AS rank_fp
+                   FROM nodes)""",
+    ]
+    for it in range(1, iterations + 1):
+        prev = f"r{it - 1}"
+        ctes.append(f"""r{it} AS (
+          SELECT n.host,
+                 CAST({BASE_FP} + ({DAMP_NUM} * COALESCE(c.s, 0)) // {DAMP_DEN}
+                      AS BIGINT) AS rank_fp
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst_host AS host,
+                   CAST(sum((r.rank_fp * e.n_links) // o.outw) AS BIGINT) AS s
+            FROM edges e
+            JOIN {prev} r ON e.src_host = r.host
+            JOIN outw o ON e.src_host = o.src_host
+            GROUP BY e.dst_host) c ON n.host = c.host)""")
+    body = ",\n    ".join(ctes)
+    return f"WITH {body}\n    SELECT host, rank_fp FROM r{iterations}"

@@ -20,7 +20,7 @@ from ..functions import comparators as C
 from ..functions import text as T
 from ..functions import weights as W
 from ..functions.text import phash
-from ..operators import corpus, dedup, similarity
+from ..operators import corpus, dedup, linkgraph, similarity
 from ..operators.comparison_summary import distinct_vectors, marginal_counts
 
 # ---------------------------------------------------------------------------
@@ -1027,6 +1027,37 @@ def build_catalog() -> dict[str, dict]:
         "ref": "PII scrub stage: email/phone detection counts + masked-text "
         "fingerprint (Java-regex/RE2 common-subset patterns, all-occurrence "
         "replace in both engines)",
+    }
+
+    # --- web link graph (operators/linkgraph.py): href extraction, host
+    # graph, fixed-point integer PageRank. The html wrap is derived from
+    # `documents` identically in both engines (same trick as
+    # pages_extract_text); extraction/aggregation/recurrence are the honest
+    # operators. All-integer arithmetic -> bit-strict oracle. ---
+    cat["extract_links"] = {
+        "spark": lambda s, d: linkgraph.extract_links(
+            load(s, d, "documents"), "doc_id", "text"
+        ),
+        "sql": linkgraph.extract_links_sql("documents", "doc_id", "text"),
+        "ref": "crawl-side href extraction (regexp_extract_all over html; "
+        "pure projection, no shuffle)",
+    }
+    cat["host_link_graph"] = {
+        "spark": lambda s, d: linkgraph.host_link_graph(
+            load(s, d, "documents"), "doc_id", "text"
+        ),
+        "sql": linkgraph.host_link_graph_sql("documents", "doc_id", "text"),
+        "ref": "host-level weighted link graph (one map-side-combined agg; "
+        "Zipf-skewed hosts exercise hot keys)",
+    }
+    cat["pagerank_hosts"] = {
+        "spark": lambda s, d: linkgraph.pagerank_hosts(
+            linkgraph.host_link_graph(load(s, d, "documents"), "doc_id", "text")
+        ),
+        "sql": linkgraph.pagerank_hosts_sql("documents", "doc_id", "text"),
+        "ref": "fixed-point integer PageRank over the host graph "
+        "(iterative-join family beyond the reference's CC; chained-CTE "
+        "oracle, dangling mass dropped by documented design)",
     }
 
     # --- text analysis (training-data ops) ---

@@ -47,6 +47,9 @@ QUERIES = [
     "pii_redaction",
     "vocabulary_topk",
     "split_decontamination",
+    "extract_links",
+    "host_link_graph",
+    "pagerank_hosts",
 ]
 
 

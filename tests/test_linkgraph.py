@@ -1,0 +1,132 @@
+"""Link-graph operators vs pure-Python brute-force replicas (exact
+integer equality everywhere — the ops are all-integer by design)."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from bayesianrecordlinkage_jl_spark.operators import linkgraph as LG
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ph(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _skewed(salt: str, *keys) -> int:
+    key = ":".join(str(k) for k in keys)
+    h1 = _ph(f"lg:{salt}:a:{key}")
+    h2 = _ph(f"lg:{salt}:b:{key}")
+    return h1 % (1 + (h2 % LG.N_HOSTS))
+
+
+def _expected_links(docs: pd.DataFrame) -> list[tuple]:
+    out = []
+    for doc_id in docs["doc_id"]:
+        doc_id = int(doc_id)
+        src = f"host{_skewed('self', doc_id)}.example.org"
+        n_out = 1 + (_ph(f"lg:n:{doc_id}") % LG.MAX_OUT)
+        for pos, i in enumerate(range(1, n_out + 1)):
+            tgt = _skewed("t", doc_id, i)
+            href = f"https://host{tgt}.example.org/p/{doc_id}"
+            out.append((doc_id, pos, src, href))
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_pdf(spark):
+    return (
+        spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "text")
+        .toPandas()
+    )
+
+
+def test_extract_links_matches_replica(spark, docs_pdf):
+    got = (
+        LG.extract_links(
+            spark.read.parquet(f"{SF}/documents.parquet"), "doc_id", "text"
+        )
+        .toPandas()
+        .sort_values(["doc_id", "pos"], ignore_index=True)
+    )
+    exp = pd.DataFrame(
+        sorted(_expected_links(docs_pdf)),
+        columns=["doc_id", "pos", "src_host", "href"],
+    )
+    pd.testing.assert_frame_equal(
+        got.astype({"doc_id": "int64", "pos": "int64"}),
+        exp.astype({"doc_id": "int64", "pos": "int64"}),
+    )
+
+
+def _replica_pagerank(edges: dict, iterations: int) -> dict:
+    nodes = set()
+    outw: dict = {}
+    for (s, d), w in edges.items():
+        nodes.update((s, d))
+        outw[s] = outw.get(s, 0) + w
+    r = {h: LG.RANK_SCALE for h in nodes}
+    for _ in range(iterations):
+        s_in: dict = {}
+        for (s, d), w in edges.items():
+            s_in[d] = s_in.get(d, 0) + (r[s] * w) // outw[s]
+        r = {
+            h: LG.BASE_FP + (LG.DAMP_NUM * s_in.get(h, 0)) // LG.DAMP_DEN
+            for h in nodes
+        }
+    return r
+
+
+def test_pagerank_matches_replica(spark, docs_pdf):
+    edges: dict = {}
+    for doc_id, _pos, src, href in _expected_links(docs_pdf):
+        dst = href.split("https://")[1].split("/")[0]
+        edges[(src, dst)] = edges.get((src, dst), 0) + 1
+    exp = _replica_pagerank(edges, LG.PAGERANK_ITERS)
+
+    graph = LG.host_link_graph(
+        spark.read.parquet(f"{SF}/documents.parquet"), "doc_id", "text"
+    )
+    got = {
+        r["host"]: r["rank_fp"] for r in LG.pagerank_hosts(graph).collect()
+    }
+    assert got == exp
+    # skew sanity: the modulus-of-modulus draw concentrates mass on host0
+    assert max(exp, key=exp.get) == "host0.example.org"
+
+
+def test_pagerank_dangling_and_base(spark):
+    # a -> b only: b is dangling. After 1 iter: b gets the full damped mass
+    # of a; a keeps only the base (dangling mass dropped by design).
+    edges = spark.createDataFrame(
+        [("a", "b", 1)], "src_host string, dst_host string, n_links long"
+    )
+    got = {
+        r["host"]: r["rank_fp"]
+        for r in LG.pagerank_hosts(edges, iterations=1).collect()
+    }
+    assert got == {
+        "a": LG.BASE_FP,
+        "b": LG.BASE_FP + (LG.DAMP_NUM * LG.RANK_SCALE) // LG.DAMP_DEN,
+    }
+
+
+def test_pagerank_weighted_split(spark):
+    # a -> b (3 links), a -> c (1 link): contributions floor-split 3:1.
+    edges = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1)],
+        "src_host string, dst_host string, n_links long",
+    )
+    got = {
+        r["host"]: r["rank_fp"]
+        for r in LG.pagerank_hosts(edges, iterations=1).collect()
+    }
+    cb = (LG.RANK_SCALE * 3) // 4
+    cc = (LG.RANK_SCALE * 1) // 4
+    assert got["b"] == LG.BASE_FP + (LG.DAMP_NUM * cb) // LG.DAMP_DEN
+    assert got["c"] == LG.BASE_FP + (LG.DAMP_NUM * cc) // LG.DAMP_DEN
