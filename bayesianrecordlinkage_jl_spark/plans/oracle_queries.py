@@ -20,7 +20,7 @@ from ..functions import comparators as C
 from ..functions import text as T
 from ..functions import weights as W
 from ..functions.text import phash
-from ..operators import corpus, dedup, linkgraph, similarity
+from ..operators import corpus, dedup, linkgraph, similarity, sketches
 from ..operators.comparison_summary import distinct_vectors, marginal_counts
 
 # ---------------------------------------------------------------------------
@@ -1027,6 +1027,20 @@ def build_catalog() -> dict[str, dict]:
         "ref": "PII scrub stage: email/phone detection counts + masked-text "
         "fingerprint (Java-regex/RE2 common-subset patterns, all-occurrence "
         "replace in both engines)",
+    }
+
+    # --- cardinality sketches (operators/sketches.py): HLL + KMV over
+    # span hashes, all-integer register state, frozen-literal estimators —
+    # the cross-checkable alternative to approx_count_distinct. ---
+    cat["span_sketches"] = {
+        "spark": lambda s, d: sketches.span_cardinality_sketches(
+            load(s, d, "documents"), "source", "text"
+        ),
+        "sql": sketches.span_cardinality_sketches_sql(
+            "documents", "source", "text"
+        ),
+        "ref": "distinct-cardinality telemetry (HLL m=256 + KMV k=64 over "
+        "8-word span hashes; bit-strict integer sketch state)",
     }
 
     # --- web link graph (operators/linkgraph.py): href extraction, host

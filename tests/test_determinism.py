@@ -50,6 +50,7 @@ QUERIES = [
     "extract_links",
     "host_link_graph",
     "pagerank_hosts",
+    "span_sketches",
 ]
 
 
