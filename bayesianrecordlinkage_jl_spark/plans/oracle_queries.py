@@ -20,7 +20,7 @@ from ..functions import comparators as C
 from ..functions import text as T
 from ..functions import weights as W
 from ..functions.text import phash
-from ..operators import corpus, dedup, linkgraph, similarity, sketches
+from ..operators import corpus, crawl, dedup, linkgraph, similarity, sketches
 from ..operators.comparison_summary import distinct_vectors, marginal_counts
 
 # ---------------------------------------------------------------------------
@@ -1027,6 +1027,43 @@ def build_catalog() -> dict[str, dict]:
         "ref": "PII scrub stage: email/phone detection counts + masked-text "
         "fingerprint (Java-regex/RE2 common-subset patterns, all-occurrence "
         "replace in both engines)",
+    }
+
+    # --- crawl URL surface (operators/crawl.py): canonicalization +
+    # latest-snapshot dedup over a deterministic messy-URL fixture derived
+    # from documents in both engines (~150 logical pages re-crawled). ---
+    cat["url_canonical"] = {
+        "spark": lambda s, d: load(s, d, "documents").select(
+            "doc_id",
+            crawl.messy_url("doc_id").alias("url_raw"),
+            crawl.url_normalize(crawl.messy_url("doc_id")).alias("url_canon"),
+        ),
+        "sql": f"""
+        SELECT doc_id, {crawl.messy_url_sql('doc_id')} AS url_raw,
+               {crawl.url_normalize_sql(crawl.messy_url_sql('doc_id'))}
+                 AS url_canon
+        FROM documents
+        """,
+        "ref": "URL canonicalization (scheme/host case, default ports, "
+        "www, dup slashes, utm_* params, fragments; pure Catalyst, "
+        "Java/RE2 common-subset regexes)",
+    }
+    cat["latest_snapshots"] = {
+        "spark": lambda s, d: crawl.latest_snapshot(
+            load(s, d, "documents").select(
+                "doc_id",
+                crawl.messy_url("doc_id").alias("url_raw"),
+                crawl.crawl_ts_epoch("doc_id").alias("ts"),
+            ),
+            "url_raw", "ts", "doc_id",
+        ),
+        "sql": crawl.latest_snapshot_sql(
+            f"""(SELECT doc_id, {crawl.messy_url_sql('doc_id')} AS url_raw,
+                 {crawl.crawl_ts_epoch_sql('doc_id')} AS ts FROM documents)""",
+            "url_raw", "ts", "doc_id",
+        ),
+        "ref": "re-crawl dedup: newest snapshot per canonical url "
+        "(struct-MAX aggregate, mutual_best pattern; window-form oracle)",
     }
 
     # --- cardinality sketches (operators/sketches.py): HLL + KMV over

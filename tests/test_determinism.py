@@ -51,6 +51,8 @@ QUERIES = [
     "host_link_graph",
     "pagerank_hosts",
     "span_sketches",
+    "url_canonical",
+    "latest_snapshots",
 ]
 
 
