@@ -240,6 +240,90 @@ def pagerank_hosts(
     return ranks
 
 
+MAX_FANOUT = 30  # co-citation super-spreader cap (distinct dsts per src)
+
+
+def host_cocitation(
+    edges: DataFrame, max_fanout: int = MAX_FANOUT
+) -> DataFrame:
+    """edges(src_host, dst_host, n_links) -> (host_a, host_b, n_common,
+    deg_a, deg_b, jaccard): hosts co-cited by the same sources, with the
+    Jaccard of their distinct-citer sets (host_a < host_b — total order).
+
+    The quadratic blow-up of a co-occurrence self-join lives entirely in
+    super-spreader sources (a src citing f hosts emits C(f,2) pairs), so
+    srcs with distinct fan-out > max_fanout are EXCLUDED before pairing —
+    the standard stop-word cap of co-occurrence mining: per-src work is
+    bounded at C(max_fanout, 2) regardless of skew, and a near-universal
+    citer carries no similarity signal anyway. Degrees (and therefore the
+    Jaccard denominator) are computed over the SAME capped citer set, so
+    the score stays a true Jaccard of the sets actually paired. The score
+    is one exact-integer IEEE division — bit-portable."""
+    cites = edges.select("src_host", "dst_host").distinct()
+    fan = cites.groupBy("src_host").agg(
+        F.count(F.lit(1)).alias("_fan")
+    )
+    kept = cites.join(
+        fan.where(F.col("_fan") <= max_fanout).select("src_host"),
+        on="src_host",
+        how="left_semi",
+    ).localCheckpoint()  # consumed 3x: pair join (2 sides) + degrees
+    deg = kept.groupBy("dst_host").agg(
+        F.count(F.lit(1)).cast("long").alias("deg")
+    )
+    a = kept.select("src_host", F.col("dst_host").alias("host_a"))
+    b = kept.select("src_host", F.col("dst_host").alias("host_b"))
+    pairs = (
+        a.join(b, on="src_host")
+        .where(F.col("host_a") < F.col("host_b"))
+        .groupBy("host_a", "host_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    return (
+        pairs.join(deg.withColumnRenamed("dst_host", "host_a")
+                      .withColumnRenamed("deg", "deg_a"), on="host_a")
+        .join(deg.withColumnRenamed("dst_host", "host_b")
+                 .withColumnRenamed("deg", "deg_b"), on="host_b")
+        .select(
+            "host_a", "host_b", "n_common", "deg_a", "deg_b",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("deg_a") + F.col("deg_b") - F.col("n_common")).cast("double")
+            ).alias("jaccard"),
+        )
+    )
+
+
+def host_cocitation_sql(
+    table: str, id_col: str, text_col: str, max_fanout: int = MAX_FANOUT
+) -> str:
+    return f"""
+    WITH edges AS ({host_link_graph_sql(table, id_col, text_col)}),
+    cites AS (SELECT DISTINCT src_host, dst_host FROM edges),
+    kept AS (
+      SELECT src_host, dst_host FROM cites
+      WHERE src_host IN (
+        SELECT src_host FROM cites GROUP BY src_host
+        HAVING count(*) <= {max_fanout})
+    ),
+    deg AS (SELECT dst_host, CAST(count(*) AS BIGINT) AS deg
+            FROM kept GROUP BY dst_host),
+    pairs AS (
+      SELECT a.dst_host AS host_a, b.dst_host AS host_b,
+             CAST(count(*) AS BIGINT) AS n_common
+      FROM kept a JOIN kept b ON a.src_host = b.src_host
+      WHERE a.dst_host < b.dst_host
+      GROUP BY a.dst_host, b.dst_host
+    )
+    SELECT host_a, host_b, n_common, da.deg AS deg_a, db.deg AS deg_b,
+           CAST(n_common AS DOUBLE)
+             / CAST(da.deg + db.deg - n_common AS DOUBLE) AS jaccard
+    FROM pairs
+    JOIN deg da ON pairs.host_a = da.dst_host
+    JOIN deg db ON pairs.host_b = db.dst_host
+    """
+
+
 def pagerank_hosts_sql(
     table: str, id_col: str, text_col: str, iterations: int = PAGERANK_ITERS
 ) -> str:

@@ -1101,6 +1101,15 @@ def build_catalog() -> dict[str, dict]:
         "ref": "host-level weighted link graph (one map-side-combined agg; "
         "Zipf-skewed hosts exercise hot keys)",
     }
+    cat["host_cocitation"] = {
+        "spark": lambda s, d: linkgraph.host_cocitation(
+            linkgraph.host_link_graph(load(s, d, "documents"), "doc_id", "text")
+        ),
+        "sql": linkgraph.host_cocitation_sql("documents", "doc_id", "text"),
+        "ref": "co-citation similarity (skew-capped co-occurrence self-join; "
+        "super-spreader srcs excluded before pairing — per-src work bounded "
+        "at C(max_fanout,2); exact-integer Jaccard)",
+    }
     cat["pagerank_hosts"] = {
         "spark": lambda s, d: linkgraph.pagerank_hosts(
             linkgraph.host_link_graph(load(s, d, "documents"), "doc_id", "text")

@@ -53,6 +53,7 @@ QUERIES = [
     "span_sketches",
     "url_canonical",
     "latest_snapshots",
+    "host_cocitation",
 ]
 
 

@@ -100,6 +100,40 @@ def test_pagerank_matches_replica(spark, docs_pdf):
     assert max(exp, key=exp.get) == "host0.example.org"
 
 
+def test_cocitation_matches_replica_and_cap_is_live(spark, docs_pdf):
+    cites: dict = {}
+    for _doc, _pos, src, href in _expected_links(docs_pdf):
+        dst = href.split("https://")[1].split("/")[0]
+        cites.setdefault(src, set()).add(dst)
+    # pick a cap that splits this fixture so BOTH paths are exercised
+    fanouts = sorted(len(ds) for ds in cites.values())
+    cap = fanouts[len(fanouts) // 2]
+    capped = {s for s, ds in cites.items() if len(ds) > cap}
+    kept = {s: ds for s, ds in cites.items() if s not in capped}
+    assert capped and kept
+    deg: dict = {}
+    for ds in kept.values():
+        for d in ds:
+            deg[d] = deg.get(d, 0) + 1
+    exp = {}
+    for ds in kept.values():
+        for a in ds:
+            for b in ds:
+                if a < b:
+                    exp[(a, b)] = exp.get((a, b), 0) + 1
+    graph = LG.host_link_graph(
+        spark.read.parquet(f"{SF}/documents.parquet"), "doc_id", "text"
+    )
+    rows = LG.host_cocitation(graph, max_fanout=cap).collect()
+    got = {(r["host_a"], r["host_b"]): r for r in rows}
+    assert set(got) == set(exp)
+    for k, n in exp.items():
+        r = got[k]
+        assert r["n_common"] == n
+        assert r["deg_a"] == deg[k[0]] and r["deg_b"] == deg[k[1]]
+        assert r["jaccard"] == n / float(deg[k[0]] + deg[k[1]] - n)
+
+
 def test_pagerank_dangling_and_base(spark):
     # a -> b only: b is dangling. After 1 iter: b gets the full damped mass
     # of a; a keeps only the base (dangling mass dropped by design).
