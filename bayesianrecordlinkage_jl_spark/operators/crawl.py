@@ -130,6 +130,59 @@ def latest_snapshot_sql(
     """
 
 
+def crawl_delta(
+    old: DataFrame, new: DataFrame, url_col: str = "url", fp_col: str = "fp"
+) -> DataFrame:
+    """old/new snapshot tables (one row per url, with a content
+    fingerprint) -> (url, status, old_doc, new_doc) where status is
+    'added' | 'removed' | 'changed' | 'unchanged'. Content-addressed:
+    a url re-crawled to a byte-identical page (equal fingerprints) is
+    'unchanged' even if the winning snapshot row differs. Absent sides
+    surface as doc id -1 (a NULL-free schema keeps every column exactly
+    hashable across engines).
+
+    One full-outer shuffle join on the unique url key — the minimal plan
+    for a two-sided diff; at 100 TB both sides bucket by url and the join
+    is co-located."""
+    o = old.select(
+        F.col(url_col).alias("url"),
+        F.col(fp_col).alias("_ofp"),
+        F.col("doc_id").alias("old_doc"),
+    )
+    n = new.select(
+        F.col(url_col).alias("url"),
+        F.col(fp_col).alias("_nfp"),
+        F.col("doc_id").alias("new_doc"),
+    )
+    j = o.join(n, on="url", how="full_outer")
+    status = (
+        F.when(F.col("_ofp").isNull(), F.lit("added"))
+        .when(F.col("_nfp").isNull(), F.lit("removed"))
+        .when(F.col("_ofp") == F.col("_nfp"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return j.select(
+        "url",
+        status.alias("status"),
+        F.coalesce(F.col("old_doc"), F.lit(-1).cast("long")).alias("old_doc"),
+        F.coalesce(F.col("new_doc"), F.lit(-1).cast("long")).alias("new_doc"),
+    )
+
+
+def crawl_delta_sql(old_expr: str, new_expr: str) -> str:
+    """old_expr/new_expr: derived tables with (url, fp, doc_id)."""
+    return f"""
+    SELECT COALESCE(o.url, n.url) AS url,
+           CASE WHEN o.url IS NULL THEN 'added'
+                WHEN n.url IS NULL THEN 'removed'
+                WHEN o.fp = n.fp THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           CAST(COALESCE(o.doc_id, -1) AS BIGINT) AS old_doc,
+           CAST(COALESCE(n.doc_id, -1) AS BIGINT) AS new_doc
+    FROM ({old_expr}) o FULL OUTER JOIN ({new_expr}) n ON o.url = n.url
+    """
+
+
 # --- deterministic messy-URL fixture (catalog use; both engines) -----------
 #
 # The sandbox documents table has no URL column, so the catalog derives one

@@ -1066,6 +1066,49 @@ def build_catalog() -> dict[str, dict]:
         "(struct-MAX aggregate, mutual_best pattern; window-form oracle)",
     }
 
+    # Two overlapping crawls derived from one documents scan (old drops
+    # doc_id%4==0, new drops %4==3): sole-doc urls flip presence (added/
+    # removed), winner changes flip content (changed), stable winners are
+    # unchanged — all four statuses live at sf0.01.
+    def _crawl_snap_spark(s, d, drop_mod: int):
+        docs = load(s, d, "documents").where(F.col("doc_id") % 4 != drop_mod)
+        snap = crawl.latest_snapshot(
+            docs.select(
+                "doc_id",
+                crawl.messy_url("doc_id").alias("u"),
+                crawl.crawl_ts_epoch("doc_id").alias("ts"),
+            ),
+            "u", "ts", "doc_id",
+        )
+        fp = docs.select(
+            F.col("doc_id").alias("_fid"), phash(F.col("text")).alias("fp")
+        )
+        return snap.join(fp, snap["doc_id"] == fp["_fid"]).select(
+            "url", "fp", "doc_id"
+        )
+
+    def _crawl_snap_sql(drop_mod: int) -> str:
+        inner = crawl.latest_snapshot_sql(
+            f"""(SELECT doc_id, {crawl.messy_url_sql('doc_id')} AS url_raw,
+                 {crawl.crawl_ts_epoch_sql('doc_id')} AS ts FROM documents
+                 WHERE doc_id % 4 != {drop_mod})""",
+            "url_raw", "ts", "doc_id",
+        )
+        return f"""
+        SELECT s.url, {T.phash_sql('d.text')} AS fp, s.doc_id
+        FROM ({inner}) s JOIN documents d ON s.doc_id = d.doc_id
+        """
+
+    cat["crawl_delta"] = {
+        "spark": lambda s, d: crawl.crawl_delta(
+            _crawl_snap_spark(s, d, 0), _crawl_snap_spark(s, d, 3)
+        ),
+        "sql": crawl.crawl_delta_sql(_crawl_snap_sql(0), _crawl_snap_sql(3)),
+        "ref": "incremental-crawl diff: added/removed/changed/unchanged per "
+        "canonical url by content fingerprint (one full-outer join on the "
+        "unique url key)",
+    }
+
     # --- cardinality sketches (operators/sketches.py): HLL + KMV over
     # span hashes, all-integer register state, frozen-literal estimators —
     # the cross-checkable alternative to approx_count_distinct. ---

@@ -137,6 +137,11 @@ def main() -> None:
         "repetition_stats",
         "frequency_caps",
         "packed_sequences",
+        "pagerank_hosts",
+        "host_cocitation",
+        "span_sketches",
+        "url_canonical",
+        "latest_snapshots",
     ):
         extra_queries[name], _ = timed_reps(name)
     extras["extra_queries"] = extra_queries

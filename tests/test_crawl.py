@@ -51,6 +51,40 @@ def f_str(lit: str) -> str:
     return f"'{lit}'"
 
 
+def test_crawl_delta_statuses(spark):
+    old = spark.createDataFrame(
+        [("u1", 10, 1), ("u2", 20, 2), ("u3", 30, 3)],
+        "url string, fp long, doc_id long",
+    )
+    new = spark.createDataFrame(
+        [("u1", 10, 5), ("u2", 99, 6), ("u4", 40, 7)],
+        "url string, fp long, doc_id long",
+    )
+    from bayesianrecordlinkage_jl_spark.operators.crawl import crawl_delta
+
+    got = {
+        r["url"]: (r["status"], r["old_doc"], r["new_doc"])
+        for r in crawl_delta(old, new).collect()
+    }
+    assert got == {
+        "u1": ("unchanged", 1, 5),  # same content, different winning row
+        "u2": ("changed", 2, 6),
+        "u3": ("removed", 3, -1),
+        "u4": ("added", -1, 7),
+    }
+
+
+def test_crawl_delta_catalog_has_all_statuses(spark):
+    import __spark_entry__ as e
+
+    counts = {
+        r["status"]: r["n"]
+        for r in e.queries()["crawl_delta"](spark, "/root/testdata/sf0.001")
+        .groupBy("status").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert set(counts) == {"added", "removed", "changed", "unchanged"}
+
+
 def test_latest_snapshot_struct_max_tiebreak(spark):
     rows = [
         # same canonical url, later ts wins

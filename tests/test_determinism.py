@@ -54,6 +54,7 @@ QUERIES = [
     "url_canonical",
     "latest_snapshots",
     "host_cocitation",
+    "crawl_delta",
 ]
 
 
