@@ -246,3 +246,114 @@ def block_pair_stats(pairs: DataFrame) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_pairs"))
         .orderBy(F.desc("n_pairs"))
     )
+
+
+def blocking_quality(
+    docs: DataFrame,
+    id_col: str,
+    schemes: list[tuple[str, ...]],
+    truth_pairs: DataFrame,
+) -> DataFrame:
+    """-> one row per candidate blocking scheme: (scheme, n_blocks,
+    n_candidate_pairs, n_true_pairs, n_true_coblocked, reduction_ratio,
+    completeness) — the standard blocking evaluation (Christen 2012):
+    reduction ratio = 1 - candidates/all-pairs, pairs completeness =
+    fraction of ground-truth pairs the scheme keeps co-blocked.
+
+    `truth_pairs` (id_a, id_b) comes from a blocking-INDEPENDENT source
+    (the catalog uses the corpus-wide LSH-verified near-dup pairs), else
+    completeness is trivially 1. Candidate-pair counts are computed from
+    block sizes (sum of C(n,2) — one aggregation, NEVER a pair join), so
+    evaluating a scheme at 100 TB costs a groupBy, not a blow-up; only
+    the ground-truth pairs (small by construction) are ever joined."""
+    n_docs_df = docs.agg(
+        F.count(F.lit(1)).cast("long").alias("_n_docs")
+    )
+    out = None
+    for cols in schemes:
+        label = "+".join(cols)
+        blocks = docs.groupBy(*cols).agg(F.count(F.lit(1)).alias("n"))
+        cand = blocks.agg(
+            F.count(F.lit(1)).cast("long").alias("n_blocks"),
+            F.sum(F.expr("n * (n - 1) div 2")).cast("long").alias("n_cand"),
+        )
+        a = docs.select(F.col(id_col).alias("id_a"),
+                        *[F.col(c).alias(f"_a_{c}") for c in cols])
+        b = docs.select(F.col(id_col).alias("id_b"),
+                        *[F.col(c).alias(f"_b_{c}") for c in cols])
+        same = None
+        for c in cols:
+            eq = F.col(f"_a_{c}") == F.col(f"_b_{c}")
+            same = eq if same is None else (same & eq)
+        truth = (
+            truth_pairs.select("id_a", "id_b")
+            .join(a, on="id_a")
+            .join(b, on="id_b")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_true"),
+                F.sum(F.when(same, 1).otherwise(0)).cast("long").alias("n_cob"),
+            )
+        )
+        row = (
+            cand.crossJoin(truth)
+            .crossJoin(n_docs_df)
+            .select(
+                F.lit(label).alias("scheme"),
+                "n_blocks",
+                F.col("n_cand").alias("n_candidate_pairs"),
+                F.col("n_true").alias("n_true_pairs"),
+                F.col("n_cob").alias("n_true_coblocked"),
+                (
+                    F.lit(1.0)
+                    - F.col("n_cand").cast("double")
+                    / F.expr("_n_docs * (_n_docs - 1) div 2").cast("double")
+                ).alias("reduction_ratio"),
+                (
+                    F.col("n_cob").cast("double")
+                    / F.col("n_true").cast("double")
+                ).alias("completeness"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def blocking_quality_sql(
+    table: str,
+    id_col: str,
+    schemes: list[tuple[str, ...]],
+    truth_sql: str,
+) -> str:
+    """DuckDB twin; `truth_sql` is a derived table with (id_a, id_b)."""
+    parts = []
+    for cols in schemes:
+        label = "+".join(cols)
+        key = ", ".join(cols)
+        same = " AND ".join(f"a.{c} = b.{c}" for c in cols)
+        parts.append(f"""
+        SELECT '{label}' AS scheme,
+               (SELECT CAST(count(*) AS BIGINT)
+                FROM (SELECT 1 FROM {table} GROUP BY {key})) AS n_blocks,
+               (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) FROM
+                 (SELECT count(*) AS n FROM {table} GROUP BY {key}))
+                 AS n_candidate_pairs,
+               (SELECT CAST(count(*) AS BIGINT) FROM ({truth_sql}))
+                 AS n_true_pairs,
+               (SELECT CAST(count(*) AS BIGINT) FROM ({truth_sql}) t
+                JOIN {table} a ON t.id_a = a.{id_col}
+                JOIN {table} b ON t.id_b = b.{id_col}
+                WHERE {same}) AS n_true_coblocked,
+               1.0 - (SELECT CAST(sum(n * (n - 1) // 2) AS BIGINT) FROM
+                       (SELECT count(*) AS n FROM {table} GROUP BY {key}))
+                       ::DOUBLE
+                   / CAST((SELECT count(*) FROM {table})
+                          * ((SELECT count(*) FROM {table}) - 1) // 2
+                          AS DOUBLE) AS reduction_ratio,
+               (SELECT CAST(count(*) AS BIGINT) FROM ({truth_sql}) t
+                JOIN {table} a ON t.id_a = a.{id_col}
+                JOIN {table} b ON t.id_b = b.{id_col}
+                WHERE {same})::DOUBLE
+                   / (SELECT CAST(count(*) AS BIGINT)
+                      FROM ({truth_sql}))::DOUBLE AS completeness
+        """)
+    return " UNION ALL ".join(parts)

@@ -20,7 +20,7 @@ from ..functions import comparators as C
 from ..functions import text as T
 from ..functions import weights as W
 from ..functions.text import phash
-from ..operators import corpus, crawl, dedup, linkgraph, similarity, sketches
+from ..operators import blocking, corpus, crawl, dedup, linkgraph, similarity, sketches
 from ..operators.comparison_summary import distinct_vectors, marginal_counts
 
 # ---------------------------------------------------------------------------
@@ -1027,6 +1027,29 @@ def build_catalog() -> dict[str, dict]:
         "ref": "PII scrub stage: email/phone detection counts + masked-text "
         "fingerprint (Java-regex/RE2 common-subset patterns, all-occurrence "
         "replace in both engines)",
+    }
+
+    # --- blocking evaluation (operators/blocking.py): reduction ratio +
+    # pairs completeness per candidate scheme, against the corpus-wide
+    # (blocking-independent) LSH-verified near-dup pairs as ground truth.
+    BQ_SCHEMES = [("lang",), ("source",), ("lang", "source")]
+
+    cat["blocking_quality"] = {
+        "spark": lambda s, d: blocking.blocking_quality(
+            load(s, d, "documents"), "doc_id", BQ_SCHEMES,
+            dedup.ngram_jaccard_pairs_via_lsh(
+                load(s, d, "documents"), "doc_id", "text", JACCARD_MIN_PCT
+            ),
+        ),
+        "sql": blocking.blocking_quality_sql(
+            "documents", "doc_id", BQ_SCHEMES,
+            dedup.ngram_jaccard_pairs_via_lsh_sql(
+                "documents", "doc_id", "text", JACCARD_MIN_PCT
+            ),
+        ),
+        "ref": "blocking evaluation (Christen 2012): candidate counts from "
+        "block sizes (one agg, never a pair join); only the small truth "
+        "set is joined",
     }
 
     # --- crawl URL surface (operators/crawl.py): canonicalization +

@@ -1,0 +1,63 @@
+"""Blocking-evaluation metrics: synthetic replica + monotonicity."""
+
+from pyspark.sql import functions as F
+
+from bayesianrecordlinkage_jl_spark.operators import blocking
+
+
+def test_blocking_quality_replica(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "en", "s0"), (2, "en", "s0"), (3, "en", "s1"),
+            (4, "de", "s0"), (5, "de", "s0"), (6, "de", "s1"),
+        ],
+        "doc_id long, lang string, source string",
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (1, 3), (4, 6), (2, 5)], "id_a long, id_b long"
+    )
+    rows = {
+        r["scheme"]: r
+        for r in blocking.blocking_quality(
+            docs, "doc_id", [("lang",), ("lang", "source")], truth
+        ).collect()
+    }
+    n_all = 6 * 5 // 2
+    lang = rows["lang"]
+    # blocks en(3), de(3) -> 3+3 candidate pairs
+    assert lang["n_blocks"] == 2 and lang["n_candidate_pairs"] == 6
+    # co-blocked truth: (1,2),(1,3),(4,6) same lang; (2,5) crosses
+    assert lang["n_true_pairs"] == 4 and lang["n_true_coblocked"] == 3
+    assert lang["reduction_ratio"] == 1.0 - 6 / float(n_all)
+    assert lang["completeness"] == 3 / 4.0
+    ls = rows["lang+source"]
+    # blocks en+s0(2), en+s1(1), de+s0(2), de+s1(1) -> 1+0+1+0 pairs
+    assert ls["n_blocks"] == 4 and ls["n_candidate_pairs"] == 2
+    assert ls["n_true_coblocked"] == 1  # only (1,2)
+    # finer schemes: higher reduction, lower-or-equal completeness
+    assert ls["reduction_ratio"] > lang["reduction_ratio"]
+    assert ls["completeness"] <= lang["completeness"]
+
+
+def test_blocking_quality_catalog_monotone(spark):
+    import __spark_entry__ as e
+
+    rows = {
+        r["scheme"]: r
+        for r in e.queries()["blocking_quality"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+    }
+    assert set(rows) == {"lang", "source", "lang+source"}
+    for r in rows.values():
+        assert 0.0 <= r["completeness"] <= 1.0
+        assert 0.0 < r["reduction_ratio"] < 1.0
+    assert (
+        rows["lang+source"]["n_candidate_pairs"]
+        <= min(rows["lang"]["n_candidate_pairs"],
+               rows["source"]["n_candidate_pairs"])
+    )
+    assert (
+        rows["lang+source"]["completeness"]
+        <= min(rows["lang"]["completeness"], rows["source"]["completeness"])
+    )

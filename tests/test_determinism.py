@@ -55,6 +55,7 @@ QUERIES = [
     "latest_snapshots",
     "host_cocitation",
     "crawl_delta",
+    "blocking_quality",
 ]
 
 
