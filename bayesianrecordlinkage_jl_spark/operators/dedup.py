@@ -507,3 +507,129 @@ def embedding_cosine_pairs_sql(
       SELECT id_a, id_b, {cos} AS sim FROM cand
     ) WHERE sim >= {min_cosine!r}e0
     """
+
+
+# ---------------------------------------------------------------------------
+# containment (asymmetric near-dup: one document substantially inside another)
+# ---------------------------------------------------------------------------
+
+
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_containment_pct: int = 60,
+    span_k: int = 8,
+    max_span_df: int = 20,
+) -> DataFrame:
+    """-> (id_a, id_b, n_shared, n_spans_a, n_spans_b, cont_a_pct,
+    cont_b_pct): pairs where either document's DISTINCT k-word span set is
+    >= min_containment_pct contained in the other's. Jaccard misses the
+    quote/subset case (a short doc fully inside a long one has low union
+    similarity but containment ~100%); this is the asymmetric companion
+    (Broder's containment, the Lee et al. 2022 substring-dedup shape at
+    span granularity).
+
+    Scale shape: spans are hashed ONCE per document behind a unique-key
+    aggregate barrier and localCheckpoint'ed (consumed by the postings
+    explode AND the per-doc size join). Pair generation goes through the
+    span postings join, with spans above max_span_df doc-frequency dropped
+    first — the stop-span cap: boilerplate spans shared by thousands of
+    docs would emit C(df,2) pairs each, and they carry no containment
+    signal. Per-span work is thus bounded at C(max_span_df, 2); singleton
+    spans (df=1) are dropped too (they cannot form a pair). Containment
+    percentages are exact integer arithmetic (pct = 100*shared div n)."""
+    hashed = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.array_distinct(
+                F.transform(
+                    T.word_shingles(F.col(text_col), span_k),
+                    lambda s: T.phash(s),
+                )
+            ).alias("_gh"),
+        )
+        .groupBy("doc_id")
+        .agg(F.first("_gh").alias("_gh"))
+        .localCheckpoint()
+    )
+    sizes = hashed.select(
+        "doc_id", F.size("_gh").cast("long").alias("n_spans")
+    )
+    post = hashed.select("doc_id", F.explode("_gh").alias("gh"))
+    keep = (
+        post.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where((F.col("_df") >= 2) & (F.col("_df") <= max_span_df))
+        .select("gh")
+    )
+    p = post.join(keep, on="gh", how="left_semi")
+    a = p.select(F.col("gh"), F.col("doc_id").alias("id_a"))
+    b = p.select(F.col("gh"), F.col("doc_id").alias("id_b"))
+    shared = (
+        a.join(b, on="gh")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    out = (
+        shared.join(
+            sizes.select(F.col("doc_id").alias("id_a"),
+                         F.col("n_spans").alias("n_spans_a")), on="id_a")
+        .join(
+            sizes.select(F.col("doc_id").alias("id_b"),
+                         F.col("n_spans").alias("n_spans_b")), on="id_b")
+        .withColumn("cont_a_pct", F.expr("(100 * n_shared) div n_spans_a"))
+        .withColumn("cont_b_pct", F.expr("(100 * n_shared) div n_spans_b"))
+        .where(
+            F.greatest("cont_a_pct", "cont_b_pct") >= min_containment_pct
+        )
+    )
+    return out.select(
+        "id_a", "id_b", "n_shared", "n_spans_a", "n_spans_b",
+        F.col("cont_a_pct").cast("int").alias("cont_a_pct"),
+        F.col("cont_b_pct").cast("int").alias("cont_b_pct"),
+    )
+
+
+def containment_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    min_containment_pct: int = 60,
+    span_k: int = 8,
+    max_span_df: int = 20,
+) -> str:
+    grams = (
+        f"list_distinct(list_transform({T.word_shingles_sql(text_col, span_k)}, "
+        f"s -> {T.phash_sql('s')}))"
+    )
+    return f"""
+    WITH hashed AS MATERIALIZED (
+      SELECT CAST({id_col} AS BIGINT) AS doc_id, {grams} AS _gh FROM {table}
+    ),
+    sizes AS (SELECT doc_id, CAST(len(_gh) AS BIGINT) AS n_spans FROM hashed),
+    post AS (SELECT doc_id, unnest(_gh) AS gh FROM hashed),
+    keep AS (SELECT gh FROM post GROUP BY gh
+             HAVING count(*) >= 2 AND count(*) <= {max_span_df}),
+    p AS (SELECT post.gh, post.doc_id FROM post SEMI JOIN keep USING (gh)),
+    shared AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(count(*) AS BIGINT) AS n_shared
+      FROM p a JOIN p b ON a.gh = b.gh AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, n_shared, n_spans_a, n_spans_b,
+           CAST(cont_a_pct AS INT) AS cont_a_pct,
+           CAST(cont_b_pct AS INT) AS cont_b_pct
+    FROM (
+      SELECT id_a, id_b, n_shared,
+             sa.n_spans AS n_spans_a, sb.n_spans AS n_spans_b,
+             (100 * n_shared) // sa.n_spans AS cont_a_pct,
+             (100 * n_shared) // sb.n_spans AS cont_b_pct
+      FROM shared
+      JOIN sizes sa ON shared.id_a = sa.doc_id
+      JOIN sizes sb ON shared.id_b = sb.doc_id
+    ) WHERE greatest(cont_a_pct, cont_b_pct) >= {min_containment_pct}
+    """

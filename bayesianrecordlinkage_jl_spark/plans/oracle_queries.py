@@ -1029,6 +1029,16 @@ def build_catalog() -> dict[str, dict]:
         "replace in both engines)",
     }
 
+    cat["dedup_containment"] = {
+        "spark": lambda s, d: dedup.containment_pairs(
+            load(s, d, "documents"), "doc_id", "text"
+        ),
+        "sql": dedup.containment_pairs_sql("documents", "doc_id", "text"),
+        "ref": "asymmetric containment near-dup (Broder containment / "
+        "Lee et al. 2022 substring shape at span granularity; stop-span "
+        "df cap bounds per-span pair work)",
+    }
+
     # --- blocking evaluation (operators/blocking.py): reduction ratio +
     # pairs completeness per candidate scheme, against the corpus-wide
     # (blocking-independent) LSH-verified near-dup pairs as ground truth.

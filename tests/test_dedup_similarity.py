@@ -564,3 +564,76 @@ def test_sampled_frame_features(spark):
     for mid, c in counts.items():
         nf = int(meta.loc[mid, "n_frames"])
         assert c == (nf * MM.FRAME_MS) // 500 + 1
+
+
+# --- containment (asymmetric near-dup) -------------------------------------
+
+
+def test_containment_replica(spark):
+    import hashlib
+    import re as _re
+
+    from bayesianrecordlinkage_jl_spark.operators.dedup import containment_pairs
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    pdf = docs.select("doc_id", "text").toPandas()
+
+    def spans(text):
+        toks = [t for t in _re.split("[^a-z0-9]+", text.lower()) if t]
+        n = max(len(toks) - 7, 1)
+        return {
+            int(hashlib.md5(" ".join(toks[i:i + 8]).encode()).hexdigest()[:15], 16)
+            for i in range(n)
+        }
+
+    sets = {int(r.doc_id): spans(r.text) for r in pdf.itertuples()}
+    from collections import Counter
+
+    dfreq = Counter(h for s in sets.values() for h in s)
+    kept = {h for h, c in dfreq.items() if 2 <= c <= 20}
+    exp = {}
+    ids = sorted(sets)
+    # pair candidates via postings (mirror the operator, not all-pairs)
+    by_span = {}
+    for i in ids:
+        for h in sets[i] & kept:
+            by_span.setdefault(h, []).append(i)
+    cand = {}
+    for h, ds in by_span.items():
+        for x in range(len(ds)):
+            for y in range(x + 1, len(ds)):
+                k = (ds[x], ds[y])
+                cand[k] = cand.get(k, 0) + 1
+    for (a, b), n_shared in cand.items():
+        ca = (100 * n_shared) // len(sets[a])
+        cb = (100 * n_shared) // len(sets[b])
+        if max(ca, cb) >= 60:
+            exp[(a, b)] = (n_shared, len(sets[a]), len(sets[b]), ca, cb)
+
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["n_shared"], r["n_spans_a"], r["n_spans_b"],
+            r["cont_a_pct"], r["cont_b_pct"],
+        )
+        for r in containment_pairs(docs, "doc_id", "text").collect()
+    }
+    assert got == exp and len(exp) > 0
+
+
+def test_containment_catches_quote_inclusion(spark):
+    from bayesianrecordlinkage_jl_spark.operators.dedup import containment_pairs
+
+    long_text = " ".join(f"w{i}" for i in range(100))
+    short_text = " ".join(f"w{i}" for i in range(30, 50))  # verbatim excerpt
+    other = " ".join(f"x{i}" for i in range(40))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, other)],
+        "doc_id long, text string",
+    )
+    rows = containment_pairs(df, "doc_id", "text").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["id_a"], r["id_b"]) == (1, 2)
+    # the excerpt is fully contained; the long side is not
+    assert r["cont_b_pct"] == 100 and r["cont_a_pct"] < 60

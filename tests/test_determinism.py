@@ -56,6 +56,7 @@ QUERIES = [
     "host_cocitation",
     "crawl_delta",
     "blocking_quality",
+    "dedup_containment",
 ]
 
 
