@@ -1142,6 +1142,60 @@ def build_catalog() -> dict[str, dict]:
         "unique url key)",
     }
 
+    # --- host reputation: PageRank x mean classifier quality per host —
+    # the crawl-prioritization composite (authority AND content quality),
+    # pure composition of linkgraph + corpus ops. Mean is a double division
+    # of exact integers (sum_raw can be negative, so no integer div). ---
+    def _host_reputation(s, d):
+        docs = load(s, d, "documents")
+        q = corpus.quality_classifier(docs, "doc_id", "text").select(
+            "doc_id", "raw_score"
+        )
+        hosts = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            linkgraph.page_host("doc_id").alias("host"),
+        )
+        per_host = (
+            hosts.join(q, on="doc_id")
+            .groupBy("host")
+            .agg(
+                F.count(F.lit(1)).cast("long").alias("n_docs"),
+                F.sum("raw_score").cast("long").alias("sum_raw"),
+            )
+        )
+        pr = linkgraph.pagerank_hosts(
+            linkgraph.host_link_graph(docs, "doc_id", "text")
+        )
+        return per_host.join(pr, on="host").select(
+            "host", "n_docs", "sum_raw",
+            (
+                F.col("sum_raw").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("mean_raw"),
+            "rank_fp",
+        )
+
+    cat["host_reputation"] = {
+        "spark": _host_reputation,
+        "sql": f"""
+        WITH q AS (SELECT doc_id, raw_score FROM
+                   ({corpus.quality_classifier_sql('documents', 'doc_id', 'text')})),
+        h AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                     {linkgraph.page_host_sql('doc_id')} AS host
+              FROM documents),
+        ph AS (SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+                      CAST(sum(raw_score) AS BIGINT) AS sum_raw
+               FROM h JOIN q USING (doc_id) GROUP BY host),
+        pr AS (SELECT * FROM ({linkgraph.pagerank_hosts_sql('documents', 'doc_id', 'text')}))
+        SELECT ph.host, n_docs, sum_raw,
+               CAST(sum_raw AS DOUBLE) / CAST(n_docs AS DOUBLE) AS mean_raw,
+               rank_fp
+        FROM ph JOIN pr ON ph.host = pr.host
+        """,
+        "ref": "crawl-prioritization composite: link authority (PageRank) "
+        "joined with model-based content quality per host",
+    }
+
     # --- cardinality sketches (operators/sketches.py): HLL + KMV over
     # span hashes, all-integer register state, frozen-literal estimators —
     # the cross-checkable alternative to approx_count_distinct. ---

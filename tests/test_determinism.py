@@ -57,6 +57,7 @@ QUERIES = [
     "crawl_delta",
     "blocking_quality",
     "dedup_containment",
+    "host_reputation",
 ]
 
 
