@@ -269,6 +269,10 @@ def blocking_quality(
     n_docs_df = docs.agg(
         F.count(F.lit(1)).cast("long").alias("_n_docs")
     )
+    # truth is typically an expensive upstream (the catalog feeds the full
+    # LSH-verified near-dup pipeline) and is consumed once PER SCHEME —
+    # materialize it once (the mutual_best double-consumption rule).
+    truth_pairs = truth_pairs.select("id_a", "id_b").localCheckpoint()
     out = None
     for cols in schemes:
         label = "+".join(cols)
@@ -286,7 +290,7 @@ def blocking_quality(
             eq = F.col(f"_a_{c}") == F.col(f"_b_{c}")
             same = eq if same is None else (same & eq)
         truth = (
-            truth_pairs.select("id_a", "id_b")
+            truth_pairs
             .join(a, on="id_a")
             .join(b, on="id_b")
             .agg(
