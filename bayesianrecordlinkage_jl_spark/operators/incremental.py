@@ -1,0 +1,437 @@
+"""Incremental entity resolution: link a crawl increment against EXISTING
+clusters without re-linking the corpus.
+
+At 10^12 documents the full blocking -> scoring -> clustering pipeline runs
+once; every subsequent crawl only contributes a delta. These operators make
+the delta path first-class:
+
+  - cluster_representatives: one doc per existing cluster (min id — a
+    map-side-combined aggregate, never a window over the corpus).
+  - link_increment: MinHash-LSH band join of NEW docs against cluster
+    representatives, exact token-Jaccard verify on candidates only, then a
+    per-new-doc struct-MAX argmax assigns each new doc to its best cluster
+    (or mints a deterministic singleton id). The corpus-side relation is
+    |clusters| rows, not |docs| — the increment never touches old documents
+    except through their representatives.
+  - merge_components: fold a delta edge set into existing component labels
+    by running connected components over (star edges ∪ delta edges). The
+    label relation IS a star graph (node -> min-id component), so
+    large-star/small-star converges in O(log |delta-diameter|) rounds — the
+    old corpus contributes one edge per node and is never re-clustered from
+    its raw pair graph.
+  - cluster_pair_metrics: pairwise precision/recall/F1 of a predicted
+    clustering against a truth clustering from the (pred, truth) label
+    contingency table — sums of C(n,2) per cell/margin, so the pair
+    universe is never materialized (O(n) not O(pairs); the standard
+    pair-counting evaluation, e.g. Menestrina et al. 2010).
+
+Reference analog: the reference has no incremental path (clusterings are
+rebuilt per run — /root/reference/src/clustering_functions.jl); this is the
+north-rule's re-crawl contract made operational. All outputs are integer /
+exactly-derived, so every operator has a bit-strict DuckDB twin.
+
+100-TB notes: the band join's corpus side is one row per cluster per band;
+hot band keys on the representative side (boilerplate) are dropped above
+`max_rep_key_df` — the containment_pairs stop-span pattern, a documented
+recall-for-boundedness trade. The argmax is the mutual_best struct-MAX
+shape: the shuffle carries |new docs| grouped rows, never sorts the
+candidate pair set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import text as T
+from .connected_components import components_with_isolated
+from .dedup import _spread
+
+# Deterministic id space for clusters minted by an increment: offset + doc_id
+# (disjoint from min-doc-id cluster labels as long as doc ids stay below it).
+NEW_CLUSTER_OFFSET = 1 << 40
+
+
+def cluster_representatives(
+    clusters: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    cluster_col: str,
+    text_col: str,
+) -> DataFrame:
+    """clusters (id, cluster) + docs -> (cluster_id, rep_id, rep_text):
+    representative = min doc id per cluster. One aggregate + one join on
+    the unique rep id; |output| = |clusters|, not |docs|."""
+    reps = (
+        clusters.select(
+            F.col(cluster_col).cast("long").alias("cluster_id"),
+            F.col(id_col).cast("long").alias("_cid"),
+        )
+        .groupBy("cluster_id")
+        .agg(F.min("_cid").alias("rep_id"))
+    )
+    d = docs.select(
+        F.col(id_col).cast("long").alias("rep_id"),
+        F.col(text_col).alias("rep_text"),
+    )
+    return reps.join(d, on="rep_id").select("cluster_id", "rep_id", "rep_text")
+
+
+def _hashed_side(
+    df: DataFrame, id_col: str, text_col: str, shingle_k: int,
+    extra: list[str] | None = None,
+) -> DataFrame:
+    """(_id, _shh, _toks [, extra…]): shingle-hash array + distinct token
+    set computed ONCE per document behind a unique-key aggregate barrier,
+    then localCheckpoint'ed — the relation feeds the band emitter AND the
+    verify join (two consumers; repo invariant: hash once per document)."""
+    extra = extra or []
+    base = _spread(df, id_col).select(
+        F.col(id_col).cast("long").alias("_id"),
+        T.shingle_hashes(F.col(text_col), shingle_k).alias("_shh"),
+        F.array_distinct(T.tokens(F.col(text_col))).alias("_toks"),
+        *extra,
+    )
+    aggs = [F.first("_shh").alias("_shh"), F.first("_toks").alias("_toks")]
+    aggs += [F.first(c).alias(c) for c in extra]
+    return base.groupBy("_id").agg(*aggs).localCheckpoint()
+
+
+def link_increment(
+    reps: DataFrame,
+    new_docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_jaccard_pct: int = 50,
+    n_bands: int = 8,
+    rows_per_band: int = 1,
+    shingle_k: int = 3,
+    max_rep_key_df: int = 200,
+) -> DataFrame:
+    """Assign each NEW doc to an existing cluster (via its representative)
+    or mint a singleton. reps: (cluster_id, rep_id, rep_text) from
+    cluster_representatives. Returns one row per new doc:
+    (doc_id, cluster_id, matched, best_jac_e4) — best_jac_e4 is the
+    winning Jaccard in 1e-4 units (integer; -1 when unmatched).
+
+    Plan: band keys on both sides (affine transforms of the per-doc
+    shingle-hash array), equi-join new×rep on band_key with hot rep-side
+    keys dropped above max_rep_key_df (bounds per-new-row fanout), distinct
+    candidate pairs, exact token-Jaccard verify on candidates only, then
+    a struct-MAX argmax per new doc (ties: higher Jaccard, then smaller
+    cluster_id — total order)."""
+    rep_h = _hashed_side(
+        reps.select(F.col("rep_id").alias("rid"), "cluster_id", "rep_text"),
+        "rid", "rep_text", shingle_k, extra=["cluster_id"],
+    )
+    new_h = _hashed_side(new_docs, id_col, text_col, shingle_k)
+
+    def bands(h: DataFrame, keep: list[str]) -> DataFrame:
+        return h.select(
+            *keep,
+            F.explode(
+                F.array(*[
+                    T.band_key_from_hashes(F.col("_shh"), b, rows_per_band)
+                    for b in range(n_bands)
+                ])
+            ).alias("band_key"),
+        )
+
+    rep_b = bands(rep_h, ["_id", "cluster_id"]).withColumnRenamed("_id", "_rid")
+    new_b = bands(new_h, ["_id"])
+    # stop-key cap: drop band keys that are boilerplate on the REP side —
+    # per-new-row join fanout is then bounded by max_rep_key_df. The count
+    # relation is |distinct band keys| rows; AQE broadcasts it.
+    kept = (
+        rep_b.groupBy("band_key")
+        .agg(F.count(F.lit(1)).alias("_kdf"))
+        .where(F.col("_kdf") <= max_rep_key_df)
+        .select("band_key")
+    )
+    cand = (
+        new_b.join(kept, on="band_key")
+        .join(rep_b, on="band_key")
+        .select(F.col("_id").alias("new_id"), "_rid", "cluster_id")
+        .distinct()
+    )
+    i = F.size(F.array_intersect(F.col("toks_n"), F.col("toks_r")))
+    u = F.size(F.col("toks_n")) + F.size(F.col("toks_r")) - i
+    scored = (
+        cand.join(
+            new_h.select(F.col("_id").alias("new_id"),
+                         F.col("_toks").alias("toks_n")),
+            on="new_id",
+        )
+        .join(
+            rep_h.select(F.col("_id").alias("_rid"),
+                         F.col("_toks").alias("toks_r")),
+            on="_rid",
+        )
+        .where((u > 0) & (i * 100 >= u * min_jaccard_pct))
+        .select(
+            "new_id",
+            "cluster_id",
+            (i.cast("long") * 10000).alias("_i4"),
+            u.cast("long").alias("_u"),
+        )
+    )
+    # integer DIV: exact, matches DuckDB's `//` bit-for-bit
+    jac_e4 = F.expr("CAST(_i4 DIV _u AS BIGINT)")
+    best = (
+        scored.select(
+            "new_id",
+            F.struct(
+                jac_e4.alias("jac_e4"),
+                (-F.col("cluster_id")).alias("negc"),
+            ).alias("_s"),
+        )
+        .groupBy("new_id")
+        .agg(F.max("_s").alias("_s"))
+        .select(
+            "new_id",
+            F.col("_s.jac_e4").alias("best_jac_e4"),
+            (-F.col("_s.negc")).alias("best_cluster"),
+        )
+    )
+    ids = new_docs.select(F.col(id_col).cast("long").alias("new_id")).distinct()
+    return ids.join(best, on="new_id", how="left").select(
+        F.col("new_id").alias("doc_id"),
+        F.coalesce(
+            F.col("best_cluster"),
+            F.col("new_id") + F.lit(NEW_CLUSTER_OFFSET).cast("long"),
+        ).alias("cluster_id"),
+        F.col("best_cluster").isNotNull().alias("matched"),
+        F.coalesce(F.col("best_jac_e4"), F.lit(-1).cast("long")).alias(
+            "best_jac_e4"
+        ),
+    )
+
+
+def link_increment_sql(
+    reps_expr: str,
+    new_expr: str,
+    id_col: str,
+    text_col: str,
+    min_jaccard_pct: int = 50,
+    n_bands: int = 8,
+    rows_per_band: int = 1,
+    shingle_k: int = 3,
+    max_rep_key_df: int = 200,
+) -> str:
+    """DuckDB twin. reps_expr: derived table (cluster_id, rep_id, rep_text);
+    new_expr: derived table with ({id_col}, {text_col}). The argmax is the
+    window form (row_number ORDER BY jac_e4 DESC, cluster_id ASC) — values
+    identical to the struct-MAX (lexicographic total order)."""
+    band_list = ", ".join(
+        T.band_key_from_hashes_sql("_shh", b, rows_per_band)
+        for b in range(n_bands)
+    )
+    i = "len(list_intersect(nh._toks, rh._toks))"
+    u = f"(len(nh._toks) + len(rh._toks) - {i})"
+    return f"""
+    WITH rep_h AS MATERIALIZED (
+      SELECT CAST(rep_id AS BIGINT) AS _rid,
+             CAST(cluster_id AS BIGINT) AS cluster_id,
+             {T.shingle_hashes_sql('rep_text', shingle_k)} AS _shh,
+             list_distinct({T.tokens_sql('rep_text')}) AS _toks
+      FROM ({reps_expr})
+    ),
+    new_h AS MATERIALIZED (
+      SELECT CAST({id_col} AS BIGINT) AS _id,
+             {T.shingle_hashes_sql(text_col, shingle_k)} AS _shh,
+             list_distinct({T.tokens_sql(text_col)}) AS _toks
+      FROM ({new_expr})
+    ),
+    rep_b AS (SELECT _rid, cluster_id, unnest([{band_list}]) AS band_key
+              FROM rep_h),
+    new_b AS (SELECT _id, unnest([{band_list}]) AS band_key FROM new_h),
+    kept AS (SELECT band_key FROM rep_b GROUP BY band_key
+             HAVING count(*) <= {max_rep_key_df}),
+    cand AS (
+      SELECT DISTINCT n._id AS new_id, r._rid, r.cluster_id
+      FROM new_b n JOIN kept k ON n.band_key = k.band_key
+      JOIN rep_b r ON n.band_key = r.band_key
+    ),
+    scored AS (
+      SELECT cand.new_id, cand.cluster_id,
+             CAST(({i} * 10000) // {u} AS BIGINT) AS jac_e4
+      FROM cand
+      JOIN new_h nh ON nh._id = cand.new_id
+      JOIN rep_h rh ON rh._rid = cand._rid
+      WHERE {u} > 0 AND {i} * 100 >= {u} * {min_jaccard_pct}
+    ),
+    best AS (
+      SELECT new_id, cluster_id, jac_e4,
+             row_number() OVER (PARTITION BY new_id
+                                ORDER BY jac_e4 DESC, cluster_id ASC) AS _r
+      FROM scored
+    ),
+    ids AS (SELECT DISTINCT CAST({id_col} AS BIGINT) AS new_id
+            FROM ({new_expr}))
+    SELECT ids.new_id AS doc_id,
+           COALESCE(b.cluster_id, ids.new_id + {NEW_CLUSTER_OFFSET})
+             AS cluster_id,
+           b.cluster_id IS NOT NULL AS matched,
+           COALESCE(b.jac_e4, -1) AS best_jac_e4
+    FROM ids LEFT JOIN (SELECT * FROM best WHERE _r = 1) b
+      ON ids.new_id = b.new_id
+    """
+
+
+def merge_components(labels: DataFrame, new_edges: DataFrame) -> DataFrame:
+    """Fold a delta edge set into an existing labeling without re-clustering
+    the corpus. labels: (node, component) — the standing assignment;
+    new_edges: (src, dst) delta pairs (endpoints may be new nodes).
+    Returns (node, component) with component = min node id, covering every
+    labeled node and every delta endpoint.
+
+    The old corpus enters as its STAR graph (node -> component), one edge
+    per node, so (a) the input is |nodes| + |delta| edges regardless of how
+    dense the original pair graph was, and (b) alternating star rounds
+    converge fast — stars are already canonical, only delta-bridged chains
+    need flattening."""
+    star = labels.select(
+        F.col("node").cast("long").alias("src"),
+        F.col("component").cast("long").alias("dst"),
+    )
+    delta = new_edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    edges = star.unionByName(delta)
+    # singleton clusters are self-loop star edges — CC drops self-loops, so
+    # the node universe (every labeled node + every delta endpoint) rides
+    # alongside explicitly
+    nodes = edges.select(F.col("src").alias("node")).unionByName(
+        edges.select(F.col("dst").alias("node"))
+    )
+    return components_with_isolated(edges, nodes)
+
+
+def merge_components_sql(labels_expr: str, edges_expr: str) -> str:
+    """Recursive-CTE twin over the union edge set. labels_expr: derived
+    table (node, component); edges_expr: derived table (src, dst)."""
+    return f"""
+    WITH RECURSIVE uedges AS MATERIALIZED (
+      SELECT CAST(node AS BIGINT) AS a, CAST(component AS BIGINT) AS b
+      FROM ({labels_expr})
+      UNION
+      SELECT CAST(src AS BIGINT) AS a, CAST(dst AS BIGINT) AS b
+      FROM ({edges_expr})
+    ),
+    nodes AS (SELECT DISTINCT a AS node FROM (
+      SELECT a FROM uedges UNION ALL SELECT b FROM uedges)),
+    bi AS MATERIALIZED (SELECT a, b FROM uedges WHERE a != b
+           UNION SELECT b AS a, a AS b FROM uedges WHERE a != b),
+    walk(node, comp) AS (
+      SELECT node, node FROM nodes
+      UNION
+      SELECT bi.b, walk.comp FROM walk JOIN bi ON bi.a = walk.node
+      WHERE walk.comp < bi.b
+    )
+    SELECT node, min(comp) AS component FROM walk GROUP BY node
+    """
+
+
+def cluster_pair_metrics(
+    pred: DataFrame,
+    truth: DataFrame,
+    node_col: str = "node",
+    pred_col: str = "component",
+    truth_col: str = "component",
+) -> DataFrame:
+    """Pairwise precision/recall/F1 of a predicted clustering vs a truth
+    clustering, from the label contingency table: tp = Σ_cells C(n,2),
+    pred_pairs = Σ_pred C(n,2), true_pairs = Σ_truth C(n,2). One row:
+    (tp, pred_pairs, true_pairs, precision, recall, f1). Nodes present in
+    only one side count as singletons there (inner join on node — only
+    co-labeled nodes can form counted pairs; callers align universes).
+
+    Never materializes pairs: three aggregations over |nodes| rows. The
+    ratio columns are single divisions of exact integers (doubles are
+    therefore bit-identical across engines); empty denominators yield 0.0
+    by convention."""
+    j = pred.select(
+        F.col(node_col).cast("long").alias("_n"),
+        F.col(pred_col).cast("long").alias("_p"),
+    ).join(
+        truth.select(
+            F.col(node_col).cast("long").alias("_n"),
+            F.col(truth_col).cast("long").alias("_t"),
+        ),
+        on="_n",
+    )
+
+    # integer DIV (n*(n-1) is even, so exact; never routes through doubles)
+    pairs_of = F.expr("CAST(_c * (_c - 1) DIV 2 AS BIGINT)")
+
+    cells = (
+        j.groupBy("_p", "_t")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.sum(pairs_of).alias("tp"))
+    )
+    pp = (
+        j.groupBy("_p").agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.sum(pairs_of).alias("pred_pairs"))
+    )
+    tpg = (
+        j.groupBy("_t").agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.sum(pairs_of).alias("true_pairs"))
+    )
+    one = cells.crossJoin(pp).crossJoin(tpg)
+    prec = F.when(
+        F.col("pred_pairs") > 0,
+        F.col("tp").cast("double") / F.col("pred_pairs").cast("double"),
+    ).otherwise(F.lit(0.0))
+    rec = F.when(
+        F.col("true_pairs") > 0,
+        F.col("tp").cast("double") / F.col("true_pairs").cast("double"),
+    ).otherwise(F.lit(0.0))
+    denom = F.col("pred_pairs") + F.col("true_pairs")
+    f1 = F.when(
+        denom > 0,
+        (2 * F.col("tp")).cast("double") / denom.cast("double"),
+    ).otherwise(F.lit(0.0))
+    return one.select(
+        "tp", "pred_pairs", "true_pairs",
+        prec.alias("precision"), rec.alias("recall"), f1.alias("f1"),
+    )
+
+
+def cluster_pair_metrics_sql(
+    pred_expr: str,
+    truth_expr: str,
+    node_col: str = "node",
+    pred_col: str = "component",
+    truth_col: str = "component",
+) -> str:
+    """Twin of cluster_pair_metrics. pred_expr/truth_expr: derived tables.
+    F1 computed as 2*tp/(pred+true) directly from exact integers (the
+    harmonic-mean form — algebraically identical, and single-division so
+    the double is bit-identical across engines)."""
+    return f"""
+    WITH j AS MATERIALIZED (
+      SELECT CAST(p.{node_col} AS BIGINT) AS _n,
+             CAST(p.{pred_col} AS BIGINT) AS _p,
+             CAST(t.{truth_col} AS BIGINT) AS _t
+      FROM ({pred_expr}) p JOIN ({truth_expr}) t
+        ON CAST(p.{node_col} AS BIGINT) = CAST(t.{node_col} AS BIGINT)
+    ),
+    tp AS (SELECT CAST(sum(_c * (_c - 1) // 2) AS BIGINT) AS tp FROM
+           (SELECT count(*) AS _c FROM j GROUP BY _p, _t)),
+    pp AS (SELECT CAST(sum(_c * (_c - 1) // 2) AS BIGINT) AS pred_pairs FROM
+           (SELECT count(*) AS _c FROM j GROUP BY _p)),
+    tg AS (SELECT CAST(sum(_c * (_c - 1) // 2) AS BIGINT) AS true_pairs FROM
+           (SELECT count(*) AS _c FROM j GROUP BY _t))
+    SELECT tp, pred_pairs, true_pairs,
+           CASE WHEN pred_pairs > 0
+                THEN CAST(tp AS DOUBLE) / CAST(pred_pairs AS DOUBLE)
+                ELSE 0.0e0 END AS precision,
+           CASE WHEN true_pairs > 0
+                THEN CAST(tp AS DOUBLE) / CAST(true_pairs AS DOUBLE)
+                ELSE 0.0e0 END AS recall,
+           CASE WHEN pred_pairs + true_pairs > 0
+                THEN CAST(2 * tp AS DOUBLE)
+                     / CAST(pred_pairs + true_pairs AS DOUBLE)
+                ELSE 0.0e0 END AS f1
+    FROM tp, pp, tg
+    """

@@ -20,7 +20,10 @@ from ..functions import comparators as C
 from ..functions import text as T
 from ..functions import weights as W
 from ..functions.text import phash
-from ..operators import blocking, corpus, crawl, dedup, linkgraph, similarity, sketches
+from ..operators import (
+    blocking, corpus, crawl, dedup, incremental, linkgraph, similarity,
+    sketches,
+)
 from ..operators.comparison_summary import distinct_vectors, marginal_counts
 
 # ---------------------------------------------------------------------------
@@ -2217,6 +2220,151 @@ def build_catalog() -> dict[str, dict]:
         FROM g GROUP BY user_id, sid
         """,
         "ref": "session windows (streaming-shaped; gaps-and-islands batch oracle)",
+    }
+
+    # --- incremental entity resolution (operators/incremental.py) ---------
+    #
+    # Fixture: the standing corpus is documents with doc_id % 4 != 3,
+    # clustered by EXACT content (cluster label = min doc id per md5(text)
+    # group — provenance is orthogonal to the increment operators); the
+    # crawl increment is doc_id % 4 == 3. Near-dup threshold reuses
+    # JACCARD_MIN_PCT so matched/unmatched both occur at sf0.01.
+    INC_OLD = "doc_id % 4 != 3"
+    INC_NEW = "doc_id % 4 = 3"
+
+    def _inc_clusters_spark(s, d):
+        old = load(s, d, "documents").where(F.expr(INC_OLD))
+        g = old.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.md5(F.col("text")).alias("_h"),
+        )
+        cl = g.groupBy("_h").agg(F.min("doc_id").alias("cluster_id"))
+        return g.join(cl, on="_h").select("doc_id", "cluster_id")
+
+    # cluster label = min member id, so the min-id representative IS the
+    # label — the SQL reps table exploits that identity directly.
+    _INC_REPS_SQL = f"""
+      SELECT g.cluster_id AS cluster_id, g.cluster_id AS rep_id,
+             d.text AS rep_text
+      FROM (SELECT min(doc_id) AS cluster_id
+            FROM (SELECT doc_id, md5(text) AS _h FROM documents
+                  WHERE {INC_OLD})
+            GROUP BY _h) g
+      JOIN documents d ON d.doc_id = g.cluster_id
+    """
+    _INC_NEW_SQL = f"SELECT doc_id, text FROM documents WHERE {INC_NEW}"
+
+    def _link_increment_spark(s, d):
+        old = load(s, d, "documents").where(F.expr(INC_OLD))
+        new = load(s, d, "documents").where(F.expr(INC_NEW))
+        reps = incremental.cluster_representatives(
+            _inc_clusters_spark(s, d), old, "doc_id", "cluster_id", "text"
+        )
+        return incremental.link_increment(
+            reps, new, "doc_id", "text", min_jaccard_pct=JACCARD_MIN_PCT
+        )
+
+    cat["link_increment"] = {
+        "spark": _link_increment_spark,
+        "sql": incremental.link_increment_sql(
+            _INC_REPS_SQL, _INC_NEW_SQL, "doc_id", "text",
+            min_jaccard_pct=JACCARD_MIN_PCT,
+        ),
+        "ref": "incremental linkage: new crawl docs LSH-blocked against "
+        "cluster representatives, exact-Jaccard verify, struct-MAX argmax "
+        "assignment or deterministic singleton mint (window-form oracle)",
+    }
+
+    # Delta CC merge: standing labels + the near-dup pairs that TOUCH the
+    # increment (the edges a delta scoring run would emit). The Spark side
+    # re-clusters |nodes| star edges + |delta| edges, never the old pair
+    # graph; the oracle is one recursive CTE over that same union.
+    _INC_LABELS_SQL = f"""
+      SELECT g2.doc_id AS node, g1.cluster_id AS component
+      FROM (SELECT doc_id, md5(text) AS _h FROM documents
+            WHERE {INC_OLD}) g2
+      JOIN (SELECT _h, min(doc_id) AS cluster_id
+            FROM (SELECT doc_id, md5(text) AS _h FROM documents
+                  WHERE {INC_OLD})
+            GROUP BY _h) g1 USING (_h)
+    """
+
+    def _inc_delta_edges_spark(s, d):
+        pairs = dedup.ngram_jaccard_pairs_via_lsh(
+            load(s, d, "documents"), "doc_id", "text", JACCARD_MIN_PCT
+        )
+        return pairs.where(
+            (F.col("id_a") % 4 == 3) | (F.col("id_b") % 4 == 3)
+        ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+
+    _INC_DELTA_SQL = f"""
+      SELECT id_a AS src, id_b AS dst
+      FROM ({dedup.ngram_jaccard_pairs_via_lsh_sql(
+          'documents', 'doc_id', 'text', JACCARD_MIN_PCT)})
+      WHERE id_a % 4 = 3 OR id_b % 4 = 3
+    """
+
+    cat["incremental_components"] = {
+        "spark": lambda s, d: incremental.merge_components(
+            _inc_clusters_spark(s, d).select(
+                F.col("doc_id").alias("node"),
+                F.col("cluster_id").alias("component"),
+            ),
+            _inc_delta_edges_spark(s, d),
+        ),
+        "sql": incremental.merge_components_sql(
+            _INC_LABELS_SQL, _INC_DELTA_SQL
+        ),
+        "ref": "delta CC: fold increment edges into standing labels via "
+        "star-graph union (old pair graph never re-clustered)",
+    }
+
+    # Pairwise clustering evaluation: exact-dup clustering (pred) scored
+    # against the near-dup CC clustering (truth) — contingency C(n,2)
+    # sums, pair universe never materialized.
+    def _cluster_metrics_spark(s, d):
+        from ..operators.connected_components import components_with_isolated
+
+        docs = load(s, d, "documents")
+        g = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.md5(F.col("text")).alias("_h"),
+        )
+        cl = g.groupBy("_h").agg(F.min("doc_id").alias("component"))
+        pred = g.join(cl, on="_h").select(
+            F.col("doc_id").alias("node"), "component"
+        )
+        edges = dedup.ngram_jaccard_pairs_via_lsh(
+            docs, "doc_id", "text", JACCARD_MIN_PCT
+        ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        truth = components_with_isolated(
+            edges, docs.select(F.col("doc_id").cast("long").alias("node"))
+        )
+        return incremental.cluster_pair_metrics(pred, truth)
+
+    _CM_PRED_SQL = """
+      SELECT g2.doc_id AS node, g1.component AS component
+      FROM (SELECT doc_id, md5(text) AS _h FROM documents) g2
+      JOIN (SELECT _h, min(doc_id) AS component
+            FROM (SELECT doc_id, md5(text) AS _h FROM documents)
+            GROUP BY _h) g1 USING (_h)
+    """
+    _CM_TRUTH_SQL = _CC_SQL_TEMPLATE.format(
+        edges="SELECT id_a, id_b FROM ("
+        + dedup.ngram_jaccard_pairs_via_lsh_sql(
+            "documents", "doc_id", "text", JACCARD_MIN_PCT
+        )
+        + ")"
+    )
+
+    cat["cluster_metrics"] = {
+        "spark": _cluster_metrics_spark,
+        "sql": incremental.cluster_pair_metrics_sql(
+            _CM_PRED_SQL, _CM_TRUTH_SQL
+        ),
+        "ref": "pairwise P/R/F1 between clusterings from the label "
+        "contingency table (Menestrina et al. 2010 pair-counting; "
+        "O(n) aggregations, no pair materialization)",
     }
 
     return cat

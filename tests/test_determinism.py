@@ -58,6 +58,9 @@ QUERIES = [
     "blocking_quality",
     "dedup_containment",
     "host_reputation",
+    "link_increment",
+    "incremental_components",
+    "cluster_metrics",
 ]
 
 

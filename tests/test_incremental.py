@@ -1,0 +1,192 @@
+"""Incremental entity resolution: link_increment assignment semantics,
+merge_components == full-recompute equivalence, and pair-counting metrics
+against brute-force replicas."""
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from bayesianrecordlinkage_jl_spark.operators import incremental
+from bayesianrecordlinkage_jl_spark.operators.connected_components import (
+    components_with_isolated,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_cluster_representatives_min_id(spark):
+    clusters = spark.createDataFrame(
+        [(1, 10), (2, 10), (3, 30), (4, 30), (5, 50)],
+        "doc_id long, cluster_id long",
+    )
+    docs = _docs(spark, [(i, f"text {i}") for i in range(1, 6)])
+    reps = {
+        r["cluster_id"]: (r["rep_id"], r["rep_text"])
+        for r in incremental.cluster_representatives(
+            clusters, docs, "doc_id", "cluster_id", "text"
+        ).collect()
+    }
+    assert reps == {10: (1, "text 1"), 30: (3, "text 3"), 50: (5, "text 5")}
+
+
+def test_link_increment_assigns_and_mints(spark):
+    # cluster 1's rep is a long sentence; new doc 100 is a near-dup of it,
+    # new doc 101 shares nothing -> singleton mint
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    reps = spark.createDataFrame(
+        [(1, 1, base), (2, 2, "completely different content about spark joins and shuffles here")],
+        "cluster_id long, rep_id long, rep_text string",
+    )
+    new = _docs(
+        spark,
+        [
+            (100, base + " today"),  # near-dup of cluster 1
+            (101, "unrelated text with zero overlap whatsoever in vocabulary terms"),
+        ],
+    )
+    out = {
+        r["doc_id"]: r
+        for r in incremental.link_increment(
+            reps, new, "doc_id", "text", min_jaccard_pct=50
+        ).collect()
+    }
+    assert out[100]["matched"] and out[100]["cluster_id"] == 1
+    assert out[100]["best_jac_e4"] > 5000
+    assert not out[101]["matched"]
+    assert out[101]["cluster_id"] == 101 + incremental.NEW_CLUSTER_OFFSET
+    assert out[101]["best_jac_e4"] == -1
+
+
+def test_link_increment_tie_breaks_to_smaller_cluster(spark):
+    # two reps with IDENTICAL text -> identical jaccard; smaller cluster wins
+    txt = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    reps = spark.createDataFrame(
+        [(7, 70, txt), (3, 30, txt)],
+        "cluster_id long, rep_id long, rep_text string",
+    )
+    new = _docs(spark, [(500, txt)])
+    row = incremental.link_increment(
+        reps, new, "doc_id", "text", min_jaccard_pct=50
+    ).collect()[0]
+    assert row["matched"] and row["cluster_id"] == 3
+    assert row["best_jac_e4"] == 10000
+
+
+def test_link_increment_hot_key_cap_drops_boilerplate(spark):
+    # many reps sharing one boilerplate text: with the cap below the rep
+    # count, every band key they emit is dropped -> no candidates -> mint
+    boiler = "one two three four five six seven eight nine ten"
+    reps = spark.createDataFrame(
+        [(i, i, boiler) for i in range(1, 12)],
+        "cluster_id long, rep_id long, rep_text string",
+    )
+    new = _docs(spark, [(900, boiler)])
+    row = incremental.link_increment(
+        reps, new, "doc_id", "text", min_jaccard_pct=50, max_rep_key_df=5
+    ).collect()[0]
+    assert not row["matched"]  # bounded-compute trade, documented
+
+
+def _cc_brute(edges, nodes):
+    """Union-find over explicit edges; returns {node: min-id component}."""
+    parent = {n: n for n in nodes}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in nodes}
+
+
+def test_merge_components_equals_full_recompute(spark):
+    # property: CC(star(CC(E1)) ∪ E2) == CC(E1 ∪ E2), several seeds
+    import random
+
+    for seed in (1, 2, 3):
+        rng = random.Random(seed)
+        nodes = list(range(1, 31))
+        e1 = [tuple(rng.sample(nodes, 2)) for _ in range(18)]
+        e2 = [tuple(rng.sample(nodes, 2)) for _ in range(7)]
+        lab1 = _cc_brute(e1, nodes)
+        labels = spark.createDataFrame(
+            [(n, c) for n, c in lab1.items()], "node long, component long"
+        )
+        delta = spark.createDataFrame(e2, "src long, dst long")
+        got = {
+            r["node"]: r["component"]
+            for r in incremental.merge_components(labels, delta).collect()
+        }
+        want = _cc_brute(e1 + e2, nodes)
+        assert got == want, seed
+
+
+def test_merge_components_keeps_singletons(spark):
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 2), (5, 5)], "node long, component long"
+    )
+    delta = spark.createDataFrame([(2, 5)], "src long, dst long")
+    got = {
+        r["node"]: r["component"]
+        for r in incremental.merge_components(labels, delta).collect()
+    }
+    assert got == {1: 1, 2: 2, 5: 2}
+
+
+def _brute_pair_metrics(pred, truth):
+    nodes = sorted(set(pred) & set(truth))
+    tp = pp = tg = 0
+    for a, b in itertools.combinations(nodes, 2):
+        same_p = pred[a] == pred[b]
+        same_t = truth[a] == truth[b]
+        tp += same_p and same_t
+        pp += same_p
+        tg += same_t
+    prec = tp / pp if pp else 0.0
+    rec = tp / tg if tg else 0.0
+    f1 = 2 * tp / (pp + tg) if (pp + tg) else 0.0
+    return tp, pp, tg, prec, rec, f1
+
+
+def test_cluster_pair_metrics_brute_force(spark):
+    pred = {1: 1, 2: 1, 3: 3, 4: 3, 5: 5, 6: 5, 7: 7}
+    truth = {1: 1, 2: 1, 3: 1, 4: 4, 5: 5, 6: 6, 7: 7}
+    p = spark.createDataFrame(list(pred.items()), "node long, component long")
+    t = spark.createDataFrame(list(truth.items()), "node long, component long")
+    row = incremental.cluster_pair_metrics(p, t).collect()[0]
+    tp, pp, tg, prec, rec, f1 = _brute_pair_metrics(pred, truth)
+    assert (row["tp"], row["pred_pairs"], row["true_pairs"]) == (tp, pp, tg)
+    assert row["precision"] == prec
+    assert row["recall"] == rec
+    assert row["f1"] == f1
+
+
+def test_cluster_pair_metrics_perfect_and_empty(spark):
+    lab = {1: 1, 2: 1, 3: 3}
+    p = spark.createDataFrame(list(lab.items()), "node long, component long")
+    row = incremental.cluster_pair_metrics(p, p).collect()[0]
+    assert row["precision"] == row["recall"] == row["f1"] == 1.0
+    # all-singleton vs all-singleton: zero pairs everywhere -> 0.0 by convention
+    s = spark.createDataFrame([(i, i) for i in (1, 2, 3)], "node long, component long")
+    row = incremental.cluster_pair_metrics(s, s).collect()[0]
+    assert (row["tp"], row["precision"], row["f1"]) == (0, 0.0, 0.0)
+
+
+def test_isolated_new_doc_components_round_trip(spark):
+    # a minted singleton then merged with a later delta edge joins clusters
+    labels = spark.createDataFrame([(1, 1)], "node long, component long")
+    delta = spark.createDataFrame(
+        [(incremental.NEW_CLUSTER_OFFSET + 9, 1)], "src long, dst long"
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in incremental.merge_components(labels, delta).collect()
+    }
+    assert got[incremental.NEW_CLUSTER_OFFSET + 9] == 1
