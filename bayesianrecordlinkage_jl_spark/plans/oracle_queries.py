@@ -899,6 +899,27 @@ def build_catalog() -> dict[str, dict]:
         "ref": "benchmark decontamination: flag corpus docs sharing "
         "k-word spans with a (static-filter) benchmark set",
     }
+    # Bloom twin of `decontamination`: same benchmark filter, bitmap probe
+    # instead of a span-set join — the broadcastable 100-TB shape; its
+    # maybe-set is a superset of the exact flags (one-sided error),
+    # asserted in test_sketches.
+    cat["bloom_decontamination"] = {
+        "spark": lambda s, d: sketches.bloom_probe_flags(
+            load(s, d, "documents"), "doc_id", "text",
+            sketches.span_bloom(
+                load(s, d, "documents").where("doc_id % 37 = 0"),
+                "doc_id", "text", k=SPAN_K,
+            ),
+            k=SPAN_K, min_hits=1,
+        ),
+        "sql": sketches.bloom_probe_flags_sql(
+            "documents", "doc_id", "text", "doc_id % 37 = 0",
+            k=SPAN_K, min_hits=1,
+        ),
+        "ref": "decontamination probe via a Bloom bitmap (Kirsch-"
+        "Mitzenmacher double hashing, 32-bit words, bit_or state): "
+        "benchmark side compresses to a fixed-size broadcastable relation",
+    }
     cat["frequency_caps"] = {
         "spark": lambda s, d: corpus.frequency_cap(
             load(s, d, "documents"), "doc_id", "source", cap=10

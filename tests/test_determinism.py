@@ -61,6 +61,7 @@ QUERIES = [
     "link_increment",
     "incremental_components",
     "cluster_metrics",
+    "bloom_decontamination",
 ]
 
 
