@@ -1267,3 +1267,138 @@ def split_decontamination_sql(
         k=k, min_hits=min_hits,
         corpus_filter=f"({case}) = '{train}'",
     )
+
+# ---------------------------------------------------------------------------
+# boilerplate / repeated-paragraph strip (CCNet-style paragraph dedup)
+# ---------------------------------------------------------------------------
+
+BP_CHUNK_K = 8   # words per non-overlapping chunk ("paragraph" proxy)
+BP_MIN_DOCS = 2  # chunk duplicated iff seen in >= this many distinct docs
+
+
+def boilerplate_strip(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = BP_CHUNK_K,
+    min_docs: int = BP_MIN_DOCS,
+) -> DataFrame:
+    """-> (doc_id, n_chunks bigint, dup_chunks bigint, dup_frac double,
+    clean_text string): the removal TRANSFORMATION on top of span
+    detection — CCNet-style paragraph dedup (Wenzek et al. 2020 dedup
+    normalized paragraphs corpus-wide; the fixture text has no newlines,
+    so the paragraph proxy is non-overlapping k-word chunks of the
+    normalized token stream). A chunk is boilerplate iff its content hash
+    occurs in >= `min_docs` DISTINCT documents; `clean_text` is the
+    surviving chunks re-joined in document order (normalized tokens — the
+    contract is normalized-text output, like CCNet's dedup unit).
+
+    Scale shape: tokenize/chunk/hash runs once per document behind the
+    unique-key aggregate barrier (duplicated_span_stats pattern); the
+    exploded (chunk, doc) table is localCheckpoint'ed because it is
+    consumed twice (document-frequency aggregate + flag join). Shuffles
+    key on the 60-bit chunk hash (near-uniform) and on doc_id for the
+    reassembly; the reassembly list is bounded by document length.
+    Determinism: collect_list order is partition-dependent, so chunks are
+    collected as (idx, chunk) structs and array_sort'ed (idx is unique
+    per document) before joining."""
+    chunks_expr = F.expr(
+        f"transform(sequence(1, greatest((size(_t) + {k - 1}) div {k}, 1)), "
+        f"i -> array_join(slice(_t, (i - 1) * {k} + 1, {k}), ' '))"
+    )
+    hashed = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            T.tokens(F.col(text_col)).alias("_t"),
+        )
+        .groupBy("doc_id")
+        .agg(F.first("_t").alias("_t"))
+        .select("doc_id", chunks_expr.alias("_ch"))
+    )
+    ex = (
+        hashed.select("doc_id", F.posexplode("_ch").alias("_i0", "chunk"))
+        .select(
+            "doc_id",
+            (F.col("_i0") + 1).cast("int").alias("idx"),
+            "chunk",
+            T.phash(F.col("chunk")).alias("h"),
+        )
+        .localCheckpoint()
+    )
+    dup = (
+        ex.select("h", "doc_id")
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_ndocs"))
+        .where(F.col("_ndocs") >= min_docs)
+        .select("h", F.lit(1).alias("_dup"))
+    )
+    flagged = ex.join(dup, on="h", how="left")
+    is_dup = F.col("_dup").isNotNull()
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum(F.when(is_dup, 1).otherwise(0)).cast("long").alias("dup_chunks"),
+        (
+            F.sum(F.when(is_dup, 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("dup_frac"),
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            ~is_dup,
+                            F.struct(
+                                F.col("idx").alias("i"),
+                                F.col("chunk").alias("c"),
+                            ),
+                        )
+                    )
+                ),
+                lambda s: s["c"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+
+
+def boilerplate_strip_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    k: int = BP_CHUNK_K,
+    min_docs: int = BP_MIN_DOCS,
+) -> str:
+    toks = T.tokens_sql(text_col)
+    return f"""
+    WITH hashed AS MATERIALIZED (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest((len(_t) + {k - 1}) // {k}, 1)),
+               i -> array_to_string(
+                      list_slice(_t, (i - 1) * {k} + 1, (i - 1) * {k} + {k}),
+                      ' ')) AS _ch
+      FROM (SELECT CAST({id_col} AS BIGINT) AS doc_id, {toks} AS _t
+            FROM {table})
+    ),
+    ex AS MATERIALIZED (
+      SELECT doc_id, CAST(i AS INT) AS idx, _ch[i] AS chunk,
+             {T.phash_sql('_ch[i]')} AS h
+      FROM hashed, unnest(range(1, len(_ch) + 1)) AS u(i)
+    ),
+    dup AS (
+      SELECT h FROM (SELECT DISTINCT h, doc_id FROM ex)
+      GROUP BY h HAVING count(*) >= {min_docs}
+    )
+    SELECT ex.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS dup_chunks,
+           CAST(CAST(sum(CASE WHEN dup.h IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS dup_frac,
+           coalesce(string_agg(CASE WHEN dup.h IS NULL THEN ex.chunk END,
+                               ' ' ORDER BY ex.idx), '') AS clean_text
+    FROM ex LEFT JOIN dup ON ex.h = dup.h
+    GROUP BY ex.doc_id
+    """

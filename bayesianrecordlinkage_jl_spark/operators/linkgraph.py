@@ -356,3 +356,186 @@ def pagerank_hosts_sql(
             GROUP BY e.dst_host) c ON n.host = c.host)""")
     body = ",\n    ".join(ctes)
     return f"WITH {body}\n    SELECT host, rank_fp FROM r{iterations}"
+
+
+# --- seeded trust propagation ----------------------------------------------
+
+# low host ids are the skew-hot hosts, so they exist at every SF
+SEED_HOSTS = ["host0.example.org", "host1.example.org", "host2.example.org"]
+TRUST_ITERS = 4
+MAX_HOPS = 4
+
+
+def _seed_list_sql(seed_hosts: list[str]) -> str:
+    return ", ".join(f"'{h}'" for h in sorted(seed_hosts))
+
+
+def trustrank_hosts(
+    edges: DataFrame,
+    seed_hosts: list[str] = SEED_HOSTS,
+    iterations: int = TRUST_ITERS,
+) -> DataFrame:
+    """edges(src_host, dst_host, n_links) -> (host, trust_fp bigint).
+
+    TrustRank (Gyongyi et al. 2004): PageRank whose restart mass goes ONLY
+    to a literal whitelist of seed hosts — the standard web-spam signal
+    (trust decays with link distance from the seeds). Same fixed-point
+    integer recurrence as `pagerank_hosts` (bit-strict, order-independent
+    sums), differing only in the base term:
+
+      t0(h)  = RANK_SCALE if h in seeds else 0
+      t'(h)  = (BASE_FP if h in seeds else 0) + (85 * sum c) div 100
+
+    Hosts unreachable from any seed report trust_fp = 0 (every node is
+    emitted, matching the SQL twin). Scale shape identical to PageRank:
+    edges materialized once, per-iteration shuffle moves only rank rows."""
+    edges = edges.localCheckpoint()
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    outw = edges.groupBy("src_host").agg(
+        F.sum("n_links").cast("long").alias("outw")
+    )
+    wedges = edges.join(outw, "src_host")
+    seeds = sorted(seed_hosts)
+    is_seed = F.col("host").isin(seeds)
+    ranks = nodes.withColumn(
+        "trust_fp",
+        F.when(is_seed, F.lit(RANK_SCALE)).otherwise(F.lit(0)).cast("long"),
+    )
+    for _ in range(iterations):
+        contrib = (
+            wedges.join(ranks, wedges["src_host"] == ranks["host"])
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr("(trust_fp * n_links) div outw").alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        ranks = nodes.join(contrib, "host", "left").select(
+            "host",
+            (
+                F.when(is_seed, F.lit(BASE_FP)).otherwise(F.lit(0)).cast("long")
+                + F.expr(
+                    f"({DAMP_NUM} * coalesce(s, CAST(0 AS BIGINT))) div {DAMP_DEN}"
+                )
+            ).cast("long").alias("trust_fp"),
+        )
+    return ranks
+
+
+def trustrank_hosts_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    seed_hosts: list[str] = SEED_HOSTS,
+    iterations: int = TRUST_ITERS,
+) -> str:
+    seeds = _seed_list_sql(seed_hosts)
+    base = f"CASE WHEN n.host IN ({seeds}) THEN {BASE_FP} ELSE 0 END"
+    ctes = [
+        f"""edges AS ({host_link_graph_sql(table, id_col, text_col)})""",
+        """nodes AS (
+          SELECT DISTINCT host FROM (
+            SELECT src_host AS host FROM edges
+            UNION ALL SELECT dst_host AS host FROM edges))""",
+        """outw AS (
+          SELECT src_host, CAST(sum(n_links) AS BIGINT) AS outw
+          FROM edges GROUP BY src_host)""",
+        f"""r0 AS (SELECT host,
+                   CAST(CASE WHEN host IN ({seeds})
+                        THEN {RANK_SCALE} ELSE 0 END AS BIGINT) AS trust_fp
+                   FROM nodes)""",
+    ]
+    for it in range(1, iterations + 1):
+        prev = f"r{it - 1}"
+        ctes.append(f"""r{it} AS (
+          SELECT n.host,
+                 CAST(({base})
+                      + ({DAMP_NUM} * COALESCE(c.s, 0)) // {DAMP_DEN}
+                      AS BIGINT) AS trust_fp
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst_host AS host,
+                   CAST(sum((r.trust_fp * e.n_links) // o.outw) AS BIGINT) AS s
+            FROM edges e
+            JOIN {prev} r ON e.src_host = r.host
+            JOIN outw o ON e.src_host = o.src_host
+            GROUP BY e.dst_host) c ON n.host = c.host)""")
+    body = ",\n    ".join(ctes)
+    return f"WITH {body}\n    SELECT host, trust_fp FROM r{iterations}"
+
+
+def host_seed_distance(
+    edges: DataFrame,
+    seed_hosts: list[str] = SEED_HOSTS,
+    max_hops: int = MAX_HOPS,
+) -> DataFrame:
+    """edges(src_host, dst_host, n_links) -> (host, dist int): minimum
+    link-hop distance from any seed host, for hosts reachable within
+    `max_hops` (unreachable hosts are absent — matching the SQL twin).
+
+    Min-plus label propagation (BFS frontier as iterative joins) — the
+    unweighted companion to trustrank: `dist` is the integer "how many
+    clicks from a trusted source" signal. Each round joins the distinct
+    edge set to the current distance table on src and folds with a MIN
+    aggregate; the edge set is materialized once (consumed every round)
+    and the per-round shuffle moves only |hosts| distance rows."""
+    cites = (
+        edges.select("src_host", "dst_host").distinct().localCheckpoint()
+    )
+    nodes = (
+        cites.select(F.col("src_host").alias("host"))
+        .unionByName(cites.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    seeds = sorted(seed_hosts)
+    dist = nodes.where(F.col("host").isin(seeds)).select(
+        "host", F.lit(0).cast("int").alias("dist")
+    )
+    for _ in range(max_hops):
+        nxt = cites.join(
+            dist, cites["src_host"] == dist["host"]
+        ).select(
+            F.col("dst_host").alias("host"),
+            (F.col("dist") + 1).cast("int").alias("dist"),
+        )
+        dist = (
+            dist.unionByName(nxt)
+            .groupBy("host")
+            .agg(F.min("dist").cast("int").alias("dist"))
+        )
+    return dist
+
+
+def host_seed_distance_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    seed_hosts: list[str] = SEED_HOSTS,
+    max_hops: int = MAX_HOPS,
+) -> str:
+    seeds = _seed_list_sql(seed_hosts)
+    ctes = [
+        f"""edges AS ({host_link_graph_sql(table, id_col, text_col)})""",
+        """cites AS (SELECT DISTINCT src_host, dst_host FROM edges)""",
+        """nodes AS (
+          SELECT DISTINCT host FROM (
+            SELECT src_host AS host FROM cites
+            UNION ALL SELECT dst_host AS host FROM cites))""",
+        f"""d0 AS (SELECT host, CAST(0 AS INT) AS dist
+                   FROM nodes WHERE host IN ({seeds}))""",
+    ]
+    for it in range(1, max_hops + 1):
+        prev = f"d{it - 1}"
+        ctes.append(f"""d{it} AS (
+          SELECT host, CAST(min(dist) AS INT) AS dist FROM (
+            SELECT host, dist FROM {prev}
+            UNION ALL
+            SELECT e.dst_host AS host, d.dist + 1 AS dist
+            FROM cites e JOIN {prev} d ON e.src_host = d.host
+          ) GROUP BY host)""")
+    body = ",\n    ".join(ctes)
+    return f"WITH {body}\n    SELECT host, dist FROM d{max_hops}"

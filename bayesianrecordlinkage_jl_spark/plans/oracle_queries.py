@@ -1273,6 +1273,37 @@ def build_catalog() -> dict[str, dict]:
         "(iterative-join family beyond the reference's CC; chained-CTE "
         "oracle, dangling mass dropped by documented design)",
     }
+    cat["trustrank_hosts"] = {
+        "spark": lambda s, d: linkgraph.trustrank_hosts(
+            linkgraph.host_link_graph(load(s, d, "documents"), "doc_id", "text")
+        ),
+        "sql": linkgraph.trustrank_hosts_sql("documents", "doc_id", "text"),
+        "ref": "TrustRank — seeded PageRank whose restart mass goes only "
+        "to a literal host whitelist (the web-spam trust signal; same "
+        "bit-strict integer recurrence, chained-CTE oracle)",
+    }
+    cat["host_seed_distance"] = {
+        "spark": lambda s, d: linkgraph.host_seed_distance(
+            linkgraph.host_link_graph(load(s, d, "documents"), "doc_id", "text")
+        ),
+        "sql": linkgraph.host_seed_distance_sql("documents", "doc_id", "text"),
+        "ref": "min link-hop distance from seed hosts (BFS frontier as "
+        "iterative min-plus joins — unweighted companion to trustrank)",
+    }
+
+    # --- boilerplate removal: the transformation on top of span
+    # detection — CCNet-style paragraph dedup with the surviving chunks
+    # re-joined in document order (string_agg ORDER BY / array_sort-of-
+    # structs twins keep the rebuilt text byte-identical). ---
+    cat["boilerplate_strip"] = {
+        "spark": lambda s, d: corpus.boilerplate_strip(
+            load(s, d, "documents"), "doc_id", "text"
+        ),
+        "sql": corpus.boilerplate_strip_sql("documents", "doc_id", "text"),
+        "ref": "repeated-chunk boilerplate strip (CCNet paragraph dedup: "
+        "flag + REMOVE chunks seen in >=2 distinct docs, emit cleaned "
+        "normalized text)",
+    }
 
     # --- text analysis (training-data ops) ---
     cat["text_stats"] = {

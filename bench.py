@@ -142,6 +142,9 @@ def main() -> None:
         "span_sketches",
         "url_canonical",
         "latest_snapshots",
+        "trustrank_hosts",
+        "host_seed_distance",
+        "boilerplate_strip",
     ):
         extra_queries[name], _ = timed_reps(name)
     extras["extra_queries"] = extra_queries

@@ -644,3 +644,51 @@ def test_split_decontamination_bruteforce(docs):
     }
     assert got == want
     assert any(v[1] for v in want.values())  # the fixture must exercise hits
+
+
+def test_boilerplate_strip_semantics(spark):
+    K = corpus.BP_CHUNK_K
+    shared = " ".join(f"tpl{i}" for i in range(K))       # the template chunk
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(K))  # noqa: E731
+    rows = [
+        (1, shared + " " + uniq("a")),       # template first, unique second
+        (2, uniq("b") + " " + shared),       # unique first, template second
+        (3, uniq("c") + " " + uniq("d")),    # fully unique doc
+        (4, shared + " " + shared),          # ALL chunks are template
+        (5, uniq("e") + " " + uniq("e")),    # within-doc repeat only
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in corpus.boilerplate_strip(df, "doc_id", "text").collect()
+    }
+    assert got[1]["n_chunks"] == 2 and got[1]["dup_chunks"] == 1
+    assert got[1]["clean_text"] == uniq("a")
+    assert got[2]["clean_text"] == uniq("b")
+    assert got[3]["dup_chunks"] == 0
+    assert got[3]["clean_text"] == uniq("c") + " " + uniq("d")
+    # every chunk stripped -> empty string (not null)
+    assert got[4]["dup_chunks"] == 2 and got[4]["clean_text"] == ""
+    assert got[4]["dup_frac"] == 1.0
+    # within-document repetition alone is NOT boilerplate (min_docs=2
+    # counts DISTINCT documents)
+    assert got[5]["dup_chunks"] == 0
+    assert got[5]["clean_text"] == uniq("e") + " " + uniq("e")
+
+
+def test_boilerplate_strip_order_preserved(spark):
+    # chunks survive in document order even when duplicates interleave
+    K = corpus.BP_CHUNK_K
+    tpl = " ".join(f"t{i}" for i in range(K))
+    w = lambda tag: " ".join(f"{tag}{i}" for i in range(K))  # noqa: E731
+    rows = [
+        (1, " ".join([w("x"), tpl, w("y"), tpl, w("z")])),
+        (2, tpl),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in corpus.boilerplate_strip(df, "doc_id", "text").collect()
+    }
+    assert got[1]["n_chunks"] == 5 and got[1]["dup_chunks"] == 2
+    assert got[1]["clean_text"] == " ".join([w("x"), w("y"), w("z")])

@@ -62,6 +62,9 @@ QUERIES = [
     "incremental_components",
     "cluster_metrics",
     "bloom_decontamination",
+    "trustrank_hosts",
+    "host_seed_distance",
+    "boilerplate_strip",
 ]
 
 
