@@ -1402,3 +1402,203 @@ def boilerplate_strip_sql(
     FROM ex LEFT JOIN dup ON ex.h = dup.h
     GROUP BY ex.doc_id
     """
+
+# ---------------------------------------------------------------------------
+# longest duplicated span (gaps-and-islands over duplicated shingle runs)
+# ---------------------------------------------------------------------------
+
+
+def longest_dup_span(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """-> (doc_id, n_grams bigint, max_run bigint, max_dup_words bigint):
+    per document, the LONGEST run of consecutive duplicated k-word shingle
+    positions — the "longest duplicated substring" signal of exact-substring
+    dedup (Lee et al. 2022 cut documents at long duplicated spans; the run
+    length r of overlapping duplicated k-grams covers r + k - 1 words).
+    A position is duplicated iff its shingle hash occurs in at least one
+    OTHER document (duplicated_span_stats semantics); docs with no
+    duplicated position report max_run = max_dup_words = 0.
+
+    Plan shape: the island grouping is the classic gaps-and-islands
+    rewrite — idx - row_number() over (doc, idx-order) is constant within
+    a consecutive run — so the whole operator is two window-free hash
+    aggregations plus ONE window partitioned by doc_id (per-partition
+    work bounded by document length, never corpus-wide). The hashed
+    position table is localCheckpoint'ed (consumed by the doc-frequency
+    aggregate AND the island pass)."""
+    hashed = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.transform(
+                T.word_shingles(F.col(text_col), k), lambda s: T.phash(s)
+            ).alias("_gh"),
+        )
+        .groupBy("doc_id")
+        .agg(F.first("_gh").alias("_gh"))
+    )
+    pos = (
+        hashed.select(
+            "doc_id",
+            F.size("_gh").cast("long").alias("n_grams"),
+            F.posexplode("_gh").alias("_i0", "gh"),
+        )
+        .select(
+            "doc_id",
+            "n_grams",
+            (F.col("_i0") + 1).cast("long").alias("idx"),
+            "gh",
+        )
+        .localCheckpoint()
+    )
+    dup_hashes = (
+        pos.select("gh", "doc_id")
+        .distinct()
+        .groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("_ndocs"))
+        .where(F.col("_ndocs") >= 2)
+        .select("gh")
+    )
+    dup_pos = pos.join(dup_hashes, on="gh", how="left_semi")
+    w = Window.partitionBy("doc_id").orderBy(F.asc("idx"))
+    runs = (
+        dup_pos.withColumn("_isl", F.col("idx") - F.row_number().over(w))
+        .groupBy("doc_id", "_isl")
+        .agg(F.count(F.lit(1)).cast("long").alias("_run"))
+        .groupBy("doc_id")
+        .agg(F.max("_run").cast("long").alias("max_run"))
+    )
+    base = pos.select("doc_id", "n_grams").distinct()
+    return base.join(runs, on="doc_id", how="left").select(
+        "doc_id",
+        "n_grams",
+        F.coalesce(F.col("max_run"), F.lit(0)).cast("long").alias("max_run"),
+        F.when(
+            F.col("max_run").isNotNull(), F.col("max_run") + (k - 1)
+        ).otherwise(F.lit(0)).cast("long").alias("max_dup_words"),
+    )
+
+
+def longest_dup_span_sql(
+    table: str, id_col: str, text_col: str, k: int = 8
+) -> str:
+    grams = (
+        f"list_transform({T.word_shingles_sql(text_col, k)}, "
+        f"s -> {T.phash_sql('s')})"
+    )
+    return f"""
+    WITH hashed AS MATERIALIZED (
+      SELECT CAST({id_col} AS BIGINT) AS doc_id, {grams} AS _gh FROM {table}
+    ),
+    pos AS MATERIALIZED (
+      SELECT doc_id, CAST(len(_gh) AS BIGINT) AS n_grams,
+             CAST(i AS BIGINT) AS idx, _gh[i] AS gh
+      FROM hashed, unnest(range(1, len(_gh) + 1)) AS u(i)
+    ),
+    duph AS (
+      SELECT gh FROM (SELECT DISTINCT gh, doc_id FROM pos)
+      GROUP BY gh HAVING count(*) >= 2
+    ),
+    islands AS (
+      SELECT doc_id,
+             idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx)
+               AS _isl
+      FROM pos WHERE gh IN (SELECT gh FROM duph)
+    ),
+    runs AS (
+      SELECT doc_id, CAST(max(_run) AS BIGINT) AS max_run FROM (
+        SELECT doc_id, _isl, count(*) AS _run
+        FROM islands GROUP BY doc_id, _isl
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id, b.n_grams,
+           CAST(coalesce(r.max_run, 0) AS BIGINT) AS max_run,
+           CAST(CASE WHEN r.max_run IS NOT NULL THEN r.max_run + {k - 1}
+                     ELSE 0 END AS BIGINT) AS max_dup_words
+    FROM (SELECT DISTINCT doc_id, n_grams FROM pos) b
+    LEFT JOIN runs r ON b.doc_id = r.doc_id
+    """
+
+
+# ---------------------------------------------------------------------------
+# per-group language profile (Simpson concentration — log-free diversity)
+# ---------------------------------------------------------------------------
+
+
+def group_language_profile(
+    df: DataFrame, group_col: str, lang_col: str
+) -> DataFrame:
+    """-> (grp, n_docs bigint, n_langs bigint, top_lang string,
+    top_lang_docs bigint, simpson double): per-group language mix — the
+    crawl-curation signal for "is this host monolingual or a content
+    farm". `simpson` is the Simpson concentration index
+    sum_l (n_l / n)^2, computed as ONE exact-integer division
+    (sum of squared counts over n^2) so it is bit-portable — the log-free
+    stand-in for entropy (repo invariant bans exp/log in oracle columns).
+    Ties on top_lang break lexicographically (total order).
+
+    Scale shape: one (grp, lang) hash aggregate (map-side combined), then
+    per-group folds over the tiny (grp, lang) table — the corpus is
+    touched once."""
+    by_lang = (
+        df.select(F.col(group_col).alias("grp"), F.col(lang_col).alias("_l"))
+        .groupBy("grp", "_l")
+        .agg(F.count(F.lit(1)).cast("long").alias("_c"))
+    )
+    w = Window.partitionBy("grp").orderBy(F.desc("_c"), F.asc("_l"))
+    top = (
+        by_lang.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select(
+            "grp",
+            F.col("_l").alias("top_lang"),
+            F.col("_c").alias("top_lang_docs"),
+        )
+    )
+    agg = by_lang.groupBy("grp").agg(
+        F.sum("_c").cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_langs"),
+        F.sum(F.col("_c") * F.col("_c")).cast("long").alias("_sumsq"),
+    )
+    return agg.join(top, on="grp").select(
+        "grp",
+        "n_docs",
+        "n_langs",
+        "top_lang",
+        "top_lang_docs",
+        (
+            F.col("_sumsq").cast("double")
+            / (F.col("n_docs") * F.col("n_docs")).cast("double")
+        ).alias("simpson"),
+    )
+
+
+def group_language_profile_sql(
+    table_expr: str, group_col: str, lang_col: str
+) -> str:
+    return f"""
+    WITH by_lang AS (
+      SELECT {group_col} AS grp, {lang_col} AS _l,
+             CAST(count(*) AS BIGINT) AS _c
+      FROM {table_expr} GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT grp, _l AS top_lang, _c AS top_lang_docs FROM (
+        SELECT grp, _l, _c,
+               row_number() OVER (PARTITION BY grp
+                                  ORDER BY _c DESC, _l ASC) AS _rn
+        FROM by_lang
+      ) WHERE _rn = 1
+    ),
+    agg AS (
+      SELECT grp, CAST(sum(_c) AS BIGINT) AS n_docs,
+             CAST(count(*) AS BIGINT) AS n_langs,
+             CAST(sum(_c * _c) AS BIGINT) AS _sumsq
+      FROM by_lang GROUP BY grp
+    )
+    SELECT agg.grp, n_docs, n_langs, top_lang, top_lang_docs,
+           CAST(_sumsq AS DOUBLE)
+             / CAST(n_docs * n_docs AS DOUBLE) AS simpson
+    FROM agg JOIN top ON agg.grp = top.grp
+    """

@@ -1305,6 +1305,42 @@ def build_catalog() -> dict[str, dict]:
         "normalized text)",
     }
 
+    # --- longest duplicated span: the gaps-and-islands companion to
+    # dup_span_stats (run length of CONSECUTIVE duplicated shingle
+    # positions — the exact-substring-dedup cut signal). ---
+    cat["longest_dup_span"] = {
+        "spark": lambda s, d: corpus.longest_dup_span(
+            load(s, d, "documents"), "doc_id", "text", k=SPAN_K
+        ),
+        "sql": corpus.longest_dup_span_sql("documents", "doc_id", "text", k=SPAN_K),
+        "ref": "longest duplicated substring per doc (consecutive "
+        "duplicated k-gram runs via idx - row_number islands; one "
+        "doc-partitioned window, never corpus-wide)",
+    }
+
+    # --- per-host language mix (Simpson concentration: the log-free
+    # diversity index, one exact-integer division -> bit-strict) ---
+    cat["host_language_profile"] = {
+        "spark": lambda s, d: corpus.group_language_profile(
+            load(s, d, "documents").select(
+                linkgraph.page_host("doc_id").alias("host"), "lang"
+            ),
+            "host",
+            "lang",
+        ).withColumnRenamed("grp", "host"),
+        "sql": "SELECT grp AS host, n_docs, n_langs, top_lang, "
+        "top_lang_docs, simpson FROM ("
+        + corpus.group_language_profile_sql(
+            f"(SELECT {linkgraph.page_host_sql('doc_id')} AS host, lang "
+            "FROM documents)",
+            "host",
+            "lang",
+        )
+        + ")",
+        "ref": "per-host language mix profile (monolingual vs content-farm "
+        "signal; Simpson concentration replaces entropy — no logs)",
+    }
+
     # --- text analysis (training-data ops) ---
     cat["text_stats"] = {
         "spark": lambda s, d: load(s, d, "documents")

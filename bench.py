@@ -145,6 +145,8 @@ def main() -> None:
         "trustrank_hosts",
         "host_seed_distance",
         "boilerplate_strip",
+        "longest_dup_span",
+        "host_language_profile",
     ):
         extra_queries[name], _ = timed_reps(name)
     extras["extra_queries"] = extra_queries

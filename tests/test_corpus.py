@@ -692,3 +692,74 @@ def test_boilerplate_strip_order_preserved(spark):
     }
     assert got[1]["n_chunks"] == 5 and got[1]["dup_chunks"] == 2
     assert got[1]["clean_text"] == " ".join([w("x"), w("y"), w("z")])
+
+
+def test_longest_dup_span_bruteforce(docs):
+    k = 4
+    out = (
+        corpus.longest_dup_span(docs, "doc_id", "text", k=k)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    pdf = docs.toPandas()
+    gram_docs: dict[int, set[int]] = {}
+    per_doc: dict[int, list[int]] = {}
+    for _, r in pdf.iterrows():
+        hs = [_phash(g) for g in _grams(r["text"], k)]
+        per_doc[r["doc_id"]] = hs
+        for h in set(hs):
+            gram_docs.setdefault(h, set()).add(r["doc_id"])
+    for did, hs in per_doc.items():
+        best = run = 0
+        for h in hs:
+            run = run + 1 if len(gram_docs[h]) >= 2 else 0
+            best = max(best, run)
+        assert out.loc[did, "n_grams"] == len(hs)
+        assert out.loc[did, "max_run"] == best, did
+        want_words = best + k - 1 if best else 0
+        assert out.loc[did, "max_dup_words"] == want_words, did
+    # the exact-dup pair is one unbroken run covering the whole doc
+    assert out.loc[0, "max_run"] == out.loc[0, "n_grams"]
+    # the unrelated doc has no duplicated span at all
+    assert out.loc[5, "max_run"] == 0 and out.loc[5, "max_dup_words"] == 0
+
+
+def test_longest_dup_span_interrupted_run(spark):
+    # two docs share a long prefix AND a long suffix with a unique middle:
+    # the max run must be the longer shared block, not the sum
+    pre = " ".join(f"p{i}" for i in range(6))
+    suf = " ".join(f"s{i}" for i in range(9))
+    rows = [
+        (1, f"{pre} uniqmid1a uniqmid1b {suf}"),
+        (2, f"{pre} uniqmid2a uniqmid2b uniqmid2c {suf}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    k = 4
+    got = {
+        r["doc_id"]: r
+        for r in corpus.longest_dup_span(df, "doc_id", "text", k=k).collect()
+    }
+    # shared suffix has 9 words -> 9-k+1 = 6 consecutive duplicated grams
+    assert got[1]["max_run"] == 6 and got[1]["max_dup_words"] == 9
+    assert got[2]["max_run"] == 6 and got[2]["max_dup_words"] == 9
+
+
+def test_group_language_profile_replica(spark):
+    rows = [
+        ("h1", "en"), ("h1", "en"), ("h1", "de"),
+        ("h2", "fr"),
+        ("h3", "en"), ("h3", "de"),  # tie -> lexicographically smaller lang
+    ]
+    df = spark.createDataFrame(rows, "host string, lang string")
+    got = {
+        r["grp"]: r
+        for r in corpus.group_language_profile(df, "host", "lang").collect()
+    }
+    h1 = got["h1"]
+    assert (h1["n_docs"], h1["n_langs"]) == (3, 2)
+    assert (h1["top_lang"], h1["top_lang_docs"]) == ("en", 2)
+    assert h1["simpson"] == (4 + 1) / 9.0
+    assert got["h2"]["simpson"] == 1.0 and got["h2"]["top_lang"] == "fr"
+    assert got["h3"]["top_lang"] == "de"  # tie broken lexicographically
+    assert got["h3"]["simpson"] == (1 + 1) / 4.0

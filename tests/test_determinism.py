@@ -65,6 +65,8 @@ QUERIES = [
     "trustrank_hosts",
     "host_seed_distance",
     "boilerplate_strip",
+    "longest_dup_span",
+    "host_language_profile",
 ]
 
 
