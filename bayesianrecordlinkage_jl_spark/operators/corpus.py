@@ -1602,3 +1602,76 @@ def group_language_profile_sql(
              / CAST(n_docs * n_docs AS DOUBLE) AS simpson
     FROM agg JOIN top ON agg.grp = top.grp
     """
+
+# ---------------------------------------------------------------------------
+# per-source token-budget selection (quality-ranked prefix under budget)
+# ---------------------------------------------------------------------------
+
+
+def token_budget_select(
+    scored: DataFrame,
+    budget_tokens: int,
+    source_col: str = "source",
+    score_col: str = "raw_score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """scored(doc_id, source, raw_score, n_tokens, ...) -> the selected
+    rows (doc_id, source, raw_score, n_tokens, sel_rank int, cum_tokens
+    bigint): per source, documents ranked by quality (score desc, id asc
+    — total order) and kept while the RUNNING token total stays within
+    `budget_tokens` — the "best data first, cut at the compute budget"
+    curriculum-selection step (the data-constrained-scaling recipe:
+    rank by a quality model, take the top slice that fits the token
+    budget). Take-while semantics: selection is the maximal quality-
+    ranked PREFIX whose cumulative tokens <= budget (a later smaller doc
+    does NOT backfill — keeps the rule window-expressible and the output
+    a deterministic function of the ranking).
+
+    Scale shape: ONE window per source (rank + running sum share the
+    same (source, score desc, id) sort — Catalyst evaluates both in a
+    single Window node); per-partition work is bounded by docs-per-source.
+    The budget filter cannot use WindowGroupLimit (the cut depends on the
+    running SUM, not a row count), so the per-source sort is the honest
+    cost — at 100 TB, sources are the natural partition unit and the sort
+    is per-source, never global."""
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.desc(score_col), F.asc(id_col))
+    )
+    return (
+        scored.select(
+            id_col, source_col, score_col, tokens_col,
+            F.row_number().over(w).cast("int").alias("sel_rank"),
+            F.sum(tokens_col)
+            .over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("long")
+            .alias("cum_tokens"),
+        )
+        .where(F.col("cum_tokens") <= budget_tokens)
+    )
+
+
+def token_budget_select_sql(
+    scored_expr: str,
+    budget_tokens: int,
+    source_col: str = "source",
+    score_col: str = "raw_score",
+    tokens_col: str = "n_tokens",
+    id_col: str = "doc_id",
+) -> str:
+    order = f"{score_col} DESC, {id_col} ASC"
+    return f"""
+    SELECT {id_col}, {source_col}, {score_col}, {tokens_col},
+           sel_rank, cum_tokens
+    FROM (
+      SELECT {id_col}, {source_col}, {score_col}, {tokens_col},
+             CAST(row_number() OVER (PARTITION BY {source_col}
+                                     ORDER BY {order}) AS INT) AS sel_rank,
+             CAST(sum({tokens_col}) OVER (
+                    PARTITION BY {source_col} ORDER BY {order}
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS cum_tokens
+      FROM {scored_expr}
+    ) WHERE cum_tokens <= {budget_tokens}
+    """

@@ -539,3 +539,124 @@ def host_seed_distance_sql(
           ) GROUP BY host)""")
     body = ",\n    ".join(ctes)
     return f"WITH {body}\n    SELECT host, dist FROM d{max_hops}"
+
+
+# --- SALSA hub/authority scores ---------------------------------------------
+
+SALSA_ITERS = 3
+
+
+def salsa_hosts(
+    edges: DataFrame, iterations: int = SALSA_ITERS
+) -> DataFrame:
+    """edges(src_host, dst_host, n_links) -> (host, hub_fp bigint,
+    auth_fp bigint).
+
+    SALSA (Lempel & Moran 2001): HITS' mutual hub/authority recursion
+    with random-walk normalization — each step divides by the node's own
+    out-/in-weight, so (unlike raw HITS) scores never grow and the whole
+    recurrence stays in bounded FIXED-POINT INTEGERS (the pagerank_hosts
+    discipline: order-independent sums, floor division identical to
+    DuckDB `//` on non-negative longs, bit-strict oracle):
+
+      h0(x)  = RANK_SCALE
+      a_i(y) = sum over edges x->y of (h_{i-1}(x) * w) div outw(x)
+      h_i(x) = sum over edges x->y of (a_i(y)     * w) div inw(y)
+
+    Total mass can only shrink (floor drops), so no overflow at any graph
+    size. Nodes with no in-edges report auth_fp = 0; no out-edges ->
+    hub_fp = 0. Scale shape: edges materialized once; each half-step is
+    one join (rank rows only) + one map-side-combined aggregate."""
+    edges = edges.localCheckpoint()
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    outw = edges.groupBy("src_host").agg(
+        F.sum("n_links").cast("long").alias("outw")
+    )
+    inw = edges.groupBy("dst_host").agg(
+        F.sum("n_links").cast("long").alias("inw")
+    )
+    wedges = edges.join(outw, "src_host").join(inw, "dst_host")
+    hubs = nodes.withColumn("hub_fp", F.lit(RANK_SCALE).cast("long"))
+    auths = None
+    for _ in range(iterations):
+        auths = (
+            wedges.join(hubs, wedges["src_host"] == hubs["host"])
+            .select(
+                F.col("dst_host").alias("host"),
+                F.expr("(hub_fp * n_links) div outw").alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        auths = nodes.join(auths, "host", "left").select(
+            "host",
+            F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("auth_fp"),
+        )
+        hubs = (
+            wedges.join(auths, wedges["dst_host"] == auths["host"])
+            .select(
+                F.col("src_host").alias("host"),
+                F.expr("(auth_fp * n_links) div inw").alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").cast("long").alias("s"))
+        )
+        hubs = nodes.join(hubs, "host", "left").select(
+            "host",
+            F.coalesce(F.col("s"), F.lit(0)).cast("long").alias("hub_fp"),
+        )
+    # hubs and auths each already carry every node (0-defaulted)
+    return hubs.join(auths, "host").select("host", "hub_fp", "auth_fp")
+
+
+def salsa_hosts_sql(
+    table: str, id_col: str, text_col: str, iterations: int = SALSA_ITERS
+) -> str:
+    ctes = [
+        f"""edges AS ({host_link_graph_sql(table, id_col, text_col)})""",
+        """nodes AS (
+          SELECT DISTINCT host FROM (
+            SELECT src_host AS host FROM edges
+            UNION ALL SELECT dst_host AS host FROM edges))""",
+        """outw AS (
+          SELECT src_host, CAST(sum(n_links) AS BIGINT) AS outw
+          FROM edges GROUP BY src_host)""",
+        """inw AS (
+          SELECT dst_host, CAST(sum(n_links) AS BIGINT) AS inw
+          FROM edges GROUP BY dst_host)""",
+        f"""h0 AS (SELECT host, CAST({RANK_SCALE} AS BIGINT) AS hub_fp
+                   FROM nodes)""",
+    ]
+    for it in range(1, iterations + 1):
+        ctes.append(f"""a{it} AS (
+          SELECT n.host,
+                 CAST(COALESCE(c.s, 0) AS BIGINT) AS auth_fp
+          FROM nodes n LEFT JOIN (
+            SELECT e.dst_host AS host,
+                   CAST(sum((h.hub_fp * e.n_links) // o.outw) AS BIGINT) AS s
+            FROM edges e
+            JOIN h{it - 1} h ON e.src_host = h.host
+            JOIN outw o ON e.src_host = o.src_host
+            GROUP BY e.dst_host) c ON n.host = c.host)""")
+        ctes.append(f"""h{it} AS (
+          SELECT n.host,
+                 CAST(COALESCE(c.s, 0) AS BIGINT) AS hub_fp
+          FROM nodes n LEFT JOIN (
+            SELECT e.src_host AS host,
+                   CAST(sum((a.auth_fp * e.n_links) // i.inw) AS BIGINT) AS s
+            FROM edges e
+            JOIN a{it} a ON e.dst_host = a.host
+            JOIN inw i ON e.dst_host = i.dst_host
+            GROUP BY e.src_host) c ON n.host = c.host)""")
+    body = ",\n    ".join(ctes)
+    return (
+        f"WITH {body}\n    "
+        f"SELECT n.host, COALESCE(h.hub_fp, 0) AS hub_fp, "
+        f"COALESCE(a.auth_fp, 0) AS auth_fp\n    "
+        f"FROM nodes n LEFT JOIN h{iterations} h ON n.host = h.host\n    "
+        f"LEFT JOIN a{iterations} a ON n.host = a.host"
+    )

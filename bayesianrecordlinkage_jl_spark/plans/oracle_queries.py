@@ -55,6 +55,7 @@ SEARCH_QUERIES = {1: ("spark", "window"), 2: ("customer", "join", "table")}
 # sources all exercised (src names are stable across SFs in the fixture)
 MIXTURE_RATES = {"src0": 2.5, "src1": 2.0, "src2": 0.5, "src3": 0.25, "src19": 0.0}
 VOCAB_K = 50
+TOKEN_BUDGET = 600  # per-source token budget: cuts a STRICT prefix at sf0.01
 # 80/10/10 + SPAN_K gives real cross-split span collisions at sf0.01
 # (near-dup planted docs landing on opposite sides of the hash split)
 DECON_SPLITS = {"train": 80, "val": 10, "test": 10}
@@ -1339,6 +1340,46 @@ def build_catalog() -> dict[str, dict]:
         + ")",
         "ref": "per-host language mix profile (monolingual vs content-farm "
         "signal; Simpson concentration replaces entropy — no logs)",
+    }
+
+    # --- SALSA hub/authority (the HITS-family mutual recursion with
+    # random-walk normalization — bounded integers, no overflow) ---
+    cat["salsa_hosts"] = {
+        "spark": lambda s, d: linkgraph.salsa_hosts(
+            linkgraph.host_link_graph(load(s, d, "documents"), "doc_id", "text")
+        ),
+        "sql": linkgraph.salsa_hosts_sql("documents", "doc_id", "text"),
+        "ref": "SALSA hub/authority scores (Lempel-Moran: HITS recursion "
+        "with per-node out-/in-weight normalization; fixed-point integer, "
+        "chained-CTE oracle)",
+    }
+
+    # --- quality-ranked token-budget selection (curriculum cut) ---
+    def _budget_scored_spark(s, d):
+        docs = load(s, d, "documents")
+        q = corpus.quality_classifier(docs, "doc_id", "text").select(
+            "doc_id", "n_tokens", "raw_score"
+        )
+        return q.join(
+            docs.select(
+                F.col("doc_id").cast("long").alias("doc_id"), "source"
+            ),
+            on="doc_id",
+        )
+
+    _budget_scored_sql = (
+        "(SELECT q.doc_id, d.source, q.raw_score, q.n_tokens FROM ("
+        + corpus.quality_classifier_sql("documents", "doc_id", "text")
+        + ") q JOIN documents d ON q.doc_id = CAST(d.doc_id AS BIGINT))"
+    )
+    cat["token_budget_curriculum"] = {
+        "spark": lambda s, d: corpus.token_budget_select(
+            _budget_scored_spark(s, d), TOKEN_BUDGET
+        ),
+        "sql": corpus.token_budget_select_sql(_budget_scored_sql, TOKEN_BUDGET),
+        "ref": "per-source quality-ranked token-budget selection (take the "
+        "best-scored prefix that fits the token budget — curriculum / "
+        "data-constrained-scaling cut; one shared window per source)",
     }
 
     # --- text analysis (training-data ops) ---

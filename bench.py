@@ -147,6 +147,8 @@ def main() -> None:
         "boilerplate_strip",
         "longest_dup_span",
         "host_language_profile",
+        "salsa_hosts",
+        "token_budget_curriculum",
     ):
         extra_queries[name], _ = timed_reps(name)
     extras["extra_queries"] = extra_queries

@@ -763,3 +763,33 @@ def test_group_language_profile_replica(spark):
     assert got["h2"]["simpson"] == 1.0 and got["h2"]["top_lang"] == "fr"
     assert got["h3"]["top_lang"] == "de"  # tie broken lexicographically
     assert got["h3"]["simpson"] == (1 + 1) / 4.0
+
+
+def test_token_budget_select_take_while(spark):
+    # source s1 ranked by score desc: d1(100 tok), d2(big 900), d3(50).
+    # budget 200: d1 fits (cum 100), d2 overflows (cum 1000) -> the prefix
+    # STOPS; d3 is NOT backfilled even though it would fit. s2 independent.
+    rows = [
+        (1, "s1", 9, 100), (2, "s1", 8, 900), (3, "s1", 7, 50),
+        (4, "s2", 1, 150), (5, "s2", 0, 40),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, raw_score long, n_tokens long"
+    )
+    got = {
+        r["doc_id"]: r
+        for r in corpus.token_budget_select(df, 200).collect()
+    }
+    assert set(got) == {1, 4, 5}
+    assert got[1]["sel_rank"] == 1 and got[1]["cum_tokens"] == 100
+    assert got[4]["cum_tokens"] == 150 and got[5]["cum_tokens"] == 190
+
+
+def test_token_budget_select_tiebreak_by_id(spark):
+    # equal scores: smaller doc_id ranks first and takes the budget
+    rows = [(10, "s", 5, 80), (2, "s", 5, 80), (30, "s", 5, 80)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, source string, raw_score long, n_tokens long"
+    )
+    got = corpus.token_budget_select(df, 160).collect()
+    assert sorted(r["doc_id"] for r in got) == [2, 10]

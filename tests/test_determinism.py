@@ -67,6 +67,8 @@ QUERIES = [
     "boilerplate_strip",
     "longest_dup_span",
     "host_language_profile",
+    "salsa_hosts",
+    "token_budget_curriculum",
 ]
 
 

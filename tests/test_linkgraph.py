@@ -293,3 +293,56 @@ def test_seed_distance_hop_cap_and_min(spark):
         for r in LG.host_seed_distance(edges2, max_hops=4).collect()
     }
     assert "e" not in got2 and got2["d"] == 4
+
+
+def _replica_salsa(edges: dict, iters: int) -> dict:
+    nodes = {h for e in edges for h in e}
+    outw: dict = {}
+    inw: dict = {}
+    for (s, d), w in edges.items():
+        outw[s] = outw.get(s, 0) + w
+        inw[d] = inw.get(d, 0) + w
+    h = {x: LG.RANK_SCALE for x in nodes}
+    a = {x: 0 for x in nodes}
+    for _ in range(iters):
+        a = {x: 0 for x in nodes}
+        for (s, d), w in edges.items():
+            a[d] += (h[s] * w) // outw[s]
+        h = {x: 0 for x in nodes}
+        for (s, d), w in edges.items():
+            h[s] += (a[d] * w) // inw[d]
+    return {x: (h[x], a[x]) for x in nodes}
+
+
+def test_salsa_matches_replica(spark, docs_pdf):
+    edges: dict = {}
+    for doc_id, _pos, src, href in _expected_links(docs_pdf):
+        dst = href.split("https://")[1].split("/")[0]
+        edges[(src, dst)] = edges.get((src, dst), 0) + 1
+    exp = _replica_salsa(edges, LG.SALSA_ITERS)
+    graph = LG.host_link_graph(
+        spark.read.parquet(f"{SF}/documents.parquet"), "doc_id", "text"
+    )
+    got = {
+        r["host"]: (r["hub_fp"], r["auth_fp"])
+        for r in LG.salsa_hosts(graph).collect()
+    }
+    assert got == exp
+
+
+def test_salsa_mass_bounded_and_sinks(spark):
+    # pure chain a -> b -> c: c is a pure authority (hub 0), a a pure hub
+    # (auth 0); every score stays within the initial mass (no blowup)
+    edges = spark.createDataFrame(
+        [("a", "b", 2), ("b", "c", 1)],
+        "src_host string, dst_host string, n_links long",
+    )
+    got = {
+        r["host"]: (r["hub_fp"], r["auth_fp"])
+        for r in LG.salsa_hosts(edges, iterations=2).collect()
+    }
+    assert got["a"][1] == 0          # nothing points at a
+    assert got["c"][0] == 0          # c points at nothing
+    for hub, auth in got.values():
+        assert 0 <= hub <= 2 * LG.RANK_SCALE
+        assert 0 <= auth <= 2 * LG.RANK_SCALE
