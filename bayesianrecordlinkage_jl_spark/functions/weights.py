@@ -100,3 +100,24 @@ def bayesrule_posterior(w: Column, p: float) -> Column:
 def bayesrule_posterior_sql(w: str, p: float) -> str:
     logit_p = math.log(p / (1.0 - p))
     return f"1.0e0 / (1.0e0 + exp(-({_dlit(logit_p)} + {w})))"
+
+
+def fs_decision(w: Column, lower: float, upper: float) -> Column:
+    """Fellegi-Sunter three-way decision rule (the 1969 paper's A1/A2/A3
+    regions; /root/reference applies single thresholds via weight cutoffs,
+    e.g. src/weight_functions.jl shrink/penalized forms — the clerical
+    band is the classical operating mode between them):
+    'match' if w >= upper, 'nonmatch' if w < lower, else 'clerical'."""
+    return (
+        F.when(w >= F.lit(float(upper)), F.lit("match"))
+        .when(w < F.lit(float(lower)), F.lit("nonmatch"))
+        .otherwise(F.lit("clerical"))
+    )
+
+
+def fs_decision_sql(w: str, lower: float, upper: float) -> str:
+    return (
+        f"CASE WHEN {w} >= {_dlit(float(upper))} THEN 'match' "
+        f"WHEN {w} < {_dlit(float(lower))} THEN 'nonmatch' "
+        f"ELSE 'clerical' END"
+    )

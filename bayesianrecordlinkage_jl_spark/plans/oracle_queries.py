@@ -56,6 +56,10 @@ SEARCH_QUERIES = {1: ("spark", "window"), 2: ("customer", "join", "table")}
 MIXTURE_RATES = {"src0": 2.5, "src1": 2.0, "src2": 0.5, "src3": 0.25, "src19": 0.0}
 VOCAB_K = 50
 TOKEN_BUDGET = 600  # per-source token budget: cuts a STRICT prefix at sf0.01
+# FS decision thresholds: all three bands non-empty at every SF
+# (sf0.001: 1/53/1409, sf0.01: 2/53/1566, sf0.1: 67/5083/154143)
+FS_LOWER, FS_UPPER = -1.0, 2.0
+REVIEW_K = 200  # clerical-review queue capacity (top-k by weight)
 # 80/10/10 + SPAN_K gives real cross-split span collisions at sf0.01
 # (near-dup planted docs landing on opposite sides of the hash split)
 DECON_SPLITS = {"train": 80, "val": 10, "test": 10}
@@ -1380,6 +1384,68 @@ def build_catalog() -> dict[str, dict]:
         "ref": "per-source quality-ranked token-budget selection (take the "
         "best-scored prefix that fits the token budget — curriculum / "
         "data-constrained-scaling cut; one shared window per source)",
+    }
+
+    # --- Fellegi-Sunter three-way decision rule (the 1969 A1/A2/A3
+    # regions): band counts are one aggregate; the clerical-review queue
+    # is a capacity-capped top-k (rank<=K compiles to WindowGroupLimit —
+    # partial top-k per map partition, never a global sort). ---
+    _dec_sql = W.fs_decision_sql("w", FS_LOWER, FS_UPPER)
+    cat["fs_decision_counts"] = {
+        "spark": lambda s, d: _scored_pairs_spark(s, d)
+        .select(W.fs_decision(F.col("w"), FS_LOWER, FS_UPPER).alias("decision"))
+        .groupBy("decision")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")),
+        "sql": f"""
+        SELECT {_dec_sql} AS decision, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM ({_weighted_pairs_sql()}) GROUP BY 1
+        """,
+        "ref": "Fellegi-Sunter 1969 decision regions over the weight "
+        "field (match / clerical / nonmatch band volumetrics)",
+    }
+    cat["fs_review_queue"] = {
+        "spark": lambda s, d: _scored_pairs_spark(s, d)
+        .where(
+            (F.col("w") >= F.lit(FS_LOWER)) & (F.col("w") < F.lit(FS_UPPER))
+        )
+        .withColumn(
+            "review_rank",
+            F.row_number()
+            .over(
+                Window.orderBy(
+                    F.desc("w"), F.asc("id_a"), F.asc("id_b")
+                )
+            )
+            .cast("int"),
+        )
+        .where(F.col("review_rank") <= REVIEW_K)
+        .select("review_rank", "id_a", "id_b", "w"),
+        "sql": f"""
+        SELECT review_rank, id_a, id_b, w FROM (
+          SELECT CAST(row_number() OVER (
+                   ORDER BY w DESC, id_a ASC, id_b ASC) AS INT)
+                   AS review_rank,
+                 id_a, id_b, w
+          FROM ({_weighted_pairs_sql()})
+          WHERE w >= {FS_LOWER!r}e0 AND w < {FS_UPPER!r}e0
+        ) WHERE review_rank <= {REVIEW_K}
+        """,
+        "ref": "clerical-review queue: ambiguous band ranked by weight "
+        "(highest-evidence ambiguous pairs reviewed first; capacity-capped "
+        "top-k so the sort is partial, never global)",
+    }
+
+    # --- triangle counting / local clustering coefficient over the host
+    # graph (degree-ordered orientation — each triangle emitted once,
+    # wedge fan-out bounded even on skew-hot hosts) ---
+    cat["host_triangles"] = {
+        "spark": lambda s, d: linkgraph.host_triangles(
+            linkgraph.host_link_graph(load(s, d, "documents"), "doc_id", "text")
+        ),
+        "sql": linkgraph.host_triangles_sql("documents", "doc_id", "text"),
+        "ref": "per-host triangle count + local clustering coefficient "
+        "(degree-ordered orientation: oriented out-degree is O(sqrt(|E|)) "
+        "so hot hosts cannot explode the wedge join)",
     }
 
     # --- text analysis (training-data ops) ---

@@ -149,6 +149,8 @@ def main() -> None:
         "host_language_profile",
         "salsa_hosts",
         "token_budget_curriculum",
+        "fs_review_queue",
+        "host_triangles",
     ):
         extra_queries[name], _ = timed_reps(name)
     extras["extra_queries"] = extra_queries

@@ -69,6 +69,9 @@ QUERIES = [
     "host_language_profile",
     "salsa_hosts",
     "token_budget_curriculum",
+    "fs_decision_counts",
+    "fs_review_queue",
+    "host_triangles",
 ]
 
 

@@ -91,3 +91,24 @@ def test_maximum_weights_vector():
     w = em.maximum_weights_vector(dv, ["g1"], [p1, p2])["w"].tolist()
     assert w[0] == pytest.approx(max(math.log(0.9 / 0.5), math.log(0.6 / 0.1)))
     assert w[1] == pytest.approx(max(math.log(0.1 / 0.5), math.log(0.4 / 0.9)))
+
+
+def test_fs_decision_band_edges(spark):
+    from bayesianrecordlinkage_jl_spark.functions import weights as W
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(2.0,), (1.999999,), (-1.0,), (-1.000001,), (5.0,), (-9.0,)],
+        "w double",
+    )
+    got = [
+        r["d"]
+        for r in df.select(
+            F.col("w"), W.fs_decision(F.col("w"), -1.0, 2.0).alias("d")
+        ).orderBy(F.desc("w")).collect()
+    ]
+    # 5.0, 2.0 -> match (upper inclusive); 1.999999, -1.0 -> clerical
+    # (lower inclusive); -1.000001, -9.0 -> nonmatch
+    assert got == [
+        "match", "match", "clerical", "clerical", "nonmatch", "nonmatch"
+    ]
