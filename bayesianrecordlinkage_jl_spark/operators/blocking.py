@@ -18,7 +18,7 @@ never a theta cross-join. Pair orientation: id_a < id_b everywhere.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions import text as T
 
@@ -361,3 +361,171 @@ def blocking_quality_sql(
                       FROM ({truth_sql}))::DOUBLE AS completeness
         """)
     return " UNION ALL ".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# sorted-neighborhood blocking (SNM)
+# ---------------------------------------------------------------------------
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key: Column,
+    window: int,
+    bucket_len: int = 1,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernandez & Stolfo 1995): total-order
+    the records by a sort key and emit every pair within a sliding window
+    of `window` consecutive rows -> (id_a, id_b, gap, key_a, key_b) with
+    id_a the lower-ranked endpoint and gap = rank distance (1..window-1).
+
+    The classic complement to equi-key blocking: catches near-matches that
+    key blocking splits (typo in the blocking key) because closeness in
+    sort order, not key equality, drives candidate generation.
+
+    Scale shape (the reason this is not one global row_number): a bare
+    `row_number() OVER (ORDER BY key)` funnels the corpus through ONE
+    partition. Instead the global rank is composed from (a) a within-bucket
+    row_number partitioned by a `bucket_len`-char PREFIX of the key (prefix
+    => bucket order is consistent with key order) and (b) per-bucket offsets
+    from a tiny bucket-count aggregate (|buckets| rows; cumulative-summed on
+    a single partition and broadcast back). The pair join is then an
+    EQUI-join on rank: each row explodes `window-1` probe ranks
+    (rank + 1 .. rank + window-1) and joins rank-to-rank — never a theta
+    join, and AQE sees a uniformly keyed integer join. Keys must be ASCII
+    (binary collation identical in Spark and DuckDB); total order is
+    (key, id) so ties are deterministic.
+    """
+    base = df.select(F.col(id_col).alias("_id"), key.alias("_key")).withColumn(
+        "_bucket", F.substring(F.col("_key"), 1, bucket_len)
+    )
+    wb = Window.partitionBy("_bucket").orderBy("_key", "_id")
+    ranked = base.withColumn("_r", F.row_number().over(wb))
+    counts = base.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+    woff = (
+        Window.orderBy("_bucket").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "_off", F.coalesce(F.sum("_n").over(woff), F.lit(0))
+    ).select("_bucket", "_off")
+    g = ranked.join(F.broadcast(offsets), on="_bucket").select(
+        "_id", "_key", (F.col("_r") + F.col("_off")).alias("_grank")
+    )
+    probes = g.select(
+        F.col("_id").alias("id_a"),
+        F.col("_key").alias("key_a"),
+        F.explode(F.sequence(F.lit(1), F.lit(window - 1))).alias("gap"),
+        (F.col("_grank") + F.col("gap")).alias("_grank"),
+    )
+    return probes.join(g, on="_grank").select(
+        "id_a",
+        F.col("_id").alias("id_b"),
+        F.col("gap").cast("int").alias("gap"),
+        "key_a",
+        F.col("_key").alias("key_b"),
+    )
+
+
+def sorted_neighborhood_pairs_sql(
+    table: str, id_col: str, key_sql: str, window: int
+) -> str:
+    """DuckDB twin: one global row_number (fine at oracle scale) + a rank
+    band join — same (key, id) total order, same pair set."""
+    return f"""
+    WITH snm_base AS (SELECT {id_col} AS _id, {key_sql} AS _key FROM {table}),
+    snm_r AS (SELECT _id, _key,
+                     row_number() OVER (ORDER BY _key, _id) AS _grank
+              FROM snm_base)
+    SELECT a._id AS id_a, b._id AS id_b,
+           CAST(b._grank - a._grank AS INT) AS gap,
+           a._key AS key_a, b._key AS key_b
+    FROM snm_r a JOIN snm_r b
+      ON b._grank > a._grank AND b._grank <= a._grank + {window - 1}
+    """
+
+
+# ---------------------------------------------------------------------------
+# meta-blocking (token blocking -> block graph -> weight pruning)
+# ---------------------------------------------------------------------------
+
+
+def meta_blocking_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_df: int = 2,
+    max_df: int = 40,
+) -> DataFrame:
+    """Token blocking + CBS meta-blocking (Papadakis et al., TKDE 2014):
+    every distinct token is a block; candidate pairs are weighted by how
+    many blocks they co-occur in (Common Blocks Scheme) and pruned by the
+    Weighted Edge Pruning rule (keep weight >= global mean weight).
+    -> (id_a, id_b, cbs) for surviving pairs.
+
+    Big-data ER standard for schema-free/dirty sources where no curated
+    blocking key exists (the web-page case): redundancy-positive blocks
+    first, then the block graph is thinned before any comparator runs.
+
+    Scale shape: block purging ([min_df, max_df] document frequency) both
+    drops stopword mega-blocks (the skew) and BOUNDS every block's pair
+    count at max_df^2 — no salting needed after the purge. The CBS weight
+    is a map-side-combined pair-count aggregate; the WEP threshold is one
+    scalar aggregate broadcast back (integer sum / count, division exact
+    in both engines). No theta joins anywhere.
+    """
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.array_distinct(T.tokens(F.col(text_col)))).alias("_tok"),
+    )
+    dfreq = toks.groupBy("_tok").agg(F.count(F.lit(1)).alias("_df"))
+    kept = toks.join(
+        F.broadcast(
+            dfreq.where(
+                (F.col("_df") >= min_df) & (F.col("_df") <= max_df)
+            ).select("_tok")
+        ),
+        on="_tok",
+    )
+    a = kept.select(F.col("_id").alias("id_a"), "_tok")
+    b = kept.select(F.col("_id").alias("id_b"), "_tok")
+    weighted = (
+        a.join(b, on="_tok")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("cbs"))
+    )
+    thresh = weighted.agg(
+        (
+            F.sum("cbs").cast("double") / F.count(F.lit(1)).cast("double")
+        ).alias("_mean")
+    )
+    return (
+        weighted.crossJoin(F.broadcast(thresh))
+        .where(F.col("cbs").cast("double") >= F.col("_mean"))
+        .select("id_a", "id_b", "cbs")
+    )
+
+
+def meta_blocking_pairs_sql(
+    table: str, id_col: str, text_col: str, min_df: int = 2, max_df: int = 40
+) -> str:
+    toks = T.tokens_sql(text_col)
+    return f"""
+    WITH mb_toks AS (
+      SELECT {id_col} AS _id, unnest(list_distinct({toks})) AS _tok
+      FROM {table}),
+    mb_kept AS (
+      SELECT _id, _tok FROM mb_toks
+      WHERE _tok IN (SELECT _tok FROM mb_toks GROUP BY _tok
+                     HAVING count(*) >= {min_df} AND count(*) <= {max_df})),
+    mb_w AS (
+      SELECT a._id AS id_a, b._id AS id_b, CAST(count(*) AS BIGINT) AS cbs
+      FROM mb_kept a JOIN mb_kept b
+        ON a._tok = b._tok AND a._id < b._id
+      GROUP BY a._id, b._id)
+    SELECT id_a, id_b, cbs FROM mb_w
+    WHERE CAST(cbs AS DOUBLE) >=
+          (SELECT CAST(sum(cbs) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+           FROM mb_w)
+    """

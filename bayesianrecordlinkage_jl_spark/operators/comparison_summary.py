@@ -133,3 +133,88 @@ class ComparisonSummary:
                 self.dvecs.orderBy("vec_id").toPandas().reset_index(drop=True)
             )
         return self._dvecs_pd
+
+
+# ---------------------------------------------------------------------------
+# value-specific (frequency-based) agreement weights — Winkler 1989
+# ---------------------------------------------------------------------------
+
+
+def value_specific_weights(
+    ra: DataFrame,
+    rb: DataFrame,
+    id_col: str,
+    value_col: str,
+    m_prob: float,
+    n_a: int,
+    n_b: int,
+) -> DataFrame:
+    """Frequency-based Fellegi-Sunter agreement weights (Winkler 1989 /
+    Fellegi & Sunter 1969 §3.3.1): agreement on a RARE value is stronger
+    evidence than agreement on a common one. For every A x B pair agreeing
+    exactly on `value_col`, the value-specific chance-agreement probability
+    is u_v = (f_A(v)/N_A) * (f_B(v)/N_B) and the emitted likelihood ratio
+    is m_prob / u_v -> (rid_a, rid_b, value, f_a, f_b, u_v, ratio).
+
+    The reference applies one global m/u per comparator
+    (/root/reference/src/em_functions.jl:16); this is the standard
+    value-frequency refinement for name-like fields layered on the same
+    FS weight algebra (functions/weights.py).
+
+    Scale shape: two map-side-combined value-count aggregates (vocabulary-
+    sized, broadcast), then the agreement pairs themselves come from the
+    value equi-join — the frequency tables ride along on the SAME join key,
+    adding no extra shuffle of the record sides. Float order is pinned:
+    u_v = (f_a / N_A) * (f_b / N_B), ratio = m / u_v — two divisions and
+    one multiply, IEEE-identical in both engines.
+    """
+    fa = ra.groupBy(value_col).agg(F.count(F.lit(1)).alias("f_a"))
+    fb = rb.groupBy(value_col).agg(F.count(F.lit(1)).alias("f_b"))
+    a = ra.select(F.col(id_col).alias("rid_a"), value_col).join(
+        F.broadcast(fa), on=value_col
+    )
+    b = rb.select(F.col(id_col).alias("rid_b"), value_col).join(
+        F.broadcast(fb), on=value_col
+    )
+    pairs = a.join(b, on=value_col)
+    u_v = (F.col("f_a").cast("double") / F.lit(float(n_a))) * (
+        F.col("f_b").cast("double") / F.lit(float(n_b))
+    )
+    return pairs.select(
+        "rid_a",
+        "rid_b",
+        F.col(value_col).alias("value"),
+        "f_a",
+        "f_b",
+        u_v.alias("u_v"),
+        (F.expr(f"CAST('{m_prob!r}' AS DOUBLE)") / u_v).alias("ratio"),
+    )
+
+
+def value_specific_weights_sql(
+    table_a: str,
+    table_b: str,
+    id_col: str,
+    value_col: str,
+    m_prob: float,
+    n_a: int,
+    n_b: int,
+) -> str:
+    u_v = (
+        f"((CAST(f_a AS DOUBLE) / CAST('{float(n_a)!r}' AS DOUBLE)) * "
+        f"(CAST(f_b AS DOUBLE) / CAST('{float(n_b)!r}' AS DOUBLE)))"
+    )
+    return f"""
+    WITH vsw_fa AS (SELECT {value_col} AS value, CAST(count(*) AS BIGINT) AS f_a
+                    FROM {table_a} GROUP BY {value_col}),
+    vsw_fb AS (SELECT {value_col} AS value, CAST(count(*) AS BIGINT) AS f_b
+               FROM {table_b} GROUP BY {value_col}),
+    vsw_a AS (SELECT a.{id_col} AS rid_a, fa.value, fa.f_a
+              FROM {table_a} a JOIN vsw_fa fa ON a.{value_col} = fa.value),
+    vsw_b AS (SELECT b.{id_col} AS rid_b, fb.value, fb.f_b
+              FROM {table_b} b JOIN vsw_fb fb ON b.{value_col} = fb.value)
+    SELECT rid_a, rid_b, a.value AS value, f_a, f_b,
+           {u_v} AS u_v,
+           (CAST('{m_prob!r}' AS DOUBLE) / {u_v}) AS ratio
+    FROM vsw_a a JOIN vsw_b b ON a.value = b.value
+    """

@@ -633,3 +633,111 @@ def containment_pairs_sql(
       JOIN sizes sb ON shared.id_b = sb.doc_id
     ) WHERE greatest(cont_a_pct, cont_b_pct) >= {min_containment_pct}
     """
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup inside frozen-quantizer clusters
+# ---------------------------------------------------------------------------
+
+
+def semdedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    min_cosine: float,
+    max_bucket_rows: int | None = 1000,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): assign every embedding to its nearest
+    FROZEN k-means centroid, compare pairs only WITHIN a cluster, and drop
+    any item that has a lower-id in-cluster neighbor with cosine >=
+    min_cosine. -> (item_id, cid, keep).
+
+    Deterministic variant (documented divergence from the paper): the
+    paper keeps the cluster member least similar to the centroid among a
+    duplicate group; here the survivor is the smallest id reachable by a
+    DIRECT >=min_cosine edge — a total-order rule both engines replay
+    exactly (no RNG, no float-order ambiguity in who survives).
+
+    Scale shape: the assignment is the IVF map-side literal-argmax
+    (similarity.centroid_scores — no explode, no corpus shuffle); the
+    pairwise stage is an equi-self-join on cid, the semantic analog of an
+    LSH bucket join, with oversized clusters salt-split
+    (blocking.salt_buckets) so a degenerate cluster is bounded at ~cap^2
+    pairs. Centroid count is the 100-TB knob: k scales with corpus size so
+    clusters stay comparison-sized (the paper uses k ~ sqrt(N))."""
+    from .blocking import salt_buckets
+    from .similarity import _norm, centroid_scores, cosine
+
+    base = df.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("_v"))
+    sc = centroid_scores("_v", "_nv", centroids)
+    assign = (
+        base.withColumn("_nv", _norm(F.col("_v")))
+        .select(
+            "item_id",
+            "_v",
+            (F.array_position(sc, F.array_max(sc)) - 1).cast("int").alias("cid"),
+        )
+        .localCheckpoint()  # consumed 3x: salt hot-key count + both join sides
+    )
+    salted = salt_buckets(assign, "cid", "item_id", max_bucket_rows)
+    a = salted.select(
+        F.col("item_id").alias("id_a"), F.col("_v").alias("va"), "cid", "_bsalt"
+    )
+    b = salted.select(
+        F.col("item_id").alias("id_b"), F.col("_v").alias("vb"), "cid", "_bsalt"
+    )
+    drops = (
+        a.join(b, on=["cid", "_bsalt"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(cosine(F.col("va"), F.col("vb")) >= min_cosine)
+        .select(F.col("id_b").alias("item_id"))
+        .distinct()
+        .withColumn("_dropped", F.lit(True))
+    )
+    return (
+        assign.join(drops, on="item_id", how="left")
+        .select(
+            "item_id",
+            "cid",
+            F.coalesce(~F.col("_dropped"), F.lit(True)).alias("keep"),
+        )
+    )
+
+
+def semdedup_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    centroids: list[list[float]],
+    min_cosine: float,
+    max_bucket_rows: int | None = 1000,
+) -> str:
+    from .blocking import salt_buckets_sql
+    from .similarity import _flit, cosine_sql
+
+    vals = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(_flit(x) for x in c) + "])"
+        for i, c in enumerate(centroids)
+    )
+    cos_assign = cosine_sql("c._v", "ct._c")
+    cos_pair = cosine_sql("a._v", "b._v")
+    salt = salt_buckets_sql("cid", "item_id", max_bucket_rows)
+    return f"""
+    WITH sd_cents(cid, _c) AS (VALUES {vals}),
+    sd_corpus AS (SELECT {id_col} AS item_id, {vec_col} AS _v FROM {table}),
+    sd_ca AS (SELECT c.item_id, c._v, ct.cid, {cos_assign} AS cscore
+              FROM sd_corpus c CROSS JOIN sd_cents ct),
+    sd_assign AS (SELECT item_id, _v, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY item_id
+                  ORDER BY cscore DESC, cid ASC) AS _r FROM sd_ca)
+        WHERE _r = 1),
+    sd_salted AS (SELECT item_id, _v, cid, {salt} AS _bsalt FROM sd_assign),
+    sd_drops AS (SELECT DISTINCT b.item_id
+                 FROM sd_salted a JOIN sd_salted b
+                   ON a.cid = b.cid AND a._bsalt = b._bsalt
+                      AND a.item_id < b.item_id
+                 WHERE {cos_pair} >= {_flit(float(min_cosine))})
+    SELECT s.item_id, s.cid, (d.item_id IS NULL) AS keep
+    FROM sd_assign s LEFT JOIN sd_drops d ON s.item_id = d.item_id
+    """

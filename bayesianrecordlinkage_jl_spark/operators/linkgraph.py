@@ -46,7 +46,7 @@ aggregate side, which partial-aggregates map-side first).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions.text import phash, phash_sql
 
@@ -795,3 +795,119 @@ def host_triangles_sql(table: str, id_col: str, text_col: str) -> str:
                 ELSE 0.0e0 END AS clustering
     FROM deg LEFT JOIN per_node ON deg.host = per_node.host
     """
+
+
+# --- label-propagation communities ------------------------------------------
+
+LPA_ITERS = 3
+
+
+def lpa_communities(edges: DataFrame, iterations: int = LPA_ITERS) -> DataFrame:
+    """edges(src_host, dst_host, n_links) -> (host, label): synchronous
+    label propagation (Raghavan et al. 2007) on the UNDIRECTED host graph,
+    run a FIXED `iterations` rounds with a total-order vote tie-break.
+
+    Each round every node adopts the label with the highest link-weighted
+    vote among its neighbors (votes DESC, label ASC on ties — the
+    determinism knob the async/random-order textbook variant lacks);
+    isolated nodes and nodes whose neighbors cast no votes keep their
+    label. Self-loops are excluded (a node never votes for itself).
+    Integer vote sums => order-independent => bit-strict across engines
+    and partitionings.
+
+    Scale shape: the undirected edge list is materialized once
+    (localCheckpoint — consumed every round); a round is one equi-join of
+    edges to the |hosts|-row label table plus one map-side-combined vote
+    aggregate; the argmax is a per-host window over the vote table (keyed
+    by host — the same shuffle key as the aggregate, so AQE reuses the
+    exchange). Nothing driver-side; rounds are fixed, not data-dependent
+    (community detection plateaus in a few sweeps — Raghavan's stopping
+    rule is replaced by a constant for replayability)."""
+    und = (
+        edges.where(F.col("src_host") != F.col("dst_host"))
+        .select("src_host", "dst_host", "n_links")
+        .unionByName(
+            edges.where(F.col("src_host") != F.col("dst_host")).select(
+                F.col("dst_host").alias("src_host"),
+                F.col("src_host").alias("dst_host"),
+                "n_links",
+            )
+        )
+        .groupBy("src_host", "dst_host")
+        .agg(F.sum("n_links").cast("long").alias("w"))
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    labels = nodes.withColumn("label", F.col("host"))
+    w_arg = Window.partitionBy("host").orderBy(
+        F.desc("votes"), F.asc("label")
+    )
+    for _ in range(iterations):
+        votes = (
+            und.join(
+                labels.select(
+                    F.col("host").alias("dst_host"),
+                    F.col("label").alias("_nl"),
+                ),
+                on="dst_host",
+            )
+            .groupBy(F.col("src_host").alias("host"), F.col("_nl").alias("label"))
+            .agg(F.sum("w").cast("long").alias("votes"))
+        )
+        best = (
+            votes.withColumn("_r", F.row_number().over(w_arg))
+            .where(F.col("_r") == 1)
+            .select("host", F.col("label").alias("_best"))
+        )
+        labels = (
+            labels.join(best, on="host", how="left")
+            .select(
+                "host",
+                F.coalesce(F.col("_best"), F.col("label")).alias("label"),
+            )
+        )
+    return labels
+
+
+def lpa_communities_sql(
+    table: str, id_col: str, text_col: str, iterations: int = LPA_ITERS
+) -> str:
+    """Chained-CTE oracle: l0 -> l1 -> ... -> l<iterations>, same
+    synchronous recurrence and (votes DESC, label ASC) tie-break."""
+    ctes = [
+        f"""edges AS ({host_link_graph_sql(table, id_col, text_col)})""",
+        """und AS (
+          SELECT src_host, dst_host, CAST(sum(n_links) AS BIGINT) AS w
+          FROM (
+            SELECT src_host, dst_host, n_links FROM edges
+            WHERE src_host != dst_host
+            UNION ALL
+            SELECT dst_host AS src_host, src_host AS dst_host, n_links
+            FROM edges WHERE src_host != dst_host)
+          GROUP BY src_host, dst_host)""",
+        """nodes AS (
+          SELECT DISTINCT host FROM (
+            SELECT src_host AS host FROM edges
+            UNION ALL SELECT dst_host AS host FROM edges))""",
+        """l0 AS (SELECT host, host AS label FROM nodes)""",
+    ]
+    for it in range(1, iterations + 1):
+        prev = f"l{it - 1}"
+        ctes.append(f"""v{it} AS (
+          SELECT e.src_host AS host, l.label,
+                 CAST(sum(e.w) AS BIGINT) AS votes
+          FROM und e JOIN {prev} l ON e.dst_host = l.host
+          GROUP BY e.src_host, l.label)""")
+        ctes.append(f"""l{it} AS (
+          SELECT p.host, COALESCE(b.label, p.label) AS label
+          FROM {prev} p LEFT JOIN (
+            SELECT host, label FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY host ORDER BY votes DESC, label ASC) AS _r
+              FROM v{it}) WHERE _r = 1) b ON p.host = b.host)""")
+    body = ",\n    ".join(ctes)
+    return f"WITH {body}\n    SELECT host, label FROM l{iterations}"

@@ -445,6 +445,40 @@ def train_centroids_distributed(
     return [[float(x) for x in row] for row in C]
 
 
+def _py_seq_norm(c: list[float]) -> float:
+    """Centroid norm computed with the SAME sequential IEEE op order as
+    both engines' folds (left-to-right acc += x*x, then sqrt), so
+    embedding it as a literal keeps the cosine bit-exact."""
+    import math
+
+    acc = 0.0
+    for x in c:
+        acc += x * x
+    return math.sqrt(acc)
+
+
+def centroid_scores(v: str, nv: str, centroids: list[list[float]]) -> Column:
+    """Per-row cosine-to-every-centroid as ONE array column: 1 hoisted
+    vector-norm + k literal-dot products per row (centroid norms are
+    Python constants); an argmax over it is a MAP-SIDE assignment
+    (array_position of the max — first occurrence, i.e. ties to the
+    smaller cid, identical to the oracles' ORDER BY cscore DESC, cid ASC).
+    No explode, no shuffle of the (huge) corpus side. Emitted as ONE
+    F.expr string (a nested-F.lit build pays a py4j round trip per
+    literal — see band_set_keys); CAST('repr' AS DOUBLE) literals keep
+    values bit-identical to the F.lit form and the oracle."""
+    terms = []
+    for c in centroids:
+        arr = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in c)
+        dot = (
+            f"aggregate(zip_with({v}, array({arr}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        terms.append(f"({dot} / ({nv} * CAST('{_py_seq_norm(c)!r}' AS DOUBLE)))")
+    return F.expr("array(" + ", ".join(terms) + ")")
+
+
 def ivf_topk(
     df: DataFrame,
     id_col: str,
@@ -461,39 +495,10 @@ def ivf_topk(
     The candidate join is an equi-join on cid — the IVF analog of the
     sign-LSH bucket join; recall is controlled by nprobe (the standard
     IVF knob). Centroids ride as a broadcast literal table."""
-    import math
-
     corpus = df.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("_v"))
 
-    def _py_norm(c: list[float]) -> float:
-        """Centroid norm computed with the SAME sequential IEEE op order as
-        both engines' folds (left-to-right acc += x*x, then sqrt), so
-        embedding it as a literal keeps the cosine bit-exact."""
-        acc = 0.0
-        for x in c:
-            acc += x * x
-        return math.sqrt(acc)
-
-    # centroid scores as ONE array column: 1 hoisted vector-norm + k
-    # literal-dot products per row (centroid norms are Python constants);
-    # the corpus assignment is then a MAP-SIDE argmax (array_position of
-    # the max — first occurrence, i.e. ties to the smaller cid, identical
-    # to the oracle's ORDER BY cscore DESC, cid ASC). No explode, no
-    # shuffle of the (huge) corpus side. Emitted as ONE F.expr string (a
-    # nested-F.lit build pays a py4j round trip per literal — see
-    # band_set_keys); CAST('repr' AS DOUBLE) literals keep values
-    # bit-identical to the F.lit form and the oracle.
     def _cent_scores(v: str, nv: str) -> Column:
-        terms = []
-        for c in centroids:
-            arr = ", ".join(f"CAST('{x!r}' AS DOUBLE)" for x in c)
-            dot = (
-                f"aggregate(zip_with({v}, array({arr}), "
-                f"(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-                f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
-            )
-            terms.append(f"({dot} / ({nv} * CAST('{_py_norm(c)!r}' AS DOUBLE)))")
-        return F.expr("array(" + ", ".join(terms) + ")")
+        return centroid_scores(v, nv, centroids)
 
     corpus = corpus.withColumn("_nv", _norm(F.col("_v")))
     sc = _cent_scores("_v", "_nv")

@@ -419,3 +419,127 @@ def bloom_probe_flags_sql(
            sum(_all_set) >= {min_hits} AS maybe_contaminated
     FROM per_span GROUP BY doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch: token frequency estimation / heavy hitters
+# ---------------------------------------------------------------------------
+
+CM_DEPTH = 4      # independent hash rows
+CM_WIDTH = 256    # counters per row
+CM_HH_MIN = 200   # heavy-hitter report threshold (estimated occurrences)
+
+
+def countmin_counters(
+    df: DataFrame, text_col: str, depth: int = CM_DEPTH, width: int = CM_WIDTH
+) -> DataFrame:
+    """-> (row, col, counter): the depth x width Count-Min sketch of token
+    OCCURRENCES (Cormode & Muthukrishnan 2005) over the corpus.
+
+    Pure integer state: counter(r, c) = sum of occurrences of every token
+    whose row-r hash lands in column c (hash = phash('cm{r}:' || token) %
+    width — the repo's one cross-engine hash), so the sketch is
+    order-independent, partitioning-invariant, and bit-strict across
+    engines. Scale shape: tokenize once, pre-aggregate per (doc-partition)
+    token counts map-side, then ONE map-side-combined (row, col) sum —
+    depth*width rows total cross the wire regardless of corpus size; this
+    is the mergeable-sketch property (counters from shards add)."""
+    occ = df.select(
+        F.explode(T.tokens(F.col(text_col))).alias("_tok")
+    ).groupBy("_tok").agg(F.count(F.lit(1)).cast("long").alias("_n"))
+    rows = [
+        occ.select(
+            F.lit(r).alias("row"),
+            F.pmod(
+                T.phash(F.concat(F.lit(f"cm{r}:"), F.col("_tok"))), F.lit(width)
+            ).cast("int").alias("col"),
+            "_n",
+        )
+        for r in range(depth)
+    ]
+    un = rows[0]
+    for x in rows[1:]:
+        un = un.unionByName(x)
+    return un.groupBy("row", "col").agg(
+        F.sum("_n").cast("long").alias("counter")
+    )
+
+
+def countmin_heavy_hitters(
+    df: DataFrame,
+    text_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    hh_min: int = CM_HH_MIN,
+) -> DataFrame:
+    """-> (token, n_exact, cm_est) for tokens whose Count-Min estimate
+    (min over rows of the probed counter) reaches hh_min.
+
+    cm_est >= n_exact always (CM never underestimates); both are emitted
+    so the overestimate from column collisions is observable. The probe
+    side joins the DISTINCT-token table to the (depth x width)-row counter
+    table — the counters are a broadcast literal-sized dim at any corpus
+    scale; false positives (n_exact < hh_min <= cm_est) are part of the
+    operator's documented semantics, exactly the CM guarantee."""
+    counters = countmin_counters(df, text_col, depth, width)
+    toks = df.select(
+        F.explode(T.tokens(F.col(text_col))).alias("token")
+    ).groupBy("token").agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    probes = toks.select(
+        "token",
+        "n_exact",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("row"),
+                        F.pmod(
+                            T.phash(
+                                F.concat(F.lit(f"cm{r}:"), F.col("token"))
+                            ),
+                            F.lit(width),
+                        ).cast("int").alias("col"),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_p"),
+    ).select("token", "n_exact", F.col("_p.row").alias("row"), F.col("_p.col").alias("col"))
+    est = (
+        probes.join(F.broadcast(counters), on=["row", "col"])
+        .groupBy("token", "n_exact")
+        .agg(F.min("counter").cast("long").alias("cm_est"))
+    )
+    return est.where(F.col("cm_est") >= hh_min)
+
+
+def _cm_col_sql(tok: str, r: int, width: int) -> str:
+    h = T.phash_sql(f"'cm{r}:' || {tok}")
+    return f"({h} % {width})"
+
+
+def countmin_heavy_hitters_sql(
+    table: str,
+    text_col: str,
+    depth: int = CM_DEPTH,
+    width: int = CM_WIDTH,
+    hh_min: int = CM_HH_MIN,
+) -> str:
+    toks = T.tokens_sql(text_col)
+    probe_rows = " UNION ALL ".join(
+        f"SELECT _tok, _n, {r} AS row, CAST({_cm_col_sql('_tok', r, width)} AS INT) AS col FROM cm_occ"
+        for r in range(depth)
+    )
+    return f"""
+    WITH cm_raw AS (SELECT unnest({toks}) AS _tok FROM {table}),
+    cm_occ AS (SELECT _tok, CAST(count(*) AS BIGINT) AS _n
+               FROM cm_raw GROUP BY _tok),
+    cm_probe AS ({probe_rows}),
+    cm_counters AS (SELECT row, col, CAST(sum(_n) AS BIGINT) AS counter
+                    FROM cm_probe GROUP BY row, col)
+    SELECT _tok AS token, _n AS n_exact,
+           CAST(min(c.counter) AS BIGINT) AS cm_est
+    FROM cm_probe p JOIN cm_counters c ON p.row = c.row AND p.col = c.col
+    GROUP BY _tok, _n
+    HAVING min(c.counter) >= {hh_min}
+    """

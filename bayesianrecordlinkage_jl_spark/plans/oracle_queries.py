@@ -63,6 +63,9 @@ REVIEW_K = 200  # clerical-review queue capacity (top-k by weight)
 # 80/10/10 + SPAN_K gives real cross-split span collisions at sf0.01
 # (near-dup planted docs landing on opposite sides of the hash split)
 DECON_SPLITS = {"train": 80, "val": 10, "test": 10}
+SNM_WINDOW = 6  # sorted-neighborhood sliding-window width
+MB_MIN_DF, MB_MAX_DF = 2, 40  # meta-blocking block-purging DF bounds
+VSW_M = 0.95  # m-probability literal for value-specific agreement ratios
 
 
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -577,6 +580,57 @@ def build_catalog() -> dict[str, dict]:
         "spark": lambda s, d: _pairs_spark(s, d).select("id_a", "id_b", "lang", "source"),
         "sql": f"SELECT id_a, id_b, lang, source FROM ({_PAIRS_SQL})",
         "ref": "README.md:160-183 (blocked index lists)",
+    }
+
+    # --- sorted-neighborhood blocking (Hernandez-Stolfo SNM) ---
+    # sort key = lang + first three normalized tokens: rank closeness, not
+    # key equality, drives candidate generation (catches blocking-key typos
+    # that equi-key blocking splits). ASCII key => identical binary
+    # collation in both engines.
+    def _snm_key_spark() -> F.Column:
+        return F.concat_ws(
+            ":",
+            F.col("lang"),
+            F.array_join(F.slice(T.tokens(F.col("text")), 1, 3), " "),
+        )
+
+    _SNM_KEY_SQL = (
+        "(lang || ':' || array_to_string(("
+        + T.tokens_sql("text")
+        + ")[1:3], ' '))"
+    )
+
+    cat["snm_pairs"] = {
+        "spark": lambda s, d: blocking.sorted_neighborhood_pairs(
+            load(s, d, "documents"),
+            "doc_id",
+            _snm_key_spark(),
+            window=SNM_WINDOW,
+            bucket_len=4,
+        ),
+        "sql": blocking.sorted_neighborhood_pairs_sql(
+            "documents", "doc_id", _SNM_KEY_SQL, SNM_WINDOW
+        ),
+        "ref": "sorted-neighborhood blocking (Hernandez & Stolfo 1995) — "
+        "the classic ER blocking family the reference's index lists assume "
+        "upstream; README.md:160-183",
+    }
+
+    # --- meta-blocking: token blocking + CBS weights + WEP pruning ---
+    cat["meta_blocking"] = {
+        "spark": lambda s, d: blocking.meta_blocking_pairs(
+            load(s, d, "documents"),
+            "doc_id",
+            "text",
+            min_df=MB_MIN_DF,
+            max_df=MB_MAX_DF,
+        ),
+        "sql": blocking.meta_blocking_pairs_sql(
+            "documents", "doc_id", "text", min_df=MB_MIN_DF, max_df=MB_MAX_DF
+        ),
+        "ref": "meta-blocking / block purging (Papadakis et al. TKDE 2014) — "
+        "schema-free candidate generation for dirty web sources; extends "
+        "README.md:160-183 index lists",
     }
 
     # --- comparison layer (SURVEY 2.2) ---
@@ -1238,6 +1292,15 @@ def build_catalog() -> dict[str, dict]:
         "ref": "distinct-cardinality telemetry (HLL m=256 + KMV k=64 over "
         "8-word span hashes; bit-strict integer sketch state)",
     }
+    cat["countmin_heavy_hitters"] = {
+        "spark": lambda s, d: sketches.countmin_heavy_hitters(
+            load(s, d, "documents"), "text"
+        ),
+        "sql": sketches.countmin_heavy_hitters_sql("documents", "text"),
+        "ref": "Count-Min sketch heavy hitters (Cormode & Muthukrishnan "
+        "2005) — mergeable integer frequency telemetry; companion to the "
+        "HLL/KMV cardinality sketches",
+    }
 
     # --- web link graph (operators/linkgraph.py): href extraction, host
     # graph, fixed-point integer PageRank. The html wrap is derived from
@@ -1277,6 +1340,15 @@ def build_catalog() -> dict[str, dict]:
         "ref": "fixed-point integer PageRank over the host graph "
         "(iterative-join family beyond the reference's CC; chained-CTE "
         "oracle, dangling mass dropped by documented design)",
+    }
+    cat["lpa_communities"] = {
+        "spark": lambda s, d: linkgraph.lpa_communities(
+            linkgraph.host_link_graph(load(s, d, "documents"), "doc_id", "text")
+        ),
+        "sql": linkgraph.lpa_communities_sql("documents", "doc_id", "text"),
+        "ref": "synchronous label-propagation communities (Raghavan et al. "
+        "2007) over the host graph — the soft-clustering companion to "
+        "src/clustering_functions.jl's hard connected components",
     }
     cat["trustrank_hosts"] = {
         "spark": lambda s, d: linkgraph.trustrank_hosts(
@@ -2139,6 +2211,21 @@ def build_catalog() -> dict[str, dict]:
         "rerank; similarity.train_centroids / ivf_topk)",
     }
 
+    # --- SemDeDup: semantic dedup inside the same frozen IVF clusters ---
+    cat["semdedup"] = {
+        "spark": lambda s, d: dedup.semdedup(
+            load(s, d, "embeddings"), "vec_id", "embedding",
+            ivf_cents, min_cosine=EMB_COS_MIN,
+        ),
+        "sql": dedup.semdedup_sql(
+            "embeddings", "vec_id", "embedding",
+            ivf_cents, min_cosine=EMB_COS_MIN,
+        ),
+        "ref": "SemDeDup (Abbas et al. 2023) — cluster-scoped semantic "
+        "dedup; the embedding-space analog of dedup.embedding_cosine_pairs "
+        "reusing the frozen IVF quantizer (plans/ivf_centroids.json)",
+    }
+
     # --- multimodal plumbing (decode kernel stubbed; byte-histogram oracle) ---
     def _multimodal(s: SparkSession, d: str) -> DataFrame:
         from ..operators import multimodal
@@ -2342,6 +2429,32 @@ def build_catalog() -> dict[str, dict]:
         """,
         "ref": "phonetic (Soundex-family) blocking key — standard FS-linkage "
         "blocking beyond the reference's exact-field keys",
+    }
+
+    # --- value-specific (frequency-based) agreement weights, Winkler 1989 ---
+    def _value_specific(s: SparkSession, d: str) -> DataFrame:
+        from ..operators.comparison_summary import value_specific_weights
+        from ..sources.records import generate_records
+
+        ra, rb = generate_records(s, n=600, n_match=300, seed=42)
+        return value_specific_weights(
+            ra, rb, "rec_id", "gname", m_prob=VSW_M, n_a=600, n_b=600
+        )
+
+    from ..operators.comparison_summary import value_specific_weights_sql
+
+    cat["value_specific_weights"] = {
+        "spark": _value_specific,
+        "sql": f"""
+        WITH ra AS ({_records_cte("A")}),
+        rb AS ({_records_cte("B")}),
+        vsw AS ({value_specific_weights_sql(
+            "ra", "rb", "rid", "gname", m_prob=VSW_M, n_a=600, n_b=600)})
+        SELECT * FROM vsw
+        """,
+        "ref": "value-frequency FS weights (Winkler 1989; FS 1969 §3.3.1) — "
+        "refines /root/reference/src/em_functions.jl:16's global m/u with "
+        "per-value chance-agreement probabilities",
     }
 
     def _pages_linkage(s: SparkSession, d: str) -> DataFrame:

@@ -72,6 +72,13 @@ QUERIES = [
     "fs_decision_counts",
     "fs_review_queue",
     "host_triangles",
+    # round-3 continuation additions
+    "snm_pairs",
+    "meta_blocking",
+    "value_specific_weights",
+    "semdedup",
+    "lpa_communities",
+    "countmin_heavy_hitters",
 ]
 
 
