@@ -1,0 +1,330 @@
+"""Exact similarity joins with filter-then-verify plans: TF-cosine over a
+DF-bounded vocabulary and an Ed-Join-style edit-distance join.
+
+Both operators are the classic ER "signature join" shape (complementary to
+the LSH families in dedup.py, which are probabilistic): generate candidates
+from an inverted-postings equi-join whose per-key fan-out is bounded, apply
+cheap count/length filters that provably dominate the target predicate,
+then verify the exact predicate ONCE per surviving pair.
+
+Reference analog: the reference compares only pairs its index lists supply
+(/root/reference/README.md:160-183) — these operators are the index-list
+*builders* web-scale dirty sources need, with exact (non-LSH) guarantees
+over the retained vocabulary.
+
+  - tf_cosine_pairs: exact cosine^2 between term-frequency vectors over
+    the DF-filtered vocabulary (terms with min_df <= df <= max_df). All
+    state is integer (dot products, squared norms) and the similarity is
+    one integer fixed-point division — bit-strict across engines. Dropping
+    df>max_df stop-terms is the standard bound (they carry no
+    discriminative signal and would emit C(df,2) pairs each); the cosine
+    is EXACT on the retained vector space, not an approximation of the
+    unfiltered one.
+  - edit_similarity_pairs: all pairs of short keys with levenshtein <= d,
+    via PREFIX filtering over char q-grams (Ed-Join, Xiao/Wang/Lin VLDB
+    2008, on the Gravano et al. VLDB 2001 gram bound): one edit destroys
+    at most q grams, so lev <= d implies bag overlap >= max(|Ga|,|Gb|) -
+    d*q; by the prefix-filter theorem a true pair must then share at
+    least one gram among each side's d*q+1 FIRST gram occurrences in a
+    global total order (doc frequency asc, gram asc — identical in both
+    engines: integer dfs + ASCII binary collation). Only those prefix
+    grams are indexed, so the postings join touches d*q+1 rows per key
+    regardless of key length and hot grams land in prefixes only for
+    keys that have nothing rarer. No df cap is needed for correctness —
+    unlike count filtering, where dropping stop-grams silently breaks
+    the bound (the trap this implementation replaces). Keys shorter than
+    q produce no grams and never pair; pairs whose overlap bound
+    max(|Ga|,|Gb|) - d*q < 1 are likewise out of contract (a postings
+    join cannot see zero-overlap pairs). Verification computes Spark's
+    BANDED levenshtein (threshold=d, early abandon, -1 beyond the band)
+    exactly once per candidate behind a pair-key aggregate barrier (repo
+    invariant: expensive kernels evaluate once — the barrier stops
+    Catalyst from inlining the filter copy).
+
+100-TB notes: per-term join work is bounded at C(max_df, 2) for the
+cosine join; the edit join indexes d*q+1 gram occurrences per key and
+its only window is doc-partitioned (bounded by key length, the
+longest_dup_span precedent). Per-doc term/gram relations are aggregated
+map-side before any join; nothing ever sorts or windows the pair set.
+The per-doc key relation is localCheckpoint'ed (consumed by the prefix
+emitter and the verify join). Corpora with millions of IDENTICAL keys
+make the output itself quadratic — dedupe exact keys upstream
+(exact_dedup) before an edit join, as at web scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions import text as T
+from .dedup import _spread
+
+COS_SCALE = 10_000  # cosine^2 reported in 1e-4 units (integer fixed point)
+
+
+# ---------------------------------------------------------------------------
+# TF-cosine postings join
+# ---------------------------------------------------------------------------
+
+
+def tf_cosine_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_cos2_e4: int = 2500,
+    min_df: int = 2,
+    max_df: int = 100,
+) -> DataFrame:
+    """-> (id_a, id_b, dot, norm2_a, norm2_b, cos2_e4): document pairs
+    whose term-frequency cosine^2 (over the retained vocabulary) is >=
+    min_cos2_e4 / 1e4. cos2_e4 = (dot^2 * 1e4) div (norm2_a * norm2_b) —
+    exact integer arithmetic end to end.
+
+    Plan: tokenize once per doc -> (doc, term, tf) via one map-side-
+    combined aggregate; vocabulary filter min_df <= df <= max_df (df=1
+    terms cannot form a pair; df>max_df stop-terms are dropped — per-term
+    pair work is bounded at C(max_df, 2)); norms over the SAME retained
+    vocabulary so the cosine is exact on that space; postings self-join on
+    term accumulates dot products with one aggregate."""
+    tf = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.explode(T.tokens(F.col(text_col))).alias("term"),
+        )
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).cast("long").alias("tf"))
+    )
+    keep = (
+        tf.groupBy("term")
+        .agg(F.count(F.lit(1)).alias("_df"))
+        .where((F.col("_df") >= min_df) & (F.col("_df") <= max_df))
+        .select("term")
+    )
+    kept = tf.join(keep, on="term", how="left_semi").localCheckpoint()
+    norms = kept.groupBy("doc_id").agg(
+        F.sum(F.expr("tf * tf")).cast("long").alias("norm2")
+    )
+    a = kept.select(
+        "term", F.col("doc_id").alias("id_a"), F.col("tf").alias("tf_a")
+    )
+    b = kept.select(
+        "term", F.col("doc_id").alias("id_b"), F.col("tf").alias("tf_b")
+    )
+    dots = (
+        a.join(b, on="term")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.expr("tf_a * tf_b")).cast("long").alias("dot"))
+    )
+    out = (
+        dots.join(
+            norms.select(F.col("doc_id").alias("id_a"),
+                         F.col("norm2").alias("norm2_a")), on="id_a")
+        .join(
+            norms.select(F.col("doc_id").alias("id_b"),
+                         F.col("norm2").alias("norm2_b")), on="id_b")
+        .withColumn(
+            "cos2_e4",
+            F.expr(f"(dot * dot * {COS_SCALE}) div (norm2_a * norm2_b)"),
+        )
+        .where(F.col("cos2_e4") >= min_cos2_e4)
+    )
+    return out.select("id_a", "id_b", "dot", "norm2_a", "norm2_b", "cos2_e4")
+
+
+def tf_cosine_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    min_cos2_e4: int = 2500,
+    min_df: int = 2,
+    max_df: int = 100,
+) -> str:
+    toks = T.tokens_sql(text_col)
+    return f"""
+    WITH tf AS MATERIALIZED (
+      SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+      FROM (SELECT CAST({id_col} AS BIGINT) AS doc_id,
+                   unnest({toks}) AS term
+            FROM {table})
+      GROUP BY doc_id, term
+    ),
+    keep AS (SELECT term FROM tf GROUP BY term
+             HAVING count(*) >= {min_df} AND count(*) <= {max_df}),
+    kept AS MATERIALIZED (SELECT tf.* FROM tf SEMI JOIN keep USING (term)),
+    norms AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS norm2
+              FROM kept GROUP BY doc_id),
+    dots AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+      FROM kept a JOIN kept b
+        ON a.term = b.term AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b, dot, norm2_a, norm2_b, cos2_e4
+    FROM (
+      SELECT id_a, id_b, dot,
+             na.norm2 AS norm2_a, nb.norm2 AS norm2_b,
+             (dot * dot * {COS_SCALE}) // (na.norm2 * nb.norm2) AS cos2_e4
+      FROM dots
+      JOIN norms na ON dots.id_a = na.doc_id
+      JOIN norms nb ON dots.id_b = nb.doc_id
+    ) WHERE cos2_e4 >= {min_cos2_e4}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Ed-Join: edit-distance join via q-gram count filtering
+# ---------------------------------------------------------------------------
+
+
+def _char_qgrams(key: Column, q: int) -> Column:
+    """Overlapping character q-grams (with multiplicity). Spark's
+    sequence(1, 0) DESCENDS, so short keys are guarded to array()."""
+    n = F.length(key) - (q - 1)
+    return F.when(
+        n >= 1,
+        F.transform(F.sequence(F.lit(1), n), lambda i: F.substring(key, i, q)),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+def _char_qgrams_sql(key: str, q: int) -> str:
+    return (
+        f"(CASE WHEN length({key}) >= {q} THEN "
+        f"list_transform(generate_series(1, length({key}) - {q - 1}), "
+        f"i -> substr({key}, i, {q})) "
+        f"ELSE [] END)"
+    )
+
+
+def edit_similarity_pairs(
+    df: DataFrame,
+    id_col: str,
+    key: Column,
+    max_dist: int = 2,
+    q: int = 2,
+) -> DataFrame:
+    """-> (id_a, id_b, len_a, len_b, lev): key pairs with
+    levenshtein(key_a, key_b) <= max_dist, among pairs whose gram-overlap
+    lower bound max(|Ga|,|Gb|) - max_dist*q is >= 1 (see module
+    docstring; shorter keys are out of the postings-join contract).
+
+    Plan: per-key gram bags once behind a unique-key aggregate barrier;
+    global gram doc-frequencies; each key indexes its max_dist*q+1 first
+    gram OCCURRENCES in (df asc, gram asc) order — a doc-partitioned
+    window bounded by key length; candidates = prefix-postings self-join
+    + distinct; |len_a-len_b| <= max_dist length filter; banded
+    levenshtein verified ONCE behind a pair-key aggregate barrier."""
+    prefix_slots = max_dist * q  # rows whose preceding cum-count <= this
+    keys = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            key.alias("k"),
+        )
+        .groupBy("doc_id")
+        .agg(F.first("k").alias("k"))
+        .select(
+            "doc_id", "k",
+            F.length("k").cast("long").alias("klen"),
+            _char_qgrams(F.col("k"), q).alias("_g"),
+        )
+        .localCheckpoint()
+    )
+    grams = (
+        keys.select("doc_id", F.explode("_g").alias("g"))
+        .groupBy("doc_id", "g")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    dfs = grams.groupBy("g").agg(F.count(F.lit(1)).cast("long").alias("gdf"))
+    w = Window.partitionBy("doc_id").orderBy("gdf", "g")
+    prefix = (
+        grams.join(dfs, on="g")
+        .withColumn("_cs", F.sum("cnt").over(w))
+        .where(F.col("_cs") - F.col("cnt") <= prefix_slots)
+        .select("doc_id", "g")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(prefix.alias("b"), on="g")
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+        )
+        .distinct()
+    )
+    sides = keys.select("doc_id", "k", "klen")
+    joined = (
+        cand.join(
+            sides.select(F.col("doc_id").alias("id_a"),
+                         F.col("k").alias("_ka"),
+                         F.col("klen").alias("len_a")), on="id_a")
+        .join(
+            sides.select(F.col("doc_id").alias("id_b"),
+                         F.col("k").alias("_kb"),
+                         F.col("klen").alias("len_b")), on="id_b")
+        .where(F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
+    )
+    # banded kernel evaluated once, then the barrier, then the filter
+    raw = joined.select(
+        "id_a", "id_b", "len_a", "len_b",
+        F.levenshtein("_ka", "_kb", max_dist).cast("long").alias("_lev"),
+    )
+    barrier = raw.groupBy("id_a", "id_b").agg(
+        F.first("len_a").alias("len_a"),
+        F.first("len_b").alias("len_b"),
+        F.first("_lev").alias("lev"),
+    )
+    return barrier.where(F.col("lev") >= 0).select(
+        "id_a", "id_b", "len_a", "len_b", "lev"
+    )
+
+
+def edit_similarity_pairs_sql(
+    table: str,
+    id_col: str,
+    key_sql: str,
+    max_dist: int = 2,
+    q: int = 2,
+) -> str:
+    g = _char_qgrams_sql("k", q)
+    prefix_slots = max_dist * q
+    return f"""
+    WITH keys AS MATERIALIZED (
+      SELECT doc_id, k, CAST(length(k) AS BIGINT) AS klen, {g} AS _g
+      FROM (SELECT CAST({id_col} AS BIGINT) AS doc_id, {key_sql} AS k
+            FROM {table})
+    ),
+    grams AS (
+      SELECT doc_id, g, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT doc_id, unnest(_g) AS g FROM keys)
+      GROUP BY doc_id, g
+    ),
+    dfs AS (SELECT g, CAST(count(*) AS BIGINT) AS gdf FROM grams GROUP BY g),
+    prefix AS (
+      SELECT doc_id, g FROM (
+        SELECT grams.doc_id, grams.g, grams.cnt,
+               sum(grams.cnt) OVER (PARTITION BY grams.doc_id
+                                    ORDER BY dfs.gdf, grams.g
+                                    ROWS UNBOUNDED PRECEDING) AS _cs
+        FROM grams JOIN dfs USING (g)
+      ) WHERE _cs - cnt <= {prefix_slots}
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM prefix a JOIN prefix b ON a.g = b.g AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, len_a, len_b,
+           CAST(levenshtein(_ka, _kb) AS BIGINT) AS lev
+    FROM (
+      SELECT id_a, id_b, ka.klen AS len_a, kb.klen AS len_b,
+             ka.k AS _ka, kb.k AS _kb
+      FROM cand
+      JOIN keys ka ON cand.id_a = ka.doc_id
+      JOIN keys kb ON cand.id_b = kb.doc_id
+      WHERE abs(ka.klen - kb.klen) <= {max_dist}
+    )
+    WHERE levenshtein(_ka, _kb) <= {max_dist}
+    """

@@ -22,7 +22,7 @@ from ..functions import weights as W
 from ..functions.text import phash
 from ..operators import (
     blocking, corpus, crawl, dedup, incremental, linkgraph, similarity,
-    sketches,
+    simjoin, sketches,
 )
 from ..operators.comparison_summary import distinct_vectors, marginal_counts
 
@@ -64,6 +64,9 @@ REVIEW_K = 200  # clerical-review queue capacity (top-k by weight)
 # (near-dup planted docs landing on opposite sides of the hash split)
 DECON_SPLITS = {"train": 80, "val": 10, "test": 10}
 SNM_WINDOW = 6  # sorted-neighborhood sliding-window width
+TFCOS_MIN_E4 = 2500   # tf-cosine^2 >= 0.25 (cos >= 0.5) in 1e-4 units
+TFCOS_MAX_DF = 100    # tf-cosine stop-term document-frequency cap
+EDIT_MAX_DIST = 2     # edit-join levenshtein band
 MB_MIN_DF, MB_MAX_DF = 2, 40  # meta-blocking block-purging DF bounds
 VSW_M = 0.95  # m-probability literal for value-specific agreement ratios
 
@@ -631,6 +634,47 @@ def build_catalog() -> dict[str, dict]:
         "ref": "meta-blocking / block purging (Papadakis et al. TKDE 2014) — "
         "schema-free candidate generation for dirty web sources; extends "
         "README.md:160-183 index lists",
+    }
+
+    # --- exact similarity joins (filter-then-verify index builders) ---
+    cat["tf_cosine_pairs"] = {
+        "spark": lambda s, d: simjoin.tf_cosine_pairs(
+            load(s, d, "documents"), "doc_id", "text",
+            min_cos2_e4=TFCOS_MIN_E4, max_df=TFCOS_MAX_DF,
+        ),
+        "sql": simjoin.tf_cosine_pairs_sql(
+            "documents", "doc_id", "text",
+            min_cos2_e4=TFCOS_MIN_E4, max_df=TFCOS_MAX_DF,
+        ),
+        "ref": "exact TF-cosine postings join (DF-bounded vocabulary) — the "
+        "non-probabilistic companion of README.md:160-183 index lists",
+    }
+
+    # edit-distance join key: first five normalized tokens + lang, so the
+    # fixture yields genuine lev 1-2 pairs (same text prefix, different
+    # lang tag), not just exact-duplicate keys
+    def _edit_key_spark() -> F.Column:
+        return F.concat_ws(
+            " ", F.array_join(F.slice(T.tokens(F.col("text")), 1, 5), " "),
+            F.col("lang"),
+        )
+
+    _EDIT_KEY_SQL = (
+        "(array_to_string((" + T.tokens_sql("text") + ")[1:5], ' ')"
+        " || ' ' || lang)"
+    )
+    cat["edit_similarity_pairs"] = {
+        "spark": lambda s, d: simjoin.edit_similarity_pairs(
+            load(s, d, "documents"), "doc_id", _edit_key_spark(),
+            max_dist=EDIT_MAX_DIST, q=2,
+        ),
+        "sql": simjoin.edit_similarity_pairs_sql(
+            "documents", "doc_id", _EDIT_KEY_SQL,
+            max_dist=EDIT_MAX_DIST, q=2,
+        ),
+        "ref": "Ed-Join / q-gram count-filtered edit-distance join (Gravano "
+        "et al. VLDB 2001) — exact lev<=d candidate builder for the levOrd "
+        "comparator field (src/comparisonsummary.jl levOrd inputs)",
     }
 
     # --- comparison layer (SURVEY 2.2) ---

@@ -79,6 +79,8 @@ QUERIES = [
     "semdedup",
     "lpa_communities",
     "countmin_heavy_hitters",
+    "tf_cosine_pairs",
+    "edit_similarity_pairs",
 ]
 
 

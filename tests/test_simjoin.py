@@ -1,0 +1,171 @@
+"""Semantics tests for the exact similarity joins (operators/simjoin.py):
+brute-force replicas on hand-built fixtures. Cross-engine value parity is
+covered by test_oracle_parity (tf_cosine_pairs / edit_similarity_pairs)."""
+
+import itertools
+import math
+import re
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from bayesianrecordlinkage_jl_spark.operators import simjoin
+
+TOK = re.compile(r"[^a-z0-9]+")
+
+
+def _toks(s):
+    return [t for t in TOK.split(s.lower()) if t]
+
+
+# --- tf_cosine_pairs --------------------------------------------------------
+
+
+def _brute_cosine(rows, min_cos2_e4, min_df, max_df):
+    tf = {i: Counter(_toks(t)) for i, t in rows}
+    df = Counter(t for c in tf.values() for t in c)
+    vocab = {t for t, n in df.items() if min_df <= n <= max_df}
+    kept = {i: {t: n for t, n in c.items() if t in vocab} for i, c in tf.items()}
+    out = {}
+    for a, b in itertools.combinations(sorted(kept), 2):
+        dot = sum(kept[a][t] * kept[b][t] for t in kept[a] if t in kept[b])
+        if dot == 0:
+            continue
+        na = sum(v * v for v in kept[a].values())
+        nb = sum(v * v for v in kept[b].values())
+        cos2 = (dot * dot * simjoin.COS_SCALE) // (na * nb)
+        if cos2 >= min_cos2_e4:
+            out[(a, b)] = (dot, na, nb, cos2)
+    return out
+
+
+def test_tf_cosine_matches_brute_force(spark):
+    rows = [
+        (1, "alpha beta gamma alpha"),
+        (2, "alpha beta gamma delta"),
+        (3, "epsilon zeta eta theta"),
+        (4, "epsilon zeta eta theta iota"),
+        (5, "alpha alpha beta beta gamma gamma"),
+        (6, "completely different words here"),
+    ]
+    df = spark.createDataFrame(rows, ["rid", "txt"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["dot"], r["norm2_a"], r["norm2_b"], r["cos2_e4"])
+        for r in simjoin.tf_cosine_pairs(
+            df, "rid", "txt", min_cos2_e4=1000, min_df=2, max_df=10
+        ).collect()
+    }
+    assert got == _brute_cosine(rows, 1000, 2, 10)
+
+
+def test_tf_cosine_identical_docs_hit_scale(spark):
+    rows = [(1, "x y z x"), (2, "x y z x"), (3, "x q")]
+    df = spark.createDataFrame(rows, ["rid", "txt"])
+    got = {r["id_a"]: r for r in simjoin.tf_cosine_pairs(
+        df, "rid", "txt", min_cos2_e4=9999, min_df=2, max_df=10
+    ).collect()}
+    # identical tf vectors over the kept vocab -> cos^2 = 1.0 exactly
+    assert got[1]["id_b"] == 2 and got[1]["cos2_e4"] == simjoin.COS_SCALE
+
+
+def test_tf_cosine_stop_term_cap_bounds_pairs(spark):
+    # 'common' appears in every doc; with max_df=3 it is dropped, so the
+    # only surviving pair is the one sharing a rare term
+    rows = [(i, f"common uniq{i}") for i in range(1, 8)]
+    rows += [(8, "common rare"), (9, "common rare")]
+    df = spark.createDataFrame(rows, ["rid", "txt"])
+    got = simjoin.tf_cosine_pairs(
+        df, "rid", "txt", min_cos2_e4=1, min_df=2, max_df=3
+    ).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(8, 9)}
+
+
+# --- edit_similarity_pairs --------------------------------------------------
+
+
+def _lev(a, b):
+    m, n = len(a), len(b)
+    prev = list(range(n + 1))
+    for i in range(1, m + 1):
+        cur = [i] + [0] * n
+        for j in range(1, n + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1,
+                         prev[j - 1] + (a[i - 1] != b[j - 1]))
+        prev = cur
+    return prev[n]
+
+
+def _brute_edit(rows, d, q):
+    """Pairs the operator must return: lev <= d AND the gram-overlap lower
+    bound max(|Ga|,|Gb|) - d*q is >= 1 (pairs below it can share zero
+    grams and are out of the postings-join contract)."""
+    out = {}
+    for (a, ka), (b, kb) in itertools.combinations(sorted(rows), 2):
+        bound = max(max(len(ka), len(kb)) - (q - 1), 0) - d * q
+        if bound < 1:
+            continue
+        lv = _lev(ka, kb)
+        if lv <= d and abs(len(ka) - len(kb)) <= d:
+            out[(a, b)] = (len(ka), len(kb), lv)
+    return out
+
+
+@pytest.mark.parametrize("d", [1, 2, 3])
+def test_edit_join_matches_brute_force(spark, d):
+    rows = [
+        (1, "spark structured streaming"),
+        (2, "spark structured streamign"),   # transposed tail (2 subs)
+        (3, "spark structured streaming x"), # 2 appended chars
+        (4, "sparkструкured"),               # short + non-ascii noise
+        (5, "flink structured streaming"),
+        (6, "spark structured streaming"),   # exact dup of 1
+        (7, "totally unrelated key text"),
+    ]
+    df = spark.createDataFrame(rows, ["rid", "k"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["len_a"], r["len_b"], r["lev"])
+        for r in simjoin.edit_similarity_pairs(
+            df, "rid", F.col("k"), max_dist=d, q=2
+        ).collect()
+    }
+    assert got == _brute_edit(rows, d, 2)
+
+
+def test_edit_join_never_exceeds_band(spark):
+    rows = [(i, f"prefix shared key {i % 4}{i}") for i in range(30)]
+    df = spark.createDataFrame(rows, ["rid", "k"])
+    got = simjoin.edit_similarity_pairs(
+        df, "rid", F.col("k"), max_dist=2, q=2
+    ).collect()
+    assert got and all(0 <= r["lev"] <= 2 for r in got)
+    assert all(abs(r["len_a"] - r["len_b"]) <= 2 for r in got)
+
+
+def test_edit_join_survives_hot_grams(spark):
+    """Every gram in the corpus is hot (shared by all 40 keys), yet true
+    near pairs must still surface — the property a df-capped count filter
+    silently breaks (prefix filtering needs no vocabulary cap)."""
+    base = "aa" * 10
+    rows = [(i, base) for i in range(1, 40)] + [(40, base[:-1] + "b")]
+    df = spark.createDataFrame(rows, ["rid", "k"])
+    got = {
+        (r["id_a"], r["id_b"]): (r["len_a"], r["len_b"], r["lev"])
+        for r in simjoin.edit_similarity_pairs(
+            df, "rid", F.col("k"), max_dist=1, q=2
+        ).collect()
+    }
+    assert got == _brute_edit(rows, 1, 2)
+    assert got[(1, 40)][2] == 1  # the genuine edit pair, through hot grams
+
+
+def test_edit_join_kernel_evaluates_once(spark):
+    """The banded levenshtein must appear exactly once in the optimized
+    plan (pair-key aggregate barrier stops filter inlining)."""
+    rows = [(1, "abcdefgh"), (2, "abcdefgx"), (3, "abcdefgy")]
+    df = spark.createDataFrame(rows, ["rid", "k"])
+    out = simjoin.edit_similarity_pairs(
+        df, "rid", F.col("k"), max_dist=2, q=2
+    )
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert plan.lower().count("levenshtein") == 1, plan
