@@ -1,0 +1,149 @@
+"""Golden-record fusion (survivorship): collapse each entity cluster into
+one canonical record with per-field resolution rules.
+
+The reference stops at the matching/clustering output (LinkMatrix /
+ConnectedComponents — /root/reference/src/clustering_functions.jl); real ER
+deployments then FUSE each cluster into a single record (Bleiholder &
+Naumann's data-fusion survey, ACM CS 2008). This operator implements the
+two deterministic rule families that cover most survivorship policies:
+
+  - recency/size champion: the member with the MAX (len_col, -id) struct —
+    "longest text wins" here, "latest timestamp wins" with a ts column;
+    one struct-MAX aggregate (the mutual_best pattern — partial map-side
+    aggregation, the shuffle carries |docs| grouped rows, never sorts).
+  - categorical mode: for each categorical field, the most frequent value
+    (ties: lexicographically smallest — a total order, so the choice is
+    partitioning-invariant). One (cluster, value) count aggregate per
+    field, then a struct-MIN over (-count, value).
+
+All outputs are integers/strings (counts, argmax ids, mode values) — no
+floats anywhere, so the DuckDB twin is bit-strict. The SQL twin replays
+the argmax/mode rules as row_number windows over the same total orders.
+
+100-TB notes: per-field work is one map-side-combined aggregate keyed by
+cluster (or (cluster, value)); nothing explodes and nothing is quadratic
+in cluster size. The labeled (node ⋈ docs) relation feeds 2+len(cat_cols)
+aggregates, so callers passing an expensive upstream should materialize it
+— the catalog entry consumes CC output, which is localCheckpoint-backed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def record_fusion(
+    docs: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    len_col: str,
+    cat_cols: list[str],
+    node_col: str = "node",
+    cluster_col: str = "component",
+) -> DataFrame:
+    """docs + clusters(node, component) -> one golden record per cluster:
+    (cluster_id, n_docs, rep_id, best_len_id, best_len,
+     top_<c>, <c>_support for each categorical field c).
+
+    rep_id = min member id (stable cluster key); best_len_id = the
+    longest-field champion (len desc, id asc); top_<c> = modal value
+    (count desc, value asc); <c>_support = that value's member count."""
+    labeled = clusters.select(
+        F.col(node_col).cast("long").alias("_id"),
+        F.col(cluster_col).cast("long").alias("cluster_id"),
+    ).join(
+        docs.select(
+            F.col(id_col).cast("long").alias("_id"),
+            F.col(len_col).cast("long").alias("_len"),
+            *[F.col(c) for c in cat_cols],
+        ),
+        on="_id",
+    )
+    base = (
+        labeled.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.min("_id").cast("long").alias("rep_id"),
+            F.max(
+                F.struct(F.col("_len"), (-F.col("_id")).alias("_nid"))
+            ).alias("_m"),
+        )
+        .select(
+            "cluster_id", "n_docs", "rep_id",
+            (-F.col("_m._nid")).cast("long").alias("best_len_id"),
+            F.col("_m._len").cast("long").alias("best_len"),
+        )
+    )
+    out = base
+    for c in cat_cols:
+        mode = (
+            labeled.groupBy("cluster_id", c)
+            .agg(F.count(F.lit(1)).cast("long").alias("_cnt"))
+            .groupBy("cluster_id")
+            .agg(
+                F.min(
+                    F.struct((-F.col("_cnt")).alias("_nc"), F.col(c))
+                ).alias("_mm")
+            )
+            .select(
+                "cluster_id",
+                F.col(f"_mm.{c}").alias(f"top_{c}"),
+                (-F.col("_mm._nc")).cast("long").alias(f"{c}_support"),
+            )
+        )
+        out = out.join(mode, on="cluster_id")
+    return out
+
+
+def record_fusion_sql(
+    table: str,
+    clusters_sql: str,
+    id_col: str,
+    len_col: str,
+    cat_cols: list[str],
+    node_col: str = "node",
+    cluster_col: str = "component",
+) -> str:
+    """Twin of record_fusion. clusters_sql: derived table producing
+    (node, component). Mode/argmax replayed as row_number windows over
+    the same total orders."""
+    cat_sel = ", ".join(f"d.{c}" for c in cat_cols)
+    cat_sel = (", " + cat_sel) if cat_sel else ""
+    parts = [f"""labeled AS MATERIALIZED (
+      SELECT c.{cluster_col} AS cluster_id, d.{id_col} AS _id,
+             CAST(d.{len_col} AS BIGINT) AS _len{cat_sel}
+      FROM ({clusters_sql}) c
+      JOIN {table} d ON d.{id_col} = c.{node_col}
+    )""", """base AS (
+      SELECT cluster_id,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(min(_id) AS BIGINT) AS rep_id
+      FROM labeled GROUP BY cluster_id
+    )""", """champ AS (
+      SELECT cluster_id, CAST(_id AS BIGINT) AS best_len_id,
+             _len AS best_len
+      FROM (SELECT cluster_id, _id, _len,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY _len DESC, _id ASC) AS _rn
+            FROM labeled)
+      WHERE _rn = 1
+    )"""]
+    joins = ["base", "JOIN champ USING (cluster_id)"]
+    sel = ["cluster_id", "n_docs", "rep_id", "best_len_id", "best_len"]
+    for c in cat_cols:
+        parts.append(f"""mode_{c} AS (
+      SELECT cluster_id, {c} AS top_{c},
+             CAST(_cnt AS BIGINT) AS {c}_support
+      FROM (SELECT cluster_id, {c}, count(*) AS _cnt,
+                   row_number() OVER (PARTITION BY cluster_id
+                                      ORDER BY count(*) DESC, {c} ASC) AS _rn
+            FROM labeled GROUP BY cluster_id, {c})
+      WHERE _rn = 1
+    )""")
+        joins.append(f"JOIN mode_{c} USING (cluster_id)")
+        sel += [f"top_{c}", f"{c}_support"]
+    body = ",\n    ".join(parts)
+    return (
+        f"WITH {body}\n    SELECT {', '.join(sel)} FROM "
+        + " ".join(joins)
+    )

@@ -21,8 +21,8 @@ from ..functions import text as T
 from ..functions import weights as W
 from ..functions.text import phash
 from ..operators import (
-    blocking, corpus, crawl, dedup, incremental, linkgraph, similarity,
-    simjoin, sketches,
+    blocking, corpus, crawl, dedup, fusion, incremental, linkgraph,
+    similarity, simjoin, sketches,
 )
 from ..operators.comparison_summary import distinct_vectors, marginal_counts
 
@@ -769,6 +769,19 @@ def build_catalog() -> dict[str, dict]:
         "spark": _cc_spark,
         "sql": _cc_sql(),
         "ref": "src/clustering_functions.jl:15-280 (bipartite_cluster)",
+    }
+    cat["record_fusion"] = {
+        "spark": lambda s, d: fusion.record_fusion(
+            load(s, d, "documents"), _cc_spark(s, d),
+            "doc_id", "n_chars", ["lang", "source"],
+        ),
+        "sql": fusion.record_fusion_sql(
+            "documents", _cc_sql(), "doc_id", "n_chars", ["lang", "source"],
+        ),
+        "ref": "golden-record survivorship over the reference's cluster "
+        "output (src/clustering_functions.jl stops at labels; fusion per "
+        "Bleiholder & Naumann 2008) — longest-text champion + per-field "
+        "modal values, total-order tie-breaks",
     }
     cat["component_summary"] = {
         "spark": lambda s, d: _cc_spark(s, d)

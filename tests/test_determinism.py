@@ -81,6 +81,7 @@ QUERIES = [
     "countmin_heavy_hitters",
     "tf_cosine_pairs",
     "edit_similarity_pairs",
+    "record_fusion",
 ]
 
 
