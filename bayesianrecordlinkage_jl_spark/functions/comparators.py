@@ -274,6 +274,45 @@ def jaro_winkler_ord_sql(a: str, b: str) -> str:
     )
 
 
+def jaro_winkler_micro(a: Column, b: Column) -> Column:
+    """Raw JW similarity as a BIGINT in micro-units: floor(jw * 1e6).
+
+    Bit-strict across engines because the underlying jw double is
+    bit-identical (the batch kernel IS DuckDB's C++ implementation, with
+    numpy/scalar fallbacks asserted bit-equal by
+    test_comparator_equivalence), the * 1e6 is one IEEE op on that double,
+    and floor is exact. Integer outputs make downstream sums/maxes
+    order-free — the building block for Monge-Elkan (operators/simjoin.py),
+    where per-token maxes are summed per pair."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _jw_micro(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        valid = sa.notna().to_numpy() & sb.notna().to_numpy()
+        out = np.zeros(len(sa), dtype=np.int64)
+        if valid.any():
+            vi = np.nonzero(valid)[0]
+            sims = _jw_sims(
+                sa.to_numpy(dtype=object)[vi], sb.to_numpy(dtype=object)[vi]
+            )
+            out[vi] = np.floor(sims * 1e6).astype(np.int64)
+        return pd.Series(out, dtype="int64")
+
+    return _jw_micro(a, b)
+
+
+def jaro_winkler_micro_sql(a: str, b: str) -> str:
+    """DuckDB twin of jaro_winkler_micro (same '' vs '' convention fix as
+    jaro_winkler_ord_sql: the kernel scores a = b as exactly 1.0)."""
+    return (
+        f"CAST(CASE WHEN {a} IS NULL OR {b} IS NULL THEN 0 "
+        f"WHEN {a} = {b} THEN 1000000 "
+        f"ELSE floor(jaro_winkler_similarity({a}, {b}) * 1000000.0e0) "
+        f"END AS BIGINT)"
+    )
+
+
 def _pad_codes(bstrs, lens, pad: int):
     """UTF-8 byte strings -> (n, Lmax) int16 byte matrix, padded with `pad`.
     One join + one frombuffer for the whole batch."""

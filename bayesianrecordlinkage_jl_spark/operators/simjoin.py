@@ -328,3 +328,176 @@ def edit_similarity_pairs_sql(
     )
     WHERE levenshtein(_ka, _kb) <= {max_dist}
     """
+
+
+# ---------------------------------------------------------------------------
+# Monge-Elkan token-set comparator join
+# ---------------------------------------------------------------------------
+
+
+def monge_elkan_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: tuple = ("lang", "source"),
+    max_tokens: int = 8,
+) -> DataFrame:
+    """-> (id_a, id_b, n_tok_a, n_tok_b, me_ab_micro, me_ba_micro,
+    me_sym_micro): Monge-Elkan hybrid similarity (Monge & Elkan 1996) over
+    blocked candidate pairs — the mean over A's tokens of the best
+    Jaro-Winkler match in B (and vice versa), the standard secondary
+    comparator for multi-token fields (names, addresses) that plain JW on
+    the concatenated string mis-scores under token reorderings.
+
+    The reference compares whole fields only (src/comparisonsummary.jl
+    comparators are scalar per column); this supplies the token-set hybrid
+    its dirty-source users add first.
+
+    Token set: the first `max_tokens` DISTINCT tokens in lexicographic
+    order (a total order both engines share on lowercased ASCII tokens),
+    so per-pair work is bounded at max_tokens^2. Pairs where either side
+    has no tokens are out of contract (no rows survive the explode).
+
+    Bit-strict: jw is floored to integer micro-units per token pair
+    (jaro_winkler_micro), per-token maxes and per-pair sums are integer
+    (order-free), and the two means are floor(IEEE double division) of
+    exact-representable integers — identical in both engines.
+    me_sym_micro = (me_ab + me_ba) div 2.
+
+    100-TB notes: tokenization + token-set slice happen once per DOCUMENT
+    below the join; JW evaluates once per DISTINCT surviving token pair
+    (a Zipf-shaped relation, localCheckpoint'ed and broadcast — web text
+    re-pairs the same frequent tokens constantly), not per cross row; the
+    blocked pair relation is localCheckpoint'ed because two directional
+    aggregates consume it. Nothing sorts or windows the pair set."""
+    from ..functions import comparators as C
+
+    bcols = list(block_cols)
+    tok = _spread(df, id_col).select(
+        F.col(id_col).cast("long").alias("doc_id"),
+        *[F.col(c) for c in bcols],
+        F.slice(
+            F.array_sort(F.array_distinct(T.tokens(F.col(text_col)))),
+            1, max_tokens,
+        ).alias("toks"),
+    )
+    a = tok.select(
+        F.col("doc_id").alias("id_a"), *bcols, F.col("toks").alias("toks_a")
+    )
+    b = tok.select(
+        F.col("doc_id").alias("id_b"), *bcols, F.col("toks").alias("toks_b")
+    )
+    pairs = (
+        a.join(b, on=bcols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "toks_a", "toks_b")
+        .localCheckpoint()
+    )
+    cross = pairs.select(
+        "id_a", "id_b", F.explode("toks_a").alias("tok_a"), "toks_b"
+    ).select("id_a", "id_b", "tok_a", F.explode("toks_b").alias("tok_b"))
+    dim = (
+        cross.select("tok_a", "tok_b")
+        .distinct()
+        .withColumn(
+            "jw_micro",
+            C.jaro_winkler_micro(F.col("tok_a"), F.col("tok_b")),
+        )
+        .localCheckpoint()
+    )
+    scored = cross.join(F.broadcast(dim), on=["tok_a", "tok_b"])
+
+    def _direction(tok_side: str, s_name: str, n_name: str) -> DataFrame:
+        return (
+            scored.groupBy("id_a", "id_b", tok_side)
+            .agg(F.max("jw_micro").alias("_m"))
+            .groupBy("id_a", "id_b")
+            .agg(
+                F.sum("_m").cast("long").alias(s_name),
+                F.count(F.lit(1)).cast("long").alias(n_name),
+            )
+        )
+
+    ab = _direction("tok_a", "_s_ab", "n_tok_a")
+    ba = _direction("tok_b", "_s_ba", "n_tok_b")
+    return (
+        ab.join(ba, on=["id_a", "id_b"])
+        .select(
+            "id_a", "id_b", "n_tok_a", "n_tok_b",
+            F.floor(F.col("_s_ab") / F.col("n_tok_a"))
+            .cast("long").alias("me_ab_micro"),
+            F.floor(F.col("_s_ba") / F.col("n_tok_b"))
+            .cast("long").alias("me_ba_micro"),
+        )
+        .withColumn(
+            "me_sym_micro",
+            F.expr("(me_ab_micro + me_ba_micro) div 2").cast("long"),
+        )
+    )
+
+
+def monge_elkan_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    block_cols: tuple = ("lang", "source"),
+    max_tokens: int = 8,
+) -> str:
+    """DuckDB twin of monge_elkan_pairs (chained unnests form the token
+    cross product; jw via jaro_winkler_micro_sql on the distinct-pair
+    dim)."""
+    from ..functions import comparators as C
+
+    on = " AND ".join(f"a.{c} = b.{c}" for c in block_cols)
+    toks = T.tokens_sql(text_col)
+    jw = C.jaro_winkler_micro_sql("tok_a", "tok_b")
+    return f"""
+    WITH tok AS MATERIALIZED (
+      SELECT CAST({id_col} AS BIGINT) AS doc_id,
+             {', '.join(block_cols)},
+             list_slice(list_sort(list_distinct({toks})), 1, {max_tokens})
+               AS toks
+      FROM {table}
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.toks AS toks_a, b.toks AS toks_b
+      FROM tok a JOIN tok b ON {on} AND a.doc_id < b.doc_id
+    ),
+    xa AS (SELECT id_a, id_b, unnest(toks_a) AS tok_a, toks_b FROM pairs),
+    xab AS MATERIALIZED (
+      SELECT id_a, id_b, tok_a, unnest(toks_b) AS tok_b FROM xa
+    ),
+    dim AS MATERIALIZED (
+      SELECT tok_a, tok_b, {jw} AS jw_micro
+      FROM (SELECT DISTINCT tok_a, tok_b FROM xab)
+    ),
+    scored AS MATERIALIZED (
+      SELECT x.id_a, x.id_b, x.tok_a, x.tok_b, d.jw_micro
+      FROM xab x JOIN dim d USING (tok_a, tok_b)
+    ),
+    ab AS (
+      SELECT id_a, id_b, CAST(sum(_m) AS BIGINT) AS _s_ab,
+             CAST(count(*) AS BIGINT) AS n_tok_a
+      FROM (SELECT id_a, id_b, tok_a, max(jw_micro) AS _m
+            FROM scored GROUP BY id_a, id_b, tok_a)
+      GROUP BY id_a, id_b
+    ),
+    ba AS (
+      SELECT id_a, id_b, CAST(sum(_m) AS BIGINT) AS _s_ba,
+             CAST(count(*) AS BIGINT) AS n_tok_b
+      FROM (SELECT id_a, id_b, tok_b, max(jw_micro) AS _m
+            FROM scored GROUP BY id_a, id_b, tok_b)
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, n_tok_a, n_tok_b, me_ab_micro, me_ba_micro,
+           (me_ab_micro + me_ba_micro) // 2 AS me_sym_micro
+    FROM (
+      SELECT ab.id_a, ab.id_b, n_tok_a, n_tok_b,
+             CAST(floor(CAST(_s_ab AS DOUBLE) / n_tok_a) AS BIGINT)
+               AS me_ab_micro,
+             CAST(floor(CAST(_s_ba AS DOUBLE) / n_tok_b) AS BIGINT)
+               AS me_ba_micro
+      FROM ab JOIN ba ON ab.id_a = ba.id_a AND ab.id_b = ba.id_b
+    )
+    """

@@ -677,6 +677,21 @@ def build_catalog() -> dict[str, dict]:
         "comparator field (src/comparisonsummary.jl levOrd inputs)",
     }
 
+    cat["monge_elkan_pairs"] = {
+        "spark": lambda s, d: simjoin.monge_elkan_pairs(
+            load(s, d, "documents"), "doc_id", "text",
+            block_cols=("lang", "source"), max_tokens=8,
+        ),
+        "sql": simjoin.monge_elkan_pairs_sql(
+            "documents", "doc_id", "text",
+            block_cols=("lang", "source"), max_tokens=8,
+        ),
+        "ref": "Monge-Elkan hybrid token-set comparator (Monge & Elkan "
+        "1996) over the standard blocking — the multi-token secondary "
+        "comparator the reference's scalar per-column kernels "
+        "(src/comparisonsummary.jl) lack",
+    }
+
     # --- comparison layer (SURVEY 2.2) ---
     cat["comparison_vectors"] = {
         "spark": _vectors_spark,

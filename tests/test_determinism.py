@@ -82,6 +82,7 @@ QUERIES = [
     "tf_cosine_pairs",
     "edit_similarity_pairs",
     "record_fusion",
+    "monge_elkan_pairs",
 ]
 
 

@@ -169,3 +169,85 @@ def test_edit_join_kernel_evaluates_once(spark):
     )
     plan = out._jdf.queryExecution().optimizedPlan().toString()
     assert plan.lower().count("levenshtein") == 1, plan
+
+
+# ---------------------------------------------------------------------------
+# Monge-Elkan token-set comparator
+# ---------------------------------------------------------------------------
+
+
+def _brute_monge_elkan(rows, max_tokens):
+    """Pure-Python replica: lexicographic first-K distinct tokens, scalar
+    JW reference kernel, integer micro floor at every stage."""
+    from bayesianrecordlinkage_jl_spark.functions.comparators import (
+        _jaro_winkler,
+    )
+
+    toks = {
+        i: sorted(set(_toks(t)))[:max_tokens] for i, t, _ in rows
+    }
+    blocks = {}
+    for i, _, blk in rows:
+        blocks.setdefault(blk, []).append(i)
+    out = {}
+    for members in blocks.values():
+        for a, b in itertools.combinations(sorted(members), 2):
+            ta, tb = toks[a], toks[b]
+            if not ta or not tb:
+                continue
+            jw = {
+                (x, y): int(math.floor(
+                    (1.0 if x == y else _jaro_winkler(x, y)) * 1e6))
+                for x in ta for y in tb
+            }
+            s_ab = sum(max(jw[(x, y)] for y in tb) for x in ta)
+            s_ba = sum(max(jw[(x, y)] for x in ta) for y in tb)
+            me_ab = int(math.floor(s_ab / len(ta)))
+            me_ba = int(math.floor(s_ba / len(tb)))
+            out[(a, b)] = (
+                len(ta), len(tb), me_ab, me_ba, (me_ab + me_ba) // 2
+            )
+    return out
+
+
+def test_monge_elkan_matches_brute_force(spark):
+    rows = [
+        (1, "john smith lives here", "x"),
+        (2, "smith john lives here", "x"),   # reordered tokens
+        (3, "jon smyth lives here", "x"),    # typo variants
+        (4, "completely different words", "x"),
+        (5, "john smith", "y"),              # other block
+        (6, "john smith lives here today now more words than the cap", "y"),
+        (7, "", "y"),                        # empty: out of contract
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, blk string")
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["n_tok_a"], r["n_tok_b"], r["me_ab_micro"],
+            r["me_ba_micro"], r["me_sym_micro"],
+        )
+        for r in simjoin.monge_elkan_pairs(
+            df, "doc_id", "text", block_cols=("blk",), max_tokens=4
+        ).collect()
+    }
+    assert got == _brute_monge_elkan(rows, max_tokens=4)
+    # reordering-invariance: identical token sets score 1.0 both ways
+    assert got[(1, 2)][2:] == (1_000_000, 1_000_000, 1_000_000)
+    # typo pair scores high but below 1.0, and above the unrelated pair
+    assert 800_000 < got[(1, 3)][4] < 1_000_000
+    assert got[(1, 3)][4] > got[(1, 4)][4]
+
+
+def test_monge_elkan_token_cap_bounds_work(spark):
+    # 20-token docs with cap 3: n_tok columns must report the CAP, not
+    # the raw token count (per-pair work bounded at cap^2)
+    long_a = " ".join(f"tok{i:02d}" for i in range(20))
+    long_b = " ".join(f"tok{i:02d}" for i in range(10, 30))
+    df = spark.createDataFrame(
+        [(1, long_a, "x"), (2, long_b, "x")],
+        "doc_id long, text string, blk string",
+    )
+    [r] = simjoin.monge_elkan_pairs(
+        df, "doc_id", "text", block_cols=("blk",), max_tokens=3
+    ).collect()
+    assert r["n_tok_a"] == 3 and r["n_tok_b"] == 3
