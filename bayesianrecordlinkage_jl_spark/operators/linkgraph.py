@@ -911,3 +911,113 @@ def lpa_communities_sql(
               FROM v{it}) WHERE _r = 1) b ON p.host = b.host)""")
     body = ",\n    ".join(ctes)
     return f"WITH {body}\n    SELECT host, label FROM l{iterations}"
+
+
+# --- k-core decomposition (fixed-round peel) ---------------------------------
+
+KCORE_K = 2
+KCORE_ROUNDS = 6
+
+
+def kcore_hosts(
+    edges: DataFrame, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> DataFrame:
+    """edges(src_host, dst_host, n_links) -> (host, core_degree): the
+    k-core of the UNDIRECTED host graph — hosts surviving `rounds`
+    synchronous peel sweeps (each sweep removes every host whose degree
+    among still-alive hosts is < k), with the final within-core degree.
+
+    The k-core is the standard spam/boilerplate-farm signal (Seidman
+    1983; Batagelj-Zaversnik peel): link farms sit in dense cores, leaf
+    hosts peel off. Like LPA above, the data-dependent stopping rule is
+    replaced by a FIXED round count for replayability — both engines run
+    exactly `rounds` sweeps, so results are identical even on inputs
+    where the peel has not converged (tests assert convergence on the
+    fixture: one extra sweep removes nothing). Self-loops are excluded
+    (a self-link contributes no peer degree).
+
+    Scale shape: the distinct undirected edge set is materialized once
+    (localCheckpoint — every sweep consumes it); a sweep is two semi-joins
+    of edges against the |hosts|-row alive set plus one map-side-combined
+    degree count. All state is (host) rows; nothing is quadratic and no
+    window touches the edge set. Degree counts are integers — bit-strict."""
+    und = (
+        edges.where(F.col("src_host") != F.col("dst_host"))
+        .select("src_host", "dst_host")
+        .unionByName(
+            edges.where(F.col("src_host") != F.col("dst_host")).select(
+                F.col("dst_host").alias("src_host"),
+                F.col("src_host").alias("dst_host"),
+            )
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    alive = und.select(F.col("src_host").alias("host")).distinct()
+    for _ in range(rounds):
+        deg = (
+            und.join(
+                alive.select(F.col("host").alias("src_host")),
+                on="src_host", how="left_semi",
+            )
+            .join(
+                alive.select(F.col("host").alias("dst_host")),
+                on="dst_host", how="left_semi",
+            )
+            .groupBy("src_host")
+            .agg(F.count(F.lit(1)).cast("long").alias("deg"))
+        )
+        alive = (
+            deg.where(F.col("deg") >= k)
+            .select(F.col("src_host").alias("host"))
+            .localCheckpoint()
+        )
+    return (
+        und.join(
+            alive.select(F.col("host").alias("src_host")),
+            on="src_host", how="left_semi",
+        )
+        .join(
+            alive.select(F.col("host").alias("dst_host")),
+            on="dst_host", how="left_semi",
+        )
+        .groupBy(F.col("src_host").alias("host"))
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+    )
+
+
+def kcore_hosts_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+) -> str:
+    """Chained-CTE oracle: a0 -> a1 -> ... -> a<rounds>, same synchronous
+    peel (degree among the previous round's survivors, keep deg >= k)."""
+    ctes = [
+        f"""edges AS ({host_link_graph_sql(table, id_col, text_col)})""",
+        """und AS MATERIALIZED (
+          SELECT DISTINCT src_host, dst_host FROM (
+            SELECT src_host, dst_host FROM edges
+            WHERE src_host != dst_host
+            UNION ALL
+            SELECT dst_host AS src_host, src_host AS dst_host
+            FROM edges WHERE src_host != dst_host))""",
+        """a0 AS (SELECT DISTINCT src_host AS host FROM und)""",
+    ]
+    for it in range(1, rounds + 1):
+        prev = f"a{it - 1}"
+        ctes.append(f"""a{it} AS (
+          SELECT e.src_host AS host
+          FROM und e
+          SEMI JOIN {prev} x ON e.src_host = x.host
+          SEMI JOIN {prev} y ON e.dst_host = y.host
+          GROUP BY e.src_host HAVING count(*) >= {k})""")
+    body = ",\n    ".join(ctes)
+    return f"""WITH {body}
+    SELECT e.src_host AS host, CAST(count(*) AS BIGINT) AS core_degree
+    FROM und e
+    SEMI JOIN a{rounds} x ON e.src_host = x.host
+    SEMI JOIN a{rounds} y ON e.dst_host = y.host
+    GROUP BY e.src_host"""

@@ -1591,6 +1591,15 @@ def build_catalog() -> dict[str, dict]:
         "(degree-ordered orientation: oriented out-degree is O(sqrt(|E|)) "
         "so hot hosts cannot explode the wedge join)",
     }
+    cat["kcore_hosts"] = {
+        "spark": lambda s, d: linkgraph.kcore_hosts(
+            linkgraph.host_link_graph(load(s, d, "documents"), "doc_id", "text")
+        ),
+        "sql": linkgraph.kcore_hosts_sql("documents", "doc_id", "text"),
+        "ref": "k-core of the host graph (Seidman 1983, fixed-round "
+        "synchronous peel) — the dense-subgraph / link-farm signal "
+        "complementing triangles and PageRank",
+    }
 
     # --- text analysis (training-data ops) ---
     cat["text_stats"] = {

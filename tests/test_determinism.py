@@ -83,6 +83,7 @@ QUERIES = [
     "edit_similarity_pairs",
     "record_fusion",
     "monge_elkan_pairs",
+    "kcore_hosts",
 ]
 
 

@@ -415,3 +415,62 @@ def test_triangles_units(spark):
     assert got["b"] == (2, 1, 1.0)
     assert got["c"] == (3, 1, 2.0 / 6.0)
     assert got["d"] == (1, 0, 0.0)
+
+
+# --- k-core (fixed-round peel) -----------------------------------------------
+
+
+def _brute_kcore(pairs, k):
+    """Full Batagelj-Zaversnik peel to convergence -> {host: core_degree}."""
+    und = set()
+    for s, d in pairs:
+        if s != d:
+            und.add((s, d))
+            und.add((d, s))
+    alive = {s for s, _ in und}
+    while True:
+        deg = {}
+        for s, d in und:
+            if s in alive and d in alive:
+                deg[s] = deg.get(s, 0) + 1
+        nxt = {h for h, dg in deg.items() if dg >= k}
+        if nxt == alive:
+            return deg
+        alive = nxt
+
+
+def test_kcore_hand_fixture(spark):
+    # triangle a-b-c (the 2-core) + tail a-d-e (peels off in 2 sweeps)
+    edges = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("c", "a", 1),
+         ("a", "d", 1), ("d", "e", 1), ("a", "a", 9)],
+        "src_host string, dst_host string, n_links long",
+    )
+    got = {
+        r["host"]: r["core_degree"]
+        for r in LG.kcore_hosts(edges, k=2, rounds=4).collect()
+    }
+    assert got == {"a": 2, "b": 2, "c": 2}
+
+
+def test_kcore_matches_full_peel_and_converges(spark, docs_pdf):
+    graph = LG.host_link_graph(
+        spark.createDataFrame(docs_pdf), "doc_id", "text"
+    ).localCheckpoint()
+    pairs = [
+        (r["src_host"], r["dst_host"])
+        for _, r in graph.toPandas().iterrows()
+    ]
+    want = _brute_kcore(pairs, LG.KCORE_K)
+    got = {
+        r["host"]: r["core_degree"]
+        for r in LG.kcore_hosts(graph).collect()
+    }
+    # fixed-round peel has converged on the fixture (one more sweep is a
+    # no-op) and equals the run-to-convergence replica
+    more = {
+        r["host"]: r["core_degree"]
+        for r in LG.kcore_hosts(graph, rounds=LG.KCORE_ROUNDS + 1).collect()
+    }
+    assert got == want == more
+    assert got  # non-degenerate: the fixture has a real core
