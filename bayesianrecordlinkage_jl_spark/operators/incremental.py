@@ -435,3 +435,118 @@ def cluster_pair_metrics_sql(
                 ELSE 0.0e0 END AS f1
     FROM tp, pp, tg
     """
+
+
+def bcubed_metrics(
+    pred: DataFrame,
+    truth: DataFrame,
+    node_col: str = "node",
+    pred_col: str = "component",
+    truth_col: str = "component",
+) -> DataFrame:
+    """B-cubed precision/recall/F1 (Bagga & Baldwin 1998) of a predicted
+    clustering vs truth — the per-RECORD average that, unlike pair
+    counting, does not let one huge cluster dominate the score (the
+    standard complement; Amigo et al. 2009 showed B^3 is the only family
+    meeting all four clustering-metric constraints).
+
+    Per record r: precision_r = |C(r) ∩ T(r)| / |C(r)|. All records in
+    contingency cell (p, t) share it, so the whole metric is three
+    aggregations over label counts — the pair universe (and even the
+    per-record relation) is never re-scanned: B3P = (1/N) Σ_cells
+    c_pt^2 / c_p, B3R with c_t.
+
+    Fixed-point contract (bit-strict across engines): each cell
+    contributes floor(c_pt^2 * 1e6 / c_p) micro-units (integer DIV), the
+    sums are integer (order-free), the final averages and the harmonic
+    F1 are integer DIVs of those sums. One row:
+    (n_nodes, b3p_micro, b3r_micro, b3f1_micro), all BIGINT. Each
+    per-cell/final floor loses < 1e-6 — quantization, not approximation."""
+    j = pred.select(
+        F.col(node_col).cast("long").alias("_n"),
+        F.col(pred_col).cast("long").alias("_p"),
+    ).join(
+        truth.select(
+            F.col(node_col).cast("long").alias("_n"),
+            F.col(truth_col).cast("long").alias("_t"),
+        ),
+        on="_n",
+    ).localCheckpoint()  # three aggregates consume it
+
+    cells = j.groupBy("_p", "_t").agg(
+        F.count(F.lit(1)).cast("long").alias("c_pt")
+    )
+    psize = j.groupBy("_p").agg(F.count(F.lit(1)).cast("long").alias("c_p"))
+    tsize = j.groupBy("_t").agg(F.count(F.lit(1)).cast("long").alias("c_t"))
+    sums = (
+        cells.join(psize, on="_p")
+        .join(tsize, on="_t")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("(c_pt * c_pt * 1000000) div c_p")), F.lit(0)
+            ).cast("long").alias("_ps"),
+            F.coalesce(
+                F.sum(F.expr("(c_pt * c_pt * 1000000) div c_t")), F.lit(0)
+            ).cast("long").alias("_rs"),
+            F.coalesce(F.sum("c_pt"), F.lit(0)).cast("long").alias("n_nodes"),
+        )
+    )
+    return sums.select(
+        "n_nodes",
+        F.expr("CASE WHEN n_nodes > 0 THEN _ps div n_nodes ELSE 0 END")
+        .cast("long").alias("b3p_micro"),
+        F.expr("CASE WHEN n_nodes > 0 THEN _rs div n_nodes ELSE 0 END")
+        .cast("long").alias("b3r_micro"),
+    ).withColumn(
+        "b3f1_micro",
+        F.expr(
+            "CASE WHEN b3p_micro + b3r_micro > 0 THEN "
+            "(2 * b3p_micro * b3r_micro) div (b3p_micro + b3r_micro) "
+            "ELSE 0 END"
+        ).cast("long"),
+    )
+
+
+def bcubed_metrics_sql(
+    pred_expr: str,
+    truth_expr: str,
+    node_col: str = "node",
+    pred_col: str = "component",
+    truth_col: str = "component",
+) -> str:
+    """Twin of bcubed_metrics (same per-cell integer-DIV fixed point)."""
+    return f"""
+    WITH j AS MATERIALIZED (
+      SELECT CAST(p.{node_col} AS BIGINT) AS _n,
+             CAST(p.{pred_col} AS BIGINT) AS _p,
+             CAST(t.{truth_col} AS BIGINT) AS _t
+      FROM ({pred_expr}) p JOIN ({truth_expr}) t
+        ON CAST(p.{node_col} AS BIGINT) = CAST(t.{node_col} AS BIGINT)
+    ),
+    cells AS (SELECT _p, _t, CAST(count(*) AS BIGINT) AS c_pt
+              FROM j GROUP BY _p, _t),
+    psize AS (SELECT _p, CAST(count(*) AS BIGINT) AS c_p
+              FROM j GROUP BY _p),
+    tsize AS (SELECT _t, CAST(count(*) AS BIGINT) AS c_t
+              FROM j GROUP BY _t),
+    sums AS (
+      SELECT CAST(COALESCE(sum((c_pt * c_pt * 1000000) // c_p), 0)
+               AS BIGINT) AS _ps,
+             CAST(COALESCE(sum((c_pt * c_pt * 1000000) // c_t), 0)
+               AS BIGINT) AS _rs,
+             CAST(COALESCE(sum(c_pt), 0) AS BIGINT) AS n_nodes
+      FROM cells JOIN psize USING (_p) JOIN tsize USING (_t)
+    )
+    SELECT n_nodes, b3p_micro, b3r_micro,
+           CASE WHEN b3p_micro + b3r_micro > 0 THEN
+             (2 * b3p_micro * b3r_micro) // (b3p_micro + b3r_micro)
+           ELSE 0 END AS b3f1_micro
+    FROM (
+      SELECT n_nodes,
+             CASE WHEN n_nodes > 0 THEN _ps // n_nodes ELSE 0 END
+               AS b3p_micro,
+             CASE WHEN n_nodes > 0 THEN _rs // n_nodes ELSE 0 END
+               AS b3r_micro
+      FROM sums
+    )
+    """

@@ -2756,4 +2756,32 @@ def build_catalog() -> dict[str, dict]:
         "O(n) aggregations, no pair materialization)",
     }
 
+    def _bcubed_spark(s, d):
+        from ..operators.connected_components import components_with_isolated
+
+        docs = load(s, d, "documents")
+        g = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.md5(F.col("text")).alias("_h"),
+        )
+        cl = g.groupBy("_h").agg(F.min("doc_id").alias("component"))
+        pred = g.join(cl, on="_h").select(
+            F.col("doc_id").alias("node"), "component"
+        )
+        edges = dedup.ngram_jaccard_pairs_via_lsh(
+            docs, "doc_id", "text", JACCARD_MIN_PCT
+        ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        truth = components_with_isolated(
+            edges, docs.select(F.col("doc_id").cast("long").alias("node"))
+        )
+        return incremental.bcubed_metrics(pred, truth)
+
+    cat["bcubed_metrics"] = {
+        "spark": _bcubed_spark,
+        "sql": incremental.bcubed_metrics_sql(_CM_PRED_SQL, _CM_TRUTH_SQL),
+        "ref": "B-cubed P/R/F1 (Bagga & Baldwin 1998; Amigo et al. 2009) — "
+        "the per-record clustering metric pair-counting misses; integer "
+        "micro fixed point over contingency cells",
+    }
+
     return cat

@@ -84,6 +84,7 @@ QUERIES = [
     "record_fusion",
     "monge_elkan_pairs",
     "kcore_hosts",
+    "bcubed_metrics",
 ]
 
 

@@ -190,3 +190,55 @@ def test_isolated_new_doc_components_round_trip(spark):
         for r in incremental.merge_components(labels, delta).collect()
     }
     assert got[incremental.NEW_CLUSTER_OFFSET + 9] == 1
+
+
+# --- B-cubed metrics ----------------------------------------------------------
+
+
+def _brute_bcubed(pred, truth):
+    """Per-record replica with the SAME per-cell micro floor contract."""
+    from collections import Counter
+
+    t_of = dict(truth)
+    cells = Counter((p, t_of[n]) for n, p in pred if n in t_of)
+    c_p = Counter()
+    c_t = Counter()
+    for (p, t), c in cells.items():
+        c_p[p] += c
+        c_t[t] += c
+    ps = sum((c * c * 1_000_000) // c_p[p] for (p, t), c in cells.items())
+    rs = sum((c * c * 1_000_000) // c_t[t] for (p, t), c in cells.items())
+    n = sum(cells.values())
+    bp, br = ps // n, rs // n
+    f1 = (2 * bp * br) // (bp + br) if bp + br else 0
+    return (n, bp, br, f1)
+
+
+def test_bcubed_matches_replica_and_separates_from_pairwise(spark):
+    # classic case: predicted lumps two truth clusters of 4 into one of 8
+    # plus 4 correct singletons; B^3 penalizes the lump per-record
+    pred = [(i, 100) for i in range(8)] + [(i, i) for i in range(8, 12)]
+    truth = [(i, 0) for i in range(4)] + [(i, 1) for i in range(4, 8)] + [
+        (i, i) for i in range(8, 12)
+    ]
+    pdf = spark.createDataFrame(pred, "node long, component long")
+    tdf = spark.createDataFrame(truth, "node long, component long")
+    [r] = incremental.bcubed_metrics(pdf, tdf).collect()
+    got = (r["n_nodes"], r["b3p_micro"], r["b3r_micro"], r["b3f1_micro"])
+    assert got == _brute_bcubed(pred, truth)
+    # B^3 precision: 8 lumped records at 4/8 each + 4 perfect = 2/3 overall
+    assert got[1] == 666_666
+    assert got[2] == 1_000_000  # recall perfect: every truth mate co-lives
+
+
+def test_bcubed_perfect_and_degenerate(spark):
+    rows = [(1, 5), (2, 5), (3, 9)]
+    df = spark.createDataFrame(rows, "node long, component long")
+    [r] = incremental.bcubed_metrics(df, df).collect()
+    assert (r["b3p_micro"], r["b3r_micro"], r["b3f1_micro"]) == (
+        1_000_000, 1_000_000, 1_000_000
+    )
+    # disjoint node universes -> empty join -> zero row, no crash
+    other = spark.createDataFrame([(99, 1)], "node long, component long")
+    [z] = incremental.bcubed_metrics(df, other).collect()
+    assert (z["n_nodes"], z["b3f1_micro"]) == (0, 0)
