@@ -1600,6 +1600,17 @@ def build_catalog() -> dict[str, dict]:
         "synchronous peel) — the dense-subgraph / link-farm signal "
         "complementing triangles and PageRank",
     }
+    cat["hyperball_hosts"] = {
+        "spark": lambda s, d: sketches.hyperball_hosts(
+            linkgraph.host_link_graph(load(s, d, "documents"), "doc_id", "text")
+        ),
+        "sql": sketches.hyperball_hosts_sql(
+            linkgraph.host_link_graph_sql("documents", "doc_id", "text")
+        ),
+        "ref": "HyperBall neighborhood function (Boldi & Vigna WWW 2013) — "
+        "per-host HLL ball sketches over link hops; register max-merge "
+        "rounds, bit-strict integer state",
+    }
 
     # --- text analysis (training-data ops) ---
     cat["text_stats"] = {

@@ -85,6 +85,7 @@ QUERIES = [
     "monge_elkan_pairs",
     "kcore_hosts",
     "bcubed_metrics",
+    "hyperball_hosts",
 ]
 
 
