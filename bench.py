@@ -151,6 +151,18 @@ def main() -> None:
         "token_budget_curriculum",
         "fs_review_queue",
         "host_triangles",
+        "snm_pairs",
+        "meta_blocking",
+        "semdedup",
+        "lpa_communities",
+        "countmin_heavy_hitters",
+        "tf_cosine_pairs",
+        "edit_similarity_pairs",
+        "record_fusion",
+        "monge_elkan_pairs",
+        "kcore_hosts",
+        "bcubed_metrics",
+        "hyperball_hosts",
     ):
         extra_queries[name], _ = timed_reps(name)
     extras["extra_queries"] = extra_queries

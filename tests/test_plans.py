@@ -149,3 +149,18 @@ def test_frequency_cap_partial_window_group_limit(spark):
     plan = _plan(df)
     assert "WindowGroupLimit" in plan
     assert "Partial" in plan and "Final" in plan
+
+
+def test_monge_elkan_jw_evaluates_once_behind_checkpoint(spark):
+    """The JW pandas UDF must never appear in the consuming plan: it runs
+    exactly once, eagerly, inside the localCheckpoint'ed distinct-token-
+    pair dim; both directional aggregates then consume it via BROADCAST
+    joins (no Python eval per cross row, no sort-merge on the cross)."""
+    from bayesianrecordlinkage_jl_spark.operators.simjoin import (
+        monge_elkan_pairs,
+    )
+
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(monge_elkan_pairs(df, "doc_id", "text"))
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
