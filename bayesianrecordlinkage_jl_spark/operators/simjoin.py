@@ -405,7 +405,12 @@ def monge_elkan_pairs(
         )
         .localCheckpoint()
     )
-    scored = cross.join(F.broadcast(dim), on=["tok_a", "tok_b"])
+    # size-gated broadcast (repo convention): the dim is usually tiny
+    # (Zipf — web text re-pairs the same frequent tokens), but a hard
+    # broadcast hint on a pathological vocabulary would OOM the driver;
+    # the count is one cheap job on the already-materialized checkpoint
+    dim_b = F.broadcast(dim) if dim.count() <= 2_000_000 else dim
+    scored = cross.join(dim_b, on=["tok_a", "tok_b"])
 
     def _direction(tok_side: str, s_name: str, n_name: str) -> DataFrame:
         return (
