@@ -1675,3 +1675,96 @@ def token_budget_select_sql(
       FROM {scored_expr}
     ) WHERE cum_tokens <= {budget_tokens}
     """
+
+
+# ---------------------------------------------------------------------------
+# Exact group quantiles (corpus profiling)
+# ---------------------------------------------------------------------------
+
+QUANTILES = (25, 50, 75, 90, 99)
+
+
+def exact_group_quantiles(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    qs: tuple = QUANTILES,
+) -> DataFrame:
+    """-> one row per group: (group..., n, vmin, vmax, q<p> for each p):
+    EXACT rank-based percentiles of an integer column — the corpus-
+    telemetry profile (length/token-count distributions per language or
+    source) that drives curation thresholds. Quantile definition:
+    q_p = value at rank ceil(n * p / 100) (1-indexed, values ascending) —
+    the value at a rank is deterministic even under duplicate values
+    (ties carry equal values), so outputs are bit-strict integers.
+
+    Cross-engine trap this avoids: Spark's approx_percentile and DuckDB's
+    quantile use different sketches/interpolation and can never be
+    value-compared; rank selection is the only portable exact form.
+
+    Scale shape: one window sort per group (rank needs a total order —
+    the inherent cost of EXACT quantiles; groups here are coarse lang/
+    source buckets, so each sort is a per-group parallel range sort) plus
+    a map-side-combined group aggregate. For sketch-budget profiling at
+    extreme scale use span_cardinality_sketches/countmin instead; this op
+    is the exact calibration pass."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy(F.col("_v").asc())
+    sized = (
+        df.select(*group_cols, F.col(value_col).cast("long").alias("_v"))
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    counts = (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    j = sized.join(counts, on=list(group_cols))
+    aggs = [
+        F.max("n").cast("long").alias("n"),
+        F.min("_v").cast("long").alias("vmin"),
+        F.max("_v").cast("long").alias("vmax"),
+    ]
+    for p in qs:
+        aggs.append(
+            F.max(
+                F.when(
+                    F.col("_rn") == F.expr(f"(n * {p} + 99) div 100"),
+                    F.col("_v"),
+                )
+            ).cast("long").alias(f"q{p}")
+        )
+    return j.groupBy(*group_cols).agg(*aggs)
+
+
+def exact_group_quantiles_sql(
+    table: str,
+    group_cols: list[str],
+    value_col: str,
+    qs: tuple = QUANTILES,
+) -> str:
+    """Twin of exact_group_quantiles (same rank rule, integer ceil)."""
+    gc = ", ".join(group_cols)
+    qsel = ",\n           ".join(
+        f"CAST(max(CASE WHEN _rn = (n * {p} + 99) // 100 THEN _v END) "
+        f"AS BIGINT) AS q{p}"
+        for p in qs
+    )
+    return f"""
+    WITH sized AS (
+      SELECT {gc}, CAST({value_col} AS BIGINT) AS _v,
+             row_number() OVER (PARTITION BY {gc} ORDER BY {value_col} ASC)
+               AS _rn
+      FROM {table}
+    ),
+    counts AS (
+      SELECT {gc}, CAST(count(*) AS BIGINT) AS n FROM {table} GROUP BY {gc}
+    )
+    SELECT {gc},
+           CAST(max(n) AS BIGINT) AS n,
+           CAST(min(_v) AS BIGINT) AS vmin,
+           CAST(max(_v) AS BIGINT) AS vmax,
+           {qsel}
+    FROM sized JOIN counts USING ({gc})
+    GROUP BY {gc}
+    """

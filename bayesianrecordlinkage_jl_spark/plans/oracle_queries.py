@@ -1613,6 +1613,18 @@ def build_catalog() -> dict[str, dict]:
     }
 
     # --- text analysis (training-data ops) ---
+    cat["corpus_quantiles"] = {
+        "spark": lambda s, d: corpus.exact_group_quantiles(
+            load(s, d, "documents"), ["lang"], "n_chars"
+        ),
+        "sql": corpus.exact_group_quantiles_sql(
+            "documents", ["lang"], "n_chars"
+        ),
+        "ref": "exact rank-based per-group percentiles — the calibration "
+        "profile for curation thresholds (approx_percentile/quantile "
+        "sketches differ across engines; rank selection is the portable "
+        "exact form)",
+    }
     cat["text_stats"] = {
         "spark": lambda s, d: load(s, d, "documents")
         .repartition(s.sparkContext.defaultParallelism * 2, "doc_id")

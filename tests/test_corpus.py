@@ -793,3 +793,33 @@ def test_token_budget_select_tiebreak_by_id(spark):
     )
     got = corpus.token_budget_select(df, 160).collect()
     assert sorted(r["doc_id"] for r in got) == [2, 10]
+
+
+# --- exact group quantiles ----------------------------------------------------
+
+
+def test_exact_group_quantiles_matches_numpy_rank(spark):
+    import math
+
+    from bayesianrecordlinkage_jl_spark.operators.corpus import (
+        exact_group_quantiles,
+    )
+
+    vals_a = [3, 1, 4, 1, 5, 9, 2, 6, 5, 3]   # dups included
+    vals_b = [10]                              # singleton group
+    rows = [("a", v) for v in vals_a] + [("b", v) for v in vals_b]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r["g"]: r.asDict()
+        for r in exact_group_quantiles(df, ["g"], "v").collect()
+    }
+
+    def rank_q(vs, p):
+        s = sorted(vs)
+        return s[math.ceil(len(s) * p / 100) - 1]
+
+    for g, vs in (("a", vals_a), ("b", vals_b)):
+        assert got[g]["n"] == len(vs)
+        assert got[g]["vmin"] == min(vs) and got[g]["vmax"] == max(vs)
+        for p in (25, 50, 75, 90, 99):
+            assert got[g][f"q{p}"] == rank_q(vs, p), (g, p)

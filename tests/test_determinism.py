@@ -86,6 +86,7 @@ QUERIES = [
     "kcore_hosts",
     "bcubed_metrics",
     "hyperball_hosts",
+    "corpus_quantiles",
 ]
 
 
