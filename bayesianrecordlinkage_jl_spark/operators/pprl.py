@@ -1,0 +1,231 @@
+"""Privacy-preserving record linkage (PPRL): Bloom-filter CLK encodings
+with Dice-coefficient matching (Schnell, Bachteler & Reiher, BMC Med Inf
+2009; the de-facto standard for linking person records across parties
+that cannot exchange plaintext quasi-identifiers).
+
+The reference links plaintext fields only (src/comparisonsummary.jl
+comparators see raw strings); real cross-organization deployments encode
+each record's quasi-identifier into a fixed-length Bloom filter and match
+on bit-set similarity. This module implements the cryptographic-long-term-
+key (CLK) flavor:
+
+  - encode: char-bigram the normalized key, hash each bigram with K_HASH
+    independent affine transforms of the one cross-engine content hash
+    (the MinHash discipline: phash once per gram, affine constants derived
+    in Python from md5 — functions/text.py:76-118), set bit (h mod L).
+  - match: Dice = 2|A∩B| / (|A|+|B|) over bit sets, computed from packed
+    int64 words with bit_count — reported in integer micro fixed point
+    (one integer DIV), so every output column is bit-strict vs DuckDB.
+
+Packing: L = N_WORDS * BITS_PER_WORD = 4 * 60 = 240 bits. 60 bits per
+word keeps every mask positive in signed int64 (bit 63 would diverge
+between engines on overflow semantics); bit_or is the aggregate in BOTH
+engines, so encoding is one map-side-combined aggregate per document.
+
+100-TB notes: encoding happens ONCE per document below any join (the
+tokenize-once invariant); per-pair work is 8 bit_count ops on packed
+words — no strings cross the pair join. The catalog entry blocks on the
+standard equi-keys; at scale the encodings band exactly like SimHash
+chunks (16-bit slices, pigeonhole guarantee) — the same salt-split
+machinery applies because a band key is just another hot-key candidate.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions import text as T
+from ..functions.text import MH_PRIME
+from .dedup import _spread
+
+N_WORDS = 4
+BITS_PER_WORD = 60
+L_BITS = N_WORDS * BITS_PER_WORD  # 240
+K_HASH = 2
+DICE_SCALE = 1_000_000
+
+
+def _clk_params(i: int) -> tuple[int, int]:
+    """Affine constants for hash function i (Python md5, engine-neutral)."""
+    h = hashlib.md5(f"clk{i}".encode()).hexdigest()
+    return int(h[:8], 16) % (MH_PRIME - 1) + 1, int(h[8:16], 16) % MH_PRIME
+
+
+def _bigrams(key: Column) -> Column:
+    n = F.greatest(F.length(key) - 1, F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substring(key, i, 2)
+    )
+
+
+def _bigrams_sql(key: str) -> str:
+    return (
+        f"list_transform(generate_series(1, greatest(length({key}) - 1, 1)),"
+        f" i -> substr({key}, i, 2))"
+    )
+
+
+def _positions(key: Column) -> Column:
+    """array<long> of CLK bit positions (K_HASH per bigram, dups ok)."""
+    hs = F.transform(_bigrams(key), lambda g: T.phash(g) % MH_PRIME)
+
+    def _affine(a: int, b: int):
+        return lambda h: (
+            (F.lit(a) * h + F.lit(b)) % F.lit(MH_PRIME) % F.lit(L_BITS)
+        )
+
+    per_i = [
+        F.transform(hs, _affine(a, b))
+        for a, b in (_clk_params(i) for i in range(K_HASH))
+    ]
+    return F.flatten(F.array(*per_i))
+
+
+def _positions_sql(key: str) -> str:
+    hs = (
+        f"list_transform({_bigrams_sql(key)}, g -> {T.phash_sql('g')} "
+        f"% {MH_PRIME})"
+    )
+    per_i = ", ".join(
+        f"list_transform({hs}, h -> ({a} * h + {b}) % {MH_PRIME} % {L_BITS})"
+        for a, b in (_clk_params(i) for i in range(K_HASH))
+    )
+    return f"flatten([{per_i}])"
+
+
+def clk_encode(
+    df: DataFrame, id_col: str, key: Column, block_cols: tuple
+) -> DataFrame:
+    """-> (doc_id, block..., w0..w<N_WORDS-1>, nbits): packed CLK words
+    plus the precomputed popcount (so pair joins never recount sizes)."""
+    bcols = list(block_cols)
+    rows = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            *[F.col(c) for c in bcols],
+            F.explode(_positions(key)).alias("_pos"),
+        )
+        .select(
+            "doc_id", *bcols,
+            F.expr(f"CAST(_pos div {BITS_PER_WORD} AS INT)").alias("_w"),
+            F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), "
+                f"CAST(_pos % {BITS_PER_WORD} AS INT))"
+            ).alias("_m"),
+        )
+    )
+    aggs = [
+        F.coalesce(
+            F.bit_or(F.when(F.col("_w") == w, F.col("_m"))), F.lit(0)
+        ).cast("long").alias(f"w{w}")
+        for w in range(N_WORDS)
+    ]
+    enc = rows.groupBy("doc_id", *bcols).agg(*aggs)
+    nbits = sum(
+        (F.bit_count(F.col(f"w{w}")) for w in range(N_WORDS)),
+        F.lit(0),
+    )
+    return enc.withColumn("nbits", nbits.cast("long"))
+
+
+def clk_encode_sql(
+    table: str, id_col: str, key_sql: str, block_cols: tuple
+) -> str:
+    bc = ", ".join(block_cols)
+    wsel = ",\n             ".join(
+        f"CAST(COALESCE(bit_or(CASE WHEN _pos // {BITS_PER_WORD} = {w} "
+        f"THEN (CAST(1 AS BIGINT) << CAST(_pos % {BITS_PER_WORD} AS INT)) "
+        f"END), 0) AS BIGINT) AS w{w}"
+        for w in range(N_WORDS)
+    )
+    nbits = " + ".join(f"bit_count(w{w})" for w in range(N_WORDS))
+    return f"""
+      SELECT doc_id, {bc}, {", ".join(f"w{w}" for w in range(N_WORDS))},
+             CAST({nbits} AS BIGINT) AS nbits
+      FROM (
+        SELECT doc_id, {bc}, {wsel}
+        FROM (
+          SELECT CAST({id_col} AS BIGINT) AS doc_id, {bc},
+                 unnest({_positions_sql(key_sql)}) AS _pos
+          FROM {table}
+        ) GROUP BY doc_id, {bc}
+      )
+    """
+
+
+def clk_dice_pairs(
+    df: DataFrame,
+    id_col: str,
+    key: Column,
+    block_cols: tuple = ("lang", "source"),
+    min_dice_micro: int = 500_000,
+) -> DataFrame:
+    """-> (id_a, id_b, nbits_a, nbits_b, inter_bits, dice_micro): blocked
+    record pairs whose CLK Dice coefficient >= min_dice_micro / 1e6.
+    dice_micro = (2 * |A∩B| * 1e6) div (|A| + |B|) — integers only."""
+    bcols = list(block_cols)
+    enc = clk_encode(df, id_col, key, tuple(bcols))
+    a = enc.select(
+        *bcols, F.col("doc_id").alias("id_a"),
+        *[F.col(f"w{w}").alias(f"a{w}") for w in range(N_WORDS)],
+        F.col("nbits").alias("nbits_a"),
+    )
+    b = enc.select(
+        *bcols, F.col("doc_id").alias("id_b"),
+        *[F.col(f"w{w}").alias(f"b{w}") for w in range(N_WORDS)],
+        F.col("nbits").alias("nbits_b"),
+    )
+    inter = sum(
+        (
+            F.bit_count(F.expr(f"a{w} & b{w}"))
+            for w in range(N_WORDS)
+        ),
+        F.lit(0),
+    )
+    return (
+        a.join(b, on=bcols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .withColumn("inter_bits", inter.cast("long"))
+        .withColumn(
+            "dice_micro",
+            F.expr(
+                f"CASE WHEN nbits_a + nbits_b > 0 THEN "
+                f"(2 * inter_bits * {DICE_SCALE}) div (nbits_a + nbits_b) "
+                f"ELSE 0 END"
+            ).cast("long"),
+        )
+        .where(F.col("dice_micro") >= min_dice_micro)
+        .select(
+            "id_a", "id_b", "nbits_a", "nbits_b", "inter_bits", "dice_micro"
+        )
+    )
+
+
+def clk_dice_pairs_sql(
+    table: str,
+    id_col: str,
+    key_sql: str,
+    block_cols: tuple = ("lang", "source"),
+    min_dice_micro: int = 500_000,
+) -> str:
+    on = " AND ".join(f"a.{c} = b.{c}" for c in block_cols)
+    inter = " + ".join(f"bit_count(a.w{w} & b.w{w})" for w in range(N_WORDS))
+    return f"""
+    WITH enc AS MATERIALIZED ({clk_encode_sql(table, id_col, key_sql, block_cols)})
+    SELECT id_a, id_b, nbits_a, nbits_b, inter_bits,
+           CAST(CASE WHEN nbits_a + nbits_b > 0 THEN
+             (2 * inter_bits * {DICE_SCALE}) // (nbits_a + nbits_b)
+           ELSE 0 END AS BIGINT) AS dice_micro
+    FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.nbits AS nbits_a, b.nbits AS nbits_b,
+             CAST({inter} AS BIGINT) AS inter_bits
+      FROM enc a JOIN enc b ON {on} AND a.doc_id < b.doc_id
+    )
+    WHERE CASE WHEN nbits_a + nbits_b > 0 THEN
+            (2 * inter_bits * {DICE_SCALE}) // (nbits_a + nbits_b)
+          ELSE 0 END >= {min_dice_micro}
+    """

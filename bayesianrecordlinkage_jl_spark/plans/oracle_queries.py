@@ -22,7 +22,7 @@ from ..functions import weights as W
 from ..functions.text import phash
 from ..operators import (
     blocking, corpus, crawl, dedup, fusion, incremental, linkgraph,
-    similarity, simjoin, sketches,
+    pprl, similarity, simjoin, sketches,
 )
 from ..operators.comparison_summary import distinct_vectors, marginal_counts
 
@@ -690,6 +690,28 @@ def build_catalog() -> dict[str, dict]:
         "1996) over the standard blocking — the multi-token secondary "
         "comparator the reference's scalar per-column kernels "
         "(src/comparisonsummary.jl) lack",
+    }
+
+    # PPRL quasi-identifier: first three normalized tokens (the "name
+    # field" stand-in on this corpus). Column built lazily — catalog
+    # construction happens before any SparkContext exists.
+    def _pprl_key_spark() -> F.Column:
+        return F.array_join(F.slice(T.tokens(F.col("text")), 1, 3), " ")
+
+    _PPRL_KEY_SQL = "array_to_string((" + T.tokens_sql("text") + ")[1:3], ' ')"
+    cat["pprl_clk_pairs"] = {
+        "spark": lambda s, d: pprl.clk_dice_pairs(
+            load(s, d, "documents"), "doc_id", _pprl_key_spark(),
+            block_cols=("lang", "source"),
+        ),
+        "sql": pprl.clk_dice_pairs_sql(
+            "documents", "doc_id", _PPRL_KEY_SQL,
+            block_cols=("lang", "source"),
+        ),
+        "ref": "privacy-preserving linkage: Bloom-filter CLK encodings + "
+        "Dice matching (Schnell-Bachteler-Reiher 2009) — bigram bits set "
+        "via affine transforms of the one cross-engine hash, packed 4x60 "
+        "int64 words, integer-micro Dice",
     }
 
     # --- comparison layer (SURVEY 2.2) ---

@@ -163,6 +163,8 @@ def main() -> None:
         "kcore_hosts",
         "bcubed_metrics",
         "hyperball_hosts",
+        "corpus_quantiles",
+        "pprl_clk_pairs",
     ):
         extra_queries[name], _ = timed_reps(name)
     extras["extra_queries"] = extra_queries

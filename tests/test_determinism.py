@@ -87,6 +87,7 @@ QUERIES = [
     "bcubed_metrics",
     "hyperball_hosts",
     "corpus_quantiles",
+    "pprl_clk_pairs",
 ]
 
 
