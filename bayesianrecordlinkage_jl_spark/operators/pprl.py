@@ -134,7 +134,8 @@ def clk_encode(
 def clk_encode_sql(
     table: str, id_col: str, key_sql: str, block_cols: tuple
 ) -> str:
-    bc = ", ".join(block_cols)
+    bc = "".join(f"{c}, " for c in block_cols)  # "" when unblocked
+    gb = "".join(f", {c}" for c in block_cols)
     wsel = ",\n             ".join(
         f"CAST(COALESCE(bit_or(CASE WHEN _pos // {BITS_PER_WORD} = {w} "
         f"THEN (CAST(1 AS BIGINT) << CAST(_pos % {BITS_PER_WORD} AS INT)) "
@@ -143,15 +144,15 @@ def clk_encode_sql(
     )
     nbits = " + ".join(f"bit_count(w{w})" for w in range(N_WORDS))
     return f"""
-      SELECT doc_id, {bc}, {", ".join(f"w{w}" for w in range(N_WORDS))},
+      SELECT doc_id, {bc}{", ".join(f"w{w}" for w in range(N_WORDS))},
              CAST({nbits} AS BIGINT) AS nbits
       FROM (
-        SELECT doc_id, {bc}, {wsel}
+        SELECT doc_id, {bc}{wsel}
         FROM (
-          SELECT CAST({id_col} AS BIGINT) AS doc_id, {bc},
+          SELECT CAST({id_col} AS BIGINT) AS doc_id, {bc}
                  unnest({_positions_sql(key_sql)}) AS _pos
           FROM {table}
-        ) GROUP BY doc_id, {bc}
+        ) GROUP BY doc_id{gb}
       )
     """
 
@@ -224,6 +225,151 @@ def clk_dice_pairs_sql(
              a.nbits AS nbits_a, b.nbits AS nbits_b,
              CAST({inter} AS BIGINT) AS inter_bits
       FROM enc a JOIN enc b ON {on} AND a.doc_id < b.doc_id
+    )
+    WHERE CASE WHEN nbits_a + nbits_b > 0 THEN
+            (2 * inter_bits * {DICE_SCALE}) // (nbits_a + nbits_b)
+          ELSE 0 END >= {min_dice_micro}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Banded CLK join — the scale path (no equi-blocking key required)
+# ---------------------------------------------------------------------------
+
+BAND_BITS = 20
+N_BANDS = L_BITS // BAND_BITS  # 12 bands of 20 bits (3 per 60-bit word)
+
+
+def clk_band_pairs(
+    df: DataFrame,
+    id_col: str,
+    key: Column,
+    min_dice_micro: int = 500_000,
+    max_bucket_rows: int | None = 1000,
+) -> DataFrame:
+    """-> (id_a, id_b, nbits_a, nbits_b, inter_bits, dice_micro): CLK
+    Dice pairs WITHOUT an external blocking key — candidates share at
+    least one of the 12 20-bit slices of the 240-bit encoding (the
+    SimHash-chunk pigeonhole applied to Bloom filters), then every
+    survivor pays exactly one exact Dice verify. The PPRL shape for a
+    corpus with no shared plaintext blocking attribute (the usual PPRL
+    constraint: blocking keys would leak).
+
+    Recall contract: a pair at Hamming distance d on the encodings is
+    GUARANTEED to share a slice when d < N_BANDS = 12; high-Dice pairs
+    have low Hamming by construction (ham = na + nb - 2*inter), so at
+    the default threshold misses are only possible for short keys with
+    few set bits. Precision is 1 regardless (exact verify).
+
+    Scale shape: encode once per document (localCheckpoint — consumed by
+    the band emitter and both verify re-attach joins); the banded
+    self-join is NARROW ((id, band_key) rows only — packed words never
+    ride the explode); oversized band buckets are salt-split
+    (blocking.salt_buckets, e.g. the all-zeros band of empty keys);
+    candidates are deduped across bands before the one Dice verify."""
+    from .blocking import salt_buckets
+
+    enc = clk_encode(df, id_col, key, ()).localCheckpoint()
+    band_exprs = [
+        F.concat_ws(
+            ":",
+            F.lit(str(w * (BITS_PER_WORD // BAND_BITS) + s)),
+            F.expr(
+                f"CAST(shiftright(w{w}, {s * BAND_BITS}) "
+                f"& {(1 << BAND_BITS) - 1} AS STRING)"
+            ),
+        )
+        for w in range(N_WORDS)
+        for s in range(BITS_PER_WORD // BAND_BITS)
+    ]
+    bands = enc.select(
+        F.col("doc_id").alias("_id"),
+        F.explode(F.array(*band_exprs)).alias("band_key"),
+    )
+    bands = salt_buckets(bands, "band_key", "_id", max_bucket_rows)
+    cand = (
+        bands.alias("a")
+        .join(bands.alias("b"), on=["band_key", "_bsalt"])
+        .where(F.expr("a._id < b._id"))
+        .select(
+            F.expr("a._id").alias("id_a"), F.expr("b._id").alias("id_b")
+        )
+        .distinct()
+    )
+    wa = enc.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"w{w}").alias(f"a{w}") for w in range(N_WORDS)],
+        F.col("nbits").alias("nbits_a"),
+    )
+    wb = enc.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"w{w}").alias(f"b{w}") for w in range(N_WORDS)],
+        F.col("nbits").alias("nbits_b"),
+    )
+    inter = sum(
+        (F.bit_count(F.expr(f"a{w} & b{w}")) for w in range(N_WORDS)),
+        F.lit(0),
+    )
+    return (
+        cand.join(wa, on="id_a")
+        .join(wb, on="id_b")
+        .withColumn("inter_bits", inter.cast("long"))
+        .withColumn(
+            "dice_micro",
+            F.expr(
+                f"CASE WHEN nbits_a + nbits_b > 0 THEN "
+                f"(2 * inter_bits * {DICE_SCALE}) div (nbits_a + nbits_b) "
+                f"ELSE 0 END"
+            ).cast("long"),
+        )
+        .where(F.col("dice_micro") >= min_dice_micro)
+        .select(
+            "id_a", "id_b", "nbits_a", "nbits_b", "inter_bits", "dice_micro"
+        )
+    )
+
+
+def clk_band_pairs_sql(
+    table: str,
+    id_col: str,
+    key_sql: str,
+    min_dice_micro: int = 500_000,
+    max_bucket_rows: int | None = 1000,
+) -> str:
+    from .blocking import salt_buckets_sql
+
+    mask = (1 << BAND_BITS) - 1
+    band_exprs = ", ".join(
+        f"concat_ws(':', '{w * (BITS_PER_WORD // BAND_BITS) + s}', "
+        f"CAST((w{w} >> {s * BAND_BITS}) & {mask} AS VARCHAR))"
+        for w in range(N_WORDS)
+        for s in range(BITS_PER_WORD // BAND_BITS)
+    )
+    salt = salt_buckets_sql("band_key", "_id", max_bucket_rows)
+    inter = " + ".join(
+        f"bit_count(wa.w{w} & wb.w{w})" for w in range(N_WORDS)
+    )
+    return f"""
+    WITH enc AS MATERIALIZED ({clk_encode_sql(table, id_col, key_sql, ())}),
+    bands0 AS (
+      SELECT doc_id AS _id, unnest([{band_exprs}]) AS band_key FROM enc
+    ),
+    bands AS (SELECT _id, band_key, {salt} AS _bsalt FROM bands0),
+    cand AS (
+      SELECT DISTINCT a._id AS id_a, b._id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_key = b.band_key AND a._bsalt = b._bsalt AND a._id < b._id
+    )
+    SELECT id_a, id_b, nbits_a, nbits_b, inter_bits,
+           CAST(CASE WHEN nbits_a + nbits_b > 0 THEN
+             (2 * inter_bits * {DICE_SCALE}) // (nbits_a + nbits_b)
+           ELSE 0 END AS BIGINT) AS dice_micro
+    FROM (
+      SELECT id_a, id_b, wa.nbits AS nbits_a, wb.nbits AS nbits_b,
+             CAST({inter} AS BIGINT) AS inter_bits
+      FROM cand
+      JOIN enc wa ON cand.id_a = wa.doc_id
+      JOIN enc wb ON cand.id_b = wb.doc_id
     )
     WHERE CASE WHEN nbits_a + nbits_b > 0 THEN
             (2 * inter_bits * {DICE_SCALE}) // (nbits_a + nbits_b)

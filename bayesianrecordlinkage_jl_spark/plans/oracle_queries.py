@@ -713,6 +713,19 @@ def build_catalog() -> dict[str, dict]:
         "via affine transforms of the one cross-engine hash, packed 4x60 "
         "int64 words, integer-micro Dice",
     }
+    cat["pprl_clk_band_pairs"] = {
+        "spark": lambda s, d: pprl.clk_band_pairs(
+            load(s, d, "documents"), "doc_id", _pprl_key_spark(),
+            min_dice_micro=800_000,
+        ),
+        "sql": pprl.clk_band_pairs_sql(
+            "documents", "doc_id", _PPRL_KEY_SQL, min_dice_micro=800_000,
+        ),
+        "ref": "banded CLK join — the PPRL scale path with NO plaintext "
+        "blocking key (keys would leak): 12x20-bit encoding slices, "
+        "pigeonhole recall for Hamming < 12, salt-split hot bands, exact "
+        "Dice verify",
+    }
 
     # --- comparison layer (SURVEY 2.2) ---
     cat["comparison_vectors"] = {

@@ -165,6 +165,7 @@ def main() -> None:
         "hyperball_hosts",
         "corpus_quantiles",
         "pprl_clk_pairs",
+        "pprl_clk_band_pairs",
     ):
         extra_queries[name], _ = timed_reps(name)
     extras["extra_queries"] = extra_queries

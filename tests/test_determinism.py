@@ -88,6 +88,7 @@ QUERIES = [
     "hyperball_hosts",
     "corpus_quantiles",
     "pprl_clk_pairs",
+    "pprl_clk_band_pairs",
 ]
 
 

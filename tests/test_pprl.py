@@ -87,3 +87,31 @@ def test_clk_dice_matches_replica_and_ranks_typos(spark):
     assert got[(1, 2)][3] > got[(1, 4)][3]
     assert got[(1, 2)][3] >= 500_000 and got[(1, 3)][3] >= 500_000
     assert got[(1, 4)][3] < 500_000
+
+
+def test_clk_band_pairs_recall_and_precision(spark):
+    # mixed fixture: typo families + unrelated keys; no blocking column
+    rows = [
+        (1, "john smith"), (2, "jon smith"), (3, "john smyth"),
+        (4, "maria garcia"), (5, "maria garcya"),
+        (6, "completely other words"), (7, "zzz qqq"),
+        (8, "john smith"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, key string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dice_micro"]
+        for r in pprl.clk_band_pairs(
+            df, "doc_id", F.col("key"), min_dice_micro=500_000
+        ).collect()
+    }
+    # brute force over ALL pairs (the banded join has no blocking key)
+    brute = _brute_dice([(i, k, "all") for i, k in rows], 500_000)
+    # precision 1: every emitted pair is a true >=threshold pair
+    for p, dice in got.items():
+        assert p in brute and brute[p][3] == dice
+    # pigeonhole recall: every true pair with Hamming < N_BANDS is found
+    for p, (na, nb, inter, dice) in brute.items():
+        if na + nb - 2 * inter < pprl.N_BANDS:
+            assert p in got, p
+    # the exact dup scores 1.0
+    assert got[(1, 8)] == pprl.DICE_SCALE
