@@ -277,7 +277,7 @@ def one_to_one(
 
     # consumed by the stats agg, the mutual windows, and the solver residue
     p = p.localCheckpoint()
-    mut = mutual_best(p)
+    mut = mutual_best(p, materialized=True)
     stats = p.groupBy("block_id").agg(
         F.countDistinct("id_a").alias("_na"), F.countDistinct("id_b").alias("_nb")
     )
@@ -398,7 +398,7 @@ def one_to_one_auction_warm(
     return links, new_prices
 
 
-def mutual_best(pairs: DataFrame) -> DataFrame:
+def mutual_best(pairs: DataFrame, materialized: bool = False) -> DataFrame:
     """One round of mutual-argmax (pure DataFrame; SQL-oracle-able): keep
     pairs that are best within BOTH their id_a and id_b groups under
     (w desc, other-id asc). This is the distributed fast path covering the
@@ -415,11 +415,15 @@ def mutual_best(pairs: DataFrame) -> DataFrame:
     twice and shuffling the id set twice (sf1 measured: 100x pair growth
     per 10x docs, see BENCH/BASELINE.md).
 
-    CONTRACT: the input is consumed twice (one argmax per side), so an
-    expensive upstream must be materialized by the caller — one_to_one
-    localCheckpoints its block table, the catalog row checkpoints scored
-    pairs. Handing an unmaterialized comparator subtree here doubles the
-    scoring cost (sf1: 82s vs 43s)."""
+    CONTRACT (structural since r4): the input is consumed twice (one
+    argmax per side), so handing an unmaterialized comparator subtree
+    here would double the scoring cost (sf1: 82s vs 43s). The function
+    therefore localCheckpoints its input ITSELF unless the caller passes
+    materialized=True to attest the upstream is already materialized
+    (checkpointed / cached / a plain scan) — a naive external caller can
+    no longer double-run 100 TB of comparator work by accident."""
+    if not materialized:
+        pairs = pairs.localCheckpoint()
     cols = pairs.columns
 
     def best(group_key: str, other: str) -> DataFrame:

@@ -120,10 +120,15 @@ def connected_components(
 
 
 def components_with_isolated(
-    edges: DataFrame, nodes: DataFrame, node_col: str = "node"
+    edges: DataFrame, nodes: DataFrame, node_col: str = "node",
+    cc: DataFrame | None = None,
 ) -> DataFrame:
-    """CC plus isolated nodes labeled by their own id."""
-    cc = connected_components(edges)
+    """CC plus isolated nodes labeled by their own id.
+
+    `cc` lets a caller that already materialized connected_components(edges)
+    (e.g. the catalog's session memo) reuse it instead of re-iterating."""
+    if cc is None:
+        cc = connected_components(edges)
     allnodes = nodes.select(F.col(node_col).cast("long").alias("node")).distinct()
     return (
         allnodes.join(cc, on="node", how="left")

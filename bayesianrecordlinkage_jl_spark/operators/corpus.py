@@ -1701,6 +1701,10 @@ def exact_group_quantiles(
     Cross-engine trap this avoids: Spark's approx_percentile and DuckDB's
     quantile use different sketches/interpolation and can never be
     value-compared; rank selection is the only portable exact form.
+    NULL values are dropped before ranking IN BOTH EMITTERS (n counts
+    non-null values only) — Spark windows sort NULLS FIRST while DuckDB's
+    row_number defaults NULLS LAST, so any NULL admitted to the rank
+    would silently shift every quantile across engines.
 
     Scale shape: one window sort per group (rank needs a total order —
     the inherent cost of EXACT quantiles; groups here are coarse lang/
@@ -1711,12 +1715,12 @@ def exact_group_quantiles(
     from pyspark.sql import Window
 
     w = Window.partitionBy(*group_cols).orderBy(F.col("_v").asc())
-    sized = (
-        df.select(*group_cols, F.col(value_col).cast("long").alias("_v"))
-        .withColumn("_rn", F.row_number().over(w))
-    )
+    vals = df.select(
+        *group_cols, F.col(value_col).cast("long").alias("_v")
+    ).where(F.col("_v").isNotNull())
+    sized = vals.withColumn("_rn", F.row_number().over(w))
     counts = (
-        df.groupBy(*group_cols)
+        vals.groupBy(*group_cols)
         .agg(F.count(F.lit(1)).cast("long").alias("n"))
     )
     j = sized.join(counts, on=list(group_cols))
@@ -1751,14 +1755,17 @@ def exact_group_quantiles_sql(
         for p in qs
     )
     return f"""
-    WITH sized AS (
-      SELECT {gc}, CAST({value_col} AS BIGINT) AS _v,
-             row_number() OVER (PARTITION BY {gc} ORDER BY {value_col} ASC)
-               AS _rn
-      FROM {table}
+    WITH vals AS (
+      SELECT {gc}, CAST({value_col} AS BIGINT) AS _v
+      FROM {table} WHERE {value_col} IS NOT NULL
+    ),
+    sized AS (
+      SELECT {gc}, _v,
+             row_number() OVER (PARTITION BY {gc} ORDER BY _v ASC) AS _rn
+      FROM vals
     ),
     counts AS (
-      SELECT {gc}, CAST(count(*) AS BIGINT) AS n FROM {table} GROUP BY {gc}
+      SELECT {gc}, CAST(count(*) AS BIGINT) AS n FROM vals GROUP BY {gc}
     )
     SELECT {gc},
            CAST(max(n) AS BIGINT) AS n,

@@ -77,6 +77,103 @@ def betabipartite_log_ratio(alpha: float, beta: float):
     return f
 
 
+def exppenalty_logprior(nlink: int, theta: float) -> float:
+    """Absolute (unnormalized) log prior of the Green-Mardia exponential
+    link penalty: log p(C) = -theta * nlink
+    (exppenalty_logprior, /root/reference/src/prior_functions.jl:22-37;
+    normalize via softmax over nlink = 0..min(nrow, ncol) if a proper
+    pmf over link counts is needed, as the reference's header notes)."""
+    return -theta * nlink
+
+
+def exppenalty_prior(nlink: int, theta: float) -> float:
+    """exp(exppenalty_logprior) — the reference's exppenalty_prior
+    (/root/reference/src/prior_functions.jl:6-20)."""
+    from math import exp
+
+    return exp(-theta * nlink)
+
+
+def exppenalty_logratio(nlink1: int, nlink2: int, theta: float) -> float:
+    """log(p(C1) / p(C2)) for the exponential penalty prior
+    (exppenalty_logratio, /root/reference/src/prior_functions.jl:67-88;
+    note the reference returns 1.0 — not 0.0 — for nlink1 == nlink2, a
+    bug in a branch its own samplers never take; this implementation
+    returns the correct 0.0)."""
+    return theta * (nlink2 - nlink1)
+
+
+def _lbeta(a: float, b: float) -> float:
+    from math import lgamma
+
+    return lgamma(a) + lgamma(b) - lgamma(a + b)
+
+
+def betabipartite_logprior(
+    nlink: int, nrow: int, ncol: int, alpha: float, beta: float
+) -> float:
+    """Absolute log density of the Sadinle-2017 beta prior for bipartite
+    matchings (betabipartite_logprior,
+    /root/reference/src/prior_functions.jl:146-156):
+
+      log p(C) = lgamma(nmax - nlink + 1) - lgamma(nmax + 1)
+               + logbeta(nlink + a, nmin - nlink + b) - logbeta(a, b)
+
+    with nmax = max(nrow, ncol), nmin = min(nrow, ncol). This is a PROPER
+    density over all bipartite matchings:
+    sum_L C(nrow,L) C(ncol,L) L! exp(logprior(L)) == 1 (asserted in
+    tests/test_mcmc.py). The reference's non-log betabipartite_prior
+    (prior_functions.jl:131-135) uses prod(nlink+1:nrow) = nrow!/nlink!
+    where the log form uses (nrow-nlink)!/nrow! — the two disagree and
+    only the log form normalizes, so the log form is canonical here and
+    the non-log form is exp() of it."""
+    from math import lgamma
+
+    if nlink < 0 or nlink > min(nrow, ncol):
+        return float("-inf")
+    if nrow < ncol:
+        nrow, ncol = ncol, nrow
+    return (
+        lgamma(nrow - nlink + 1)
+        - lgamma(nrow + 1)
+        + _lbeta(nlink + alpha, ncol - nlink + beta)
+        - _lbeta(alpha, beta)
+    )
+
+
+def betabipartite_prior(
+    nlink: int, nrow: int, ncol: int, alpha: float, beta: float
+) -> float:
+    """exp(betabipartite_logprior) — see that docstring for why the exp of
+    the log form (not the reference's inconsistent direct product) is
+    used."""
+    from math import exp
+
+    return exp(betabipartite_logprior(nlink, nrow, ncol, alpha, beta))
+
+
+def betabipartite_logratio(
+    nlink1: int, nlink2: int, nrow: int, ncol: int, alpha: float, beta: float
+) -> float:
+    """log(p(C1) / p(C2)) = logprior(nlink1) - logprior(nlink2) for the
+    beta-bipartite prior (betabipartite_logratio,
+    /root/reference/src/prior_functions.jl:210-225), computed in the
+    reference's cancelled form (lgamma differences, no subtraction of two
+    near-equal logpriors)."""
+    from math import lgamma
+
+    if nlink1 == nlink2:
+        return 0.0
+    if nrow < ncol:
+        nrow, ncol = ncol, nrow
+    return (
+        lgamma(nrow - nlink1 + 1)
+        - lgamma(nrow - nlink2 + 1)
+        + _lbeta(nlink1 + alpha, ncol - nlink1 + beta)
+        - _lbeta(nlink2 + alpha, ncol - nlink2 + beta)
+    )
+
+
 def _prior_fns(lp_link, nrow: int, ncol: int):
     """Normalize the lp_link prior spec into (lp_add(nlink), lp_remove(nlink))
     — the logpCRatios_add/_remove analog

@@ -168,7 +168,9 @@ def clk_dice_pairs(
     record pairs whose CLK Dice coefficient >= min_dice_micro / 1e6.
     dice_micro = (2 * |A∩B| * 1e6) div (|A| + |B|) — integers only."""
     bcols = list(block_cols)
-    enc = clk_encode(df, id_col, key, tuple(bcols))
+    # consume-twice convention (CLAUDE.md): the per-document encode
+    # aggregate feeds both self-join sides — materialize once.
+    enc = clk_encode(df, id_col, key, tuple(bcols)).localCheckpoint()
     a = enc.select(
         *bcols, F.col("doc_id").alias("id_a"),
         *[F.col(f"w{w}").alias(f"a{w}") for w in range(N_WORDS)],
@@ -255,11 +257,18 @@ def clk_band_pairs(
     corpus with no shared plaintext blocking attribute (the usual PPRL
     constraint: blocking keys would leak).
 
-    Recall contract: a pair at Hamming distance d on the encodings is
-    GUARANTEED to share a slice when d < N_BANDS = 12; high-Dice pairs
-    have low Hamming by construction (ham = na + nb - 2*inter), so at
-    the default threshold misses are only possible for short keys with
-    few set bits. Precision is 1 regardless (exact verify).
+    Recall contract: a pair at Hamming distance d on the encodings
+    shares a slice when d < N_BANDS = 12 (pigeonhole); that shared-slice
+    pair is GUARANTEED to surface only when its slice bucket is under
+    the salt cap — salt_buckets (default max_bucket_rows=1000) splits
+    oversized band buckets, and a pair whose ONLY shared slice lands in
+    a split bucket can fall in different salts. Pass
+    max_bucket_rows=None for the unconditional pigeonhole guarantee (at
+    the cost of hot-bucket blowup, e.g. the all-zeros band of empty
+    keys). High-Dice pairs have low Hamming by construction
+    (ham = na + nb - 2*inter), so at the default threshold misses are
+    only possible for short keys with few set bits AND a hot shared
+    band. Precision is 1 regardless (exact verify).
 
     Scale shape: encode once per document (localCheckpoint — consumed by
     the band emitter and both verify re-attach joins); the banded

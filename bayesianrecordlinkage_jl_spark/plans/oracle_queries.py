@@ -296,6 +296,107 @@ def _weighted_pairs_sql() -> str:
     return f"SELECT id_a, id_b, {_WEIGHT_EXPR_SQL} AS w FROM ({_vectors_sql()})"
 
 
+# ---------------------------------------------------------------------------
+# session-memoized shared upstream (VERDICT r3 "Next round" #1)
+# ---------------------------------------------------------------------------
+# The comparison-vector table, its FS-scored form, and the positive-weight
+# connected components are consumed by ~20 catalog rows. Rebuilding
+# blocking+comparators per row made the sf0.01 correctness gate expensive
+# enough that the r3 driver sampled only 50/107 queries. The catalog now
+# shares ONE localCheckpoint'ed build per (session, sf_dir,
+# shuffle-partitions): the shuffle-partition key term keeps
+# tests/test_determinism.py meaningful (its 7- vs 53-partition runs must
+# rebuild, not reuse a cached RDD). bench.py clears the memo before every
+# timed replicate so per-query bench numbers stay end-to-end rebuilds.
+# Set SPARK_GRAFT_MEMO_UPSTREAM=0 to disable entirely.
+#
+# The pure builders above (_vectors_spark/_scored_pairs_spark/_cc_spark)
+# stay untouched — tests/test_plans.py pins their optimized plans (single
+# levenshtein evaluation, barrier placement), which a checkpointed RDD
+# would hide.
+
+_UPSTREAM_MEMO: dict = {}
+
+
+def _memo_enabled() -> bool:
+    import os
+
+    return os.environ.get("SPARK_GRAFT_MEMO_UPSTREAM", "1") != "0"
+
+
+def clear_upstream_memo() -> None:
+    """Drop all memoized upstream DataFrames (benchmarks call this before
+    each timed replicate; otherwise the memo lives for the session)."""
+    _UPSTREAM_MEMO.clear()
+
+
+def _memo_key(spark: SparkSession, sf_dir: str, tag: str) -> tuple:
+    return (
+        tag,
+        id(spark),
+        sf_dir,
+        spark.conf.get("spark.sql.shuffle.partitions"),
+    )
+
+
+def _vectors_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """localCheckpoint'ed comparison vectors, one comparator pass per
+    (session, sf_dir): every downstream consumer sees only tinyint g-cols."""
+    if not _memo_enabled():
+        return _vectors_spark(spark, sf_dir)
+    key = _memo_key(spark, sf_dir, "vectors")
+    if key not in _UPSTREAM_MEMO:
+        _UPSTREAM_MEMO[key] = _vectors_spark(spark, sf_dir).localCheckpoint()
+    return _UPSTREAM_MEMO[key]
+
+
+def _scored_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FS-scored pairs over the cached vectors. The weight column is a
+    cheap integer-CASE over checkpointed tinyints, so consumers that read
+    it twice (mutual_best, drop_outside) no longer re-run comparators."""
+    v = _vectors_cached(spark, sf_dir)
+    return v.withColumn(
+        "w", W.fs_weight([(F.col(g), k) for g, k in FIELD_KINDS])
+    ).select("id_a", "id_b", *GCOLS, "w")
+
+
+def _cc_pos_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized connected components of the positive-weight pair graph
+    (edge-bearing nodes only, component = min node id)."""
+    from ..operators.connected_components import connected_components
+
+    if not _memo_enabled():
+        wp = _scored_pairs_spark(spark, sf_dir).localCheckpoint()
+        return connected_components(
+            wp.where(F.col("w") > EDGE_THRESHOLD).select(
+                F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+            )
+        )
+    key = _memo_key(spark, sf_dir, "cc_pos")
+    if key not in _UPSTREAM_MEMO:
+        edges = _scored_pairs_cached(spark, sf_dir).where(
+            F.col("w") > EDGE_THRESHOLD
+        ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        _UPSTREAM_MEMO[key] = connected_components(edges).localCheckpoint()
+    return _UPSTREAM_MEMO[key]
+
+
+def _cc_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized _cc_spark twin: components plus isolated docs labeled by
+    their own id (labels identical — isolated docs never carry edges)."""
+    from ..operators.connected_components import components_with_isolated
+
+    wp = _scored_pairs_cached(spark, sf_dir)
+    edges = wp.where(F.col("w") > EDGE_THRESHOLD).select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    )
+    return components_with_isolated(
+        edges,
+        load(spark, sf_dir, "documents").select(F.col("doc_id").alias("node")),
+        cc=_cc_pos_cached(spark, sf_dir),
+    )
+
+
 # exact-posterior matching: product-space ratio floor + enumeration cap
 # (both static, mirrored verbatim in the DuckDB twin)
 EP_R0 = 0.05
@@ -313,7 +414,7 @@ def _ep_blocked_pairs(s: SparkSession, d: str) -> DataFrame:
     from ..operators.comparison_summary import attach_vec_ids
     from ..operators.connected_components import connected_components
 
-    v = _vectors_spark(s, d)
+    v = _vectors_cached(s, d)
     dvdf = distinct_vectors(v, GCOLS)
     dv = dvdf.orderBy("vec_id").toPandas()
     params = em.estimate_em(dv, GCOLS, NLEVELS)
@@ -751,7 +852,7 @@ def build_catalog() -> dict[str, dict]:
 
     # --- aggregation layer (SURVEY 2.3) ---
     cat["distinct_vectors"] = {
-        "spark": lambda s, d: distinct_vectors(_vectors_spark(s, d), GCOLS),
+        "spark": lambda s, d: distinct_vectors(_vectors_cached(s, d), GCOLS),
         "sql": f"""
         SELECT CAST(row_number() OVER (ORDER BY g1, g2, g3) AS BIGINT) AS vec_id,
                g1, g2, g3, n_pairs
@@ -762,7 +863,7 @@ def build_catalog() -> dict[str, dict]:
     }
     cat["marginal_counts"] = {
         "spark": lambda s, d: marginal_counts(
-            distinct_vectors(_vectors_spark(s, d), GCOLS), GCOLS
+            distinct_vectors(_vectors_cached(s, d), GCOLS), GCOLS
         ),
         "sql": f"""
         WITH dv AS (SELECT g1, g2, g3, CAST(count(*) AS BIGINT) AS n_pairs
@@ -782,13 +883,13 @@ def build_catalog() -> dict[str, dict]:
         # barrier form: comparators evaluated exactly once per pair (the
         # naive withColumn(w) lets CollapseProject inline every comparator
         # subtree into the weight CASE — see _scored_pairs_spark)
-        "spark": _scored_pairs_spark,
+        "spark": _scored_pairs_cached,
         "sql": f"SELECT id_a, id_b, g1, g2, g3, {_WEIGHT_EXPR_SQL} AS w "
         f"FROM ({_vectors_sql()})",
         "ref": "src/weight_functions.jl:159-173 (weights_vector)",
     }
     cat["penalized_weights"] = {
-        "spark": lambda s, d: _scored_pairs_spark(s, d)
+        "spark": lambda s, d: _scored_pairs_cached(s, d)
         .withColumn("pw", W.shrink_weights(F.col("w"), PENALTY))
         .where(F.col("pw") > 0)
         .select("id_a", "id_b", "pw"),
@@ -806,7 +907,7 @@ def build_catalog() -> dict[str, dict]:
 
     logit_p = round(math.log(POSTERIOR_P / (1.0 - POSTERIOR_P)), 12)
     cat["bayes_posterior_log_odds"] = {
-        "spark": lambda s, d: _scored_pairs_spark(s, d).select(
+        "spark": lambda s, d: _scored_pairs_cached(s, d).select(
             "id_a", "id_b", (F.lit(logit_p) + F.col("w")).alias("log_odds")
         ),
         "sql": f"SELECT id_a, id_b, ({logit_p!r}e0 + w) AS log_odds "
@@ -816,13 +917,13 @@ def build_catalog() -> dict[str, dict]:
 
     # --- clustering (SURVEY 2.6) ---
     cat["connected_components"] = {
-        "spark": _cc_spark,
+        "spark": _cc_cached,
         "sql": _cc_sql(),
         "ref": "src/clustering_functions.jl:15-280 (bipartite_cluster)",
     }
     cat["record_fusion"] = {
         "spark": lambda s, d: fusion.record_fusion(
-            load(s, d, "documents"), _cc_spark(s, d),
+            load(s, d, "documents"), _cc_cached(s, d),
             "doc_id", "n_chars", ["lang", "source"],
         ),
         "sql": fusion.record_fusion_sql(
@@ -834,7 +935,7 @@ def build_catalog() -> dict[str, dict]:
         "modal values, total-order tie-breaks",
     }
     cat["component_summary"] = {
-        "spark": lambda s, d: _cc_spark(s, d)
+        "spark": lambda s, d: _cc_cached(s, d)
         .groupBy("component")
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .agg(
@@ -868,11 +969,13 @@ def build_catalog() -> dict[str, dict]:
         from ..operators.assignment import mutual_best
 
         # mutual_best consumes its input twice (one argmax agg per side);
-        # checkpoint so the comparator scoring runs once, not twice
-        # (sf1 measured: 82s uncheckpointed vs 43s checkpointed, with the
-        # argmax step itself 1.5s vs the old window form's ~25s)
-        wp = _scored_pairs_spark(s, d).where(F.col("w") > EDGE_THRESHOLD)
-        return mutual_best(wp.select("id_a", "id_b", "w").localCheckpoint())
+        # its structural localCheckpoint (default materialized=False)
+        # materializes the filtered pair set once, so comparator scoring
+        # never runs twice even with the session memo disabled (sf1
+        # measured: 82s unmaterialized vs 43s, with the argmax step itself
+        # 1.5s vs the old window form's ~25s)
+        wp = _scored_pairs_cached(s, d).where(F.col("w") > EDGE_THRESHOLD)
+        return mutual_best(wp.select("id_a", "id_b", "w"))
 
     cat["mutual_best_match"] = {
         "spark": _mutual_best_match,
@@ -908,8 +1011,8 @@ def build_catalog() -> dict[str, dict]:
                 .agg(F.count(F.lit(1)).alias("n_matched"))
             )
         )(
-            _scored_pairs_spark(s, d).where(F.col("w") > EDGE_THRESHOLD),
-            distinct_vectors(_vectors_spark(s, d), GCOLS),
+            _scored_pairs_cached(s, d).where(F.col("w") > EDGE_THRESHOLD),
+            distinct_vectors(_vectors_cached(s, d), GCOLS),
         ),
         "sql": f"""
         WITH v AS ({_vectors_sql()}),
@@ -1571,7 +1674,7 @@ def build_catalog() -> dict[str, dict]:
     # partial top-k per map partition, never a global sort). ---
     _dec_sql = W.fs_decision_sql("w", FS_LOWER, FS_UPPER)
     cat["fs_decision_counts"] = {
-        "spark": lambda s, d: _scored_pairs_spark(s, d)
+        "spark": lambda s, d: _scored_pairs_cached(s, d)
         .select(W.fs_decision(F.col("w"), FS_LOWER, FS_UPPER).alias("decision"))
         .groupBy("decision")
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs")),
@@ -1583,7 +1686,7 @@ def build_catalog() -> dict[str, dict]:
         "field (match / clerical / nonmatch band volumetrics)",
     }
     cat["fs_review_queue"] = {
-        "spark": lambda s, d: _scored_pairs_spark(s, d)
+        "spark": lambda s, d: _scored_pairs_cached(s, d)
         .where(
             (F.col("w") >= F.lit(FS_LOWER)) & (F.col("w") < F.lit(FS_UPPER))
         )
@@ -1730,12 +1833,9 @@ def build_catalog() -> dict[str, dict]:
 
     def _one_to_one_links(s: SparkSession, d: str) -> DataFrame:
         from ..operators import assignment
-        from ..operators.connected_components import connected_components
 
-        wp = _scored_pairs_spark(s, d).where(F.col("w") > EDGE_THRESHOLD)
-        comps = connected_components(
-            wp.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        )
+        wp = _scored_pairs_cached(s, d).where(F.col("w") > EDGE_THRESHOLD)
+        comps = _cc_pos_cached(s, d)
         blocked = wp.join(
             comps.withColumnRenamed("node", "id_a"), on="id_a"
         ).withColumnRenamed("component", "block_id")
@@ -1802,12 +1902,9 @@ def build_catalog() -> dict[str, dict]:
     # SQL-expressible — the Hungarian residue stays pytest-validated
     def _one_to_one_links_mutual(s: SparkSession, d: str) -> DataFrame:
         from ..operators import assignment
-        from ..operators.connected_components import connected_components
 
-        wp = _scored_pairs_spark(s, d).where(F.col("w") > EDGE_THRESHOLD)
-        comps = connected_components(
-            wp.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        )
+        wp = _scored_pairs_cached(s, d).where(F.col("w") > EDGE_THRESHOLD)
+        comps = _cc_pos_cached(s, d)
         blocked = wp.join(
             comps.withColumnRenamed("node", "id_a"), on="id_a"
         ).withColumnRenamed("component", "block_id")
@@ -1862,7 +1959,7 @@ def build_catalog() -> dict[str, dict]:
 
     # --- cost normalization (SURVEY 2.2 compute_costs_shrunk) ---
     cat["shrunk_costs"] = {
-        "spark": lambda s, d: _scored_pairs_spark(s, d)
+        "spark": lambda s, d: _scored_pairs_cached(s, d)
         .where(F.col("w") > 0)
         .withColumn(
             "cost", F.max("w").over(Window.partitionBy("id_a")) - F.col("w")
@@ -1878,7 +1975,7 @@ def build_catalog() -> dict[str, dict]:
     # --- balancing transforms (SURVEY 2.2, Zanella-2019 log-space forms;
     # the exp-free subset is oracle-checked, barker is pytest-verified) ---
     cat["balancing_transforms"] = {
-        "spark": lambda s, d: _scored_pairs_spark(s, d).select(
+        "spark": lambda s, d: _scored_pairs_cached(s, d).select(
             "id_a",
             "id_b",
             (F.col("w") * 0.5).alias("lsqrt"),
@@ -1925,7 +2022,7 @@ def build_catalog() -> dict[str, dict]:
     def _links_diff(s: SparkSession, d: str) -> DataFrame:
         from ..operators.linkmatrix import links_difference
 
-        wp = _scored_pairs_spark(s, d).localCheckpoint()
+        wp = _scored_pairs_cached(s, d)
         return links_difference(
             _mb_at(wp, EDGE_THRESHOLD), _mb_at(wp, PENALTY)
         )
@@ -1951,7 +2048,7 @@ def build_catalog() -> dict[str, dict]:
     def _merged_summaries(s: SparkSession, d: str) -> DataFrame:
         from ..operators.comparison_summary import merge_summaries
 
-        v = _vectors_spark(s, d)
+        v = _vectors_cached(s, d)
         half_a = distinct_vectors(v.where((F.col("id_a") + F.col("id_b")) % 2 == 0), GCOLS)
         half_b = distinct_vectors(v.where((F.col("id_a") + F.col("id_b")) % 2 == 1), GCOLS)
         return merge_summaries(half_a, half_b, GCOLS)
@@ -2041,8 +2138,8 @@ def build_catalog() -> dict[str, dict]:
     def _posthoc_blocks(s: SparkSession, d: str) -> DataFrame:
         from ..operators.linkmatrix import drop_outside
 
-        wp = _scored_pairs_spark(s, d).localCheckpoint()
-        cc = _cc_from_scored(s, d, wp)
+        wp = _scored_pairs_cached(s, d)
+        cc = _cc_cached(s, d)
         inside = drop_outside(wp.select("id_a", "id_b", "w"), cc)
         bp = inside.groupBy("block_id").agg(F.count(F.lit(1)).alias("n_pairs"))
         nodes = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))
@@ -2081,7 +2178,7 @@ def build_catalog() -> dict[str, dict]:
         from ..operators.comparison_summary import attach_vec_ids
         from ..operators.linkmatrix import matched_comparisons
 
-        wp = _scored_pairs_spark(s, d).localCheckpoint()
+        wp = _scored_pairs_cached(s, d)
         dv = distinct_vectors(wp.select("id_a", "id_b", *GCOLS), GCOLS)
         links = attach_vec_ids(_mb_at(wp, EDGE_THRESHOLD).join(
             wp.select("id_a", "id_b", *GCOLS), on=["id_a", "id_b"]
@@ -2117,7 +2214,7 @@ def build_catalog() -> dict[str, dict]:
         from ..operators import em
 
         dv = (
-            distinct_vectors(_vectors_spark(s, d), GCOLS)
+            distinct_vectors(_vectors_cached(s, d), GCOLS)
             .orderBy("vec_id")
             .toPandas()
         )
@@ -2154,7 +2251,7 @@ def build_catalog() -> dict[str, dict]:
         from ..operators import em, map_solver
         from ..operators.comparison_summary import attach_vec_ids
 
-        v = _vectors_spark(s, d)
+        v = _vectors_cached(s, d)
         dvdf = distinct_vectors(v, GCOLS)
         pairs = attach_vec_ids(v, dvdf, GCOLS).select(
             "id_a", "id_b", "vec_id"
@@ -2196,8 +2293,8 @@ def build_catalog() -> dict[str, dict]:
         from ..operators import mcmc
         from ..operators.linkmatrix import drop_outside
 
-        wp = _scored_pairs_spark(s, d).localCheckpoint()
-        cc = _cc_from_scored(s, d, wp)
+        wp = _scored_pairs_cached(s, d)
+        cc = _cc_cached(s, d)
         blocked = drop_outside(
             wp.where(F.col("w") > EDGE_THRESHOLD).select("id_a", "id_b", "w"), cc
         )
@@ -2421,7 +2518,7 @@ def build_catalog() -> dict[str, dict]:
         from ..operators.connected_components import threshold_sensitivity
 
         wedges = (
-            _scored_pairs_spark(s, d)
+            _scored_pairs_cached(s, d)
             .where(F.col("w") > EDGE_THRESHOLD)
             .select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"), "w")
             .localCheckpoint()

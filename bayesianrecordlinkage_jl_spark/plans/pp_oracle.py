@@ -26,10 +26,15 @@ Replays penalized_likelihood_search(method="greedy") as static SQL:
     solves; interval bookkeeping reduces to presence islands over the
     per-step link sets.
 
-Scope: valid at the driver's sf0.01 correctness gate only — the frozen
-structure is data-derived, and the greedy replay is O(pairs^2) inside the
-recursion.  scripts/parity_sweep.py skips this row at other scales (the
-catalog entry carries gate_only=True).
+Scope: the frozen structure (penalties / ethetas / ascent iteration
+counts) is DATA-derived, so pp_frozen.json is keyed by scale-factor
+directory basename ("sf0.01", "sf0.1", ...) and scripts/freeze_pp_oracle.py
+re-runs the full A-D assertion suite per scale.  The catalog's "sql" is
+the sf0.01 gate twin (the driver's contract scale); "sql_by_sf" carries a
+twin per additionally-frozen scale so scripts/parity_sweep.py value-checks
+the flagship MAP path at sf0.1 too (VERDICT r3 "Next round" #3) instead of
+skipping it.  Scales with no frozen block are still skipped (gate_only
+fallback) — running a knowingly-wrong oracle is worse than a skip.
 
 Reference: penalized_likelihood_search_* /root/reference/src/
 sequence_map_functions.jl:91-240; coordinate ascent /root/reference/src/
@@ -48,9 +53,19 @@ _FROZEN_PATH = os.path.join(
 )
 
 
-def _frozen() -> dict:
+def _frozen_all() -> dict:
     with open(_FROZEN_PATH) as f:
         return json.load(f)
+
+
+def _frozen(sf_key: str = "sf0.01") -> dict:
+    return _frozen_all()[sf_key]
+
+
+def frozen_sf_keys() -> list[str]:
+    """Scale keys a penalty-path twin exists for (freeze script ran and
+    its A-D equivalence asserts passed at that scale)."""
+    return sorted(_frozen_all())
 
 
 def _ratio_expr(pr: str, gcols: list[str], nlevels: dict[str, int]) -> str:

@@ -21,8 +21,10 @@ from oracle decisions).  That replay is exact iff, on this fixture:
   D. the ascent iteration counts per penalty step (frozen as structure)
      and the penalties themselves (frozen as literals) match the run.
 
-Frozen: plans/pp_frozen.json {penalties, ethetas, iters_per_step}.
-Usage: python scripts/freeze_pp_oracle.py
+Frozen: plans/pp_frozen.json {sf_key: {penalties, ethetas,
+iters_per_step, n_links_per_step}} — keyed by SF_DIR basename; the full
+A-D suite re-runs (and must pass) per scale.
+Usage: python scripts/freeze_pp_oracle.py [SF_DIR]   (default sf0.01)
 """
 
 from __future__ import annotations
@@ -34,7 +36,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-SF = "/root/testdata/sf0.01"
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
 OUT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "bayesianrecordlinkage_jl_spark", "plans", "pp_frozen.json",
@@ -213,9 +215,15 @@ def main() -> None:
         "iters_per_step": iters_per_step,
         "n_links_per_step": [len(ls) for ls in step_links],
     }
+    key = os.path.basename(os.path.normpath(SF))
+    allfz = {}
+    if os.path.exists(OUT):
+        with open(OUT) as f:
+            allfz = json.load(f)
+    allfz[key] = frozen
     with open(OUT, "w") as f:
-        json.dump(frozen, f, indent=1)
-    print(f"wrote {OUT}: {frozen}")
+        json.dump(allfz, f, indent=1)
+    print(f"wrote {OUT}[{key}]: {frozen}")
 
 
 if __name__ == "__main__":

@@ -368,3 +368,55 @@ def test_exact_posterior_margin(spark, sf):
     ).toPandas()
     assert len(allm) > 0
     assert (abs(allm["marginal"] - 0.5) > 1e-6).all()
+
+
+def test_absolute_priors_enumeration():
+    """Absolute prior forms (VERDICT r3 missing #2): (1) the Sadinle
+    beta-bipartite log prior is a PROPER density — summed over every
+    bipartite matching (count C(nr,L)·C(nc,L)·L! per link count L) it
+    integrates to 1; (2) first differences of both absolute log priors
+    reproduce the ratio constructors already validated against chain
+    enumeration; (3) two-state logratio forms equal logprior differences;
+    (4) exp forms match."""
+    import itertools
+
+    from math import comb, exp, factorial, isclose
+
+    for nr, nc, a, b in [(4, 3, 1.0, 1.0), (5, 2, 2.0, 3.5), (3, 3, 0.5, 0.5)]:
+        total = sum(
+            comb(nr, L) * comb(nc, L) * factorial(L)
+            * mcmc.betabipartite_prior(L, nr, nc, a, b)
+            for L in range(min(nr, nc) + 1)
+        )
+        assert isclose(total, 1.0, rel_tol=1e-12), (nr, nc, a, b, total)
+
+        ratio = mcmc.betabipartite_log_ratio(a, b)
+        for L in range(min(nr, nc)):
+            diff = mcmc.betabipartite_logprior(
+                L + 1, nr, nc, a, b
+            ) - mcmc.betabipartite_logprior(L, nr, nc, a, b)
+            assert isclose(diff, ratio(1, L, nr, nc), rel_tol=1e-12)
+        for l1, l2 in itertools.product(range(min(nr, nc) + 1), repeat=2):
+            lr = mcmc.betabipartite_logratio(l1, l2, nr, nc, a, b)
+            want = mcmc.betabipartite_logprior(
+                l1, nr, nc, a, b
+            ) - mcmc.betabipartite_logprior(l2, nr, nc, a, b)
+            assert isclose(lr, want, rel_tol=1e-12, abs_tol=1e-12)
+
+    theta = 0.75
+    ratio = mcmc.exppenalty_log_ratio(theta)
+    for L in range(6):
+        diff = mcmc.exppenalty_logprior(
+            L + 1, theta
+        ) - mcmc.exppenalty_logprior(L, theta)
+        assert isclose(diff, ratio(1, L, 9, 9), rel_tol=1e-12)
+        assert isclose(
+            mcmc.exppenalty_prior(L, theta),
+            exp(mcmc.exppenalty_logprior(L, theta)),
+            rel_tol=1e-12,
+        )
+    assert mcmc.exppenalty_logratio(3, 5, theta) == theta * 2
+    assert mcmc.exppenalty_logratio(4, 4, theta) == 0.0
+    # out-of-range link counts have zero density
+    assert mcmc.betabipartite_prior(4, 3, 3, 1.0, 1.0) == 0.0
+    assert mcmc.betabipartite_prior(-1, 3, 3, 1.0, 1.0) == 0.0

@@ -88,6 +88,27 @@ def test_mutual_best_aggregates_before_shuffle(spark):
     assert "row_number" not in plan.lower()
 
 
+def test_mutual_best_structural_checkpoint_guards_naive_caller(spark):
+    """mutual_best consumes its input twice (one argmax per side). The
+    consume-twice contract is STRUCTURAL: by default the function
+    localCheckpoints its input, so a naive caller handing it a raw
+    comparator subtree cannot double-run scoring (the sf1 82s-vs-43s
+    trap) — the optimized plan must contain ZERO levenshtein occurrences
+    (the comparators ran once, at checkpoint time). materialized=True
+    opts out, leaving the upstream inline (and therefore duplicated)."""
+    from pyspark.sql import functions as F
+
+    from bayesianrecordlinkage_jl_spark.operators.assignment import mutual_best
+
+    raw = oq._scored_pairs_spark(spark, SF).select("id_a", "id_b", "w")
+
+    guarded = _optimized(mutual_best(raw))
+    assert guarded.count("levenshtein") == 0, guarded
+
+    opted_out = _optimized(mutual_best(raw, materialized=True))
+    assert opted_out.count("levenshtein") == 2, opted_out
+
+
 def test_event_window_agg_partial(spark):
     """Tumbling-window agg must have a partial (map-side) aggregation."""
     plan = _plan(oq.build_catalog()["event_window_counts"]["spark"](spark, SF))
