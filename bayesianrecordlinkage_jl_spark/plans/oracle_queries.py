@@ -2274,17 +2274,27 @@ def build_catalog() -> dict[str, dict]:
     # (log-free), penalties + ascent structure are frozen literals with
     # decision-equivalence asserted at freeze time (plans/pp_frozen.json,
     # scripts/freeze_pp_oracle.py). See plans/pp_oracle.py.
-    from .pp_oracle import penalty_path_sql
+    from .pp_oracle import _frozen, frozen_sf_keys, penalty_path_sql
 
     cat["penalty_path_chain"] = {
         "spark": _penalty_path,
         "sql": penalty_path_sql(_vectors_sql(), GCOLS, NLEVELS),
         "ref": "src/sequence_map_functions.jl:91-240 (penalized_likelihood_search)",
-        # the ascent structure + penalty literals are frozen from the
-        # sf0.01 gate data (and the greedy replay is O(pairs^2) in the
-        # recursion) — scripts/parity_sweep.py skips this row at other
-        # scales instead of running a knowingly-wrong oracle
+        # the ascent structure + penalty literals are DATA-derived, frozen
+        # per scale by scripts/freeze_pp_oracle.py (A-D equivalences
+        # asserted at freeze time): "sql" is the sf0.01 driver-gate twin,
+        # sql_by_sf carries one twin per additionally-frozen scale so the
+        # sf0.1 sweep value-checks the flagship MAP path too; scales with
+        # no frozen block stay skipped (gate_only fallback) rather than
+        # running a knowingly-wrong oracle
         "gate_only": True,
+        "sql_by_sf": {
+            k: penalty_path_sql(
+                _vectors_sql(), GCOLS, NLEVELS, frozen=_frozen(k)
+            )
+            for k in frozen_sf_keys()
+            if k != "sf0.01"
+        },
     }
 
     # --- restricted MCMC surrogate (SURVEY 2.8; per-block chains in

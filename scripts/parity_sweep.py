@@ -50,6 +50,7 @@ def main() -> None:
     queries = entrymod.queries()
     oracles = entrymod.oracle_sql()
     at_gate = os.path.normpath(sf).endswith("sf0.01")
+    sf_key = os.path.basename(os.path.normpath(sf))
     ok = bad = skipped = gate_locked = 0
     for name in sorted(queries):
         if only and name not in only:
@@ -59,9 +60,15 @@ def main() -> None:
             skipped += 1
             continue
         if cat.get(name, {}).get("gate_only") and not at_gate:
-            gate_locked += 1
-            print(f"SKIP {name}: oracle structure frozen at sf0.01 gate")
-            continue
+            # data-derived oracle structure: use the twin frozen for THIS
+            # scale if the freeze script produced one, else skip
+            by_sf = cat[name].get("sql_by_sf", {})
+            if sf_key in by_sf:
+                sql = by_sf[sf_key]
+            else:
+                gate_locked += 1
+                print(f"SKIP {name}: no oracle structure frozen for {sf_key}")
+                continue
         t0 = time.time()
         try:
             a = canon(queries[name](spark, sf).toPandas())

@@ -85,6 +85,69 @@ def test_checkpoint_resume(spark, pages, tmp_path):
     assert r2.counters["links"]["completed_at"] == c1["links"]["completed_at"]
 
 
+def test_checkpoint_resume_after_midpipeline_kill(spark, pages, tmp_path, monkeypatch):
+    """VERDICT r3 #8: resume must survive a FAILURE, not just a re-run.
+    Injected crash mid-pipeline (while the 'links' stage parquet is
+    half-written: some part files exist, no manifest entry) -> resuming
+    reuses every completed upstream stage untouched (completed_at
+    identical), recomputes the interrupted stage over the orphaned
+    directory, and converges to clusters identical to an uncheckpointed
+    run. This pins the atomicity contract: the manifest swap (os.replace)
+    is the commit point, so a stage directory without a manifest entry is
+    garbage to be overwritten, never trusted."""
+    import os
+
+    from bayesianrecordlinkage_jl_spark.sources import checkpoint as ckpt
+
+    ckpt_dir = tmp_path / "ckpt_kill"
+    cfg = LinkageConfig(checkpoint_dir=str(ckpt_dir))
+    inp = pages.drop("cluster_id", "host").limit(300)
+
+    real_write = ckpt.StageStore.write
+
+    def dying_write(self, stage, df, cfg_d):
+        if stage == "links":
+            # simulate a kill mid-write: data lands (possibly partially),
+            # the process dies BEFORE the manifest commit point
+            path = self.table_path(stage)
+            df.write.mode("overwrite").parquet(path)
+            parts = sorted(
+                f for f in os.listdir(path) if f.endswith(".parquet")
+            )
+            if parts:  # half-complete: drop the last part file
+                os.remove(os.path.join(path, parts[-1]))
+            raise RuntimeError("injected mid-pipeline kill")
+        return real_write(self, stage, df, cfg_d)
+
+    monkeypatch.setattr(ckpt.StageStore, "write", dying_write)
+    with pytest.raises(RuntimeError, match="injected mid-pipeline kill"):
+        run_linkage(spark, inp, cfg)
+    monkeypatch.setattr(ckpt.StageStore, "write", real_write)
+
+    store = ckpt.StageStore(str(ckpt_dir))
+    counters_after_crash = store.counters()
+    assert "links" not in counters_after_crash  # no manifest commit
+    assert os.path.isdir(store.table_path("links"))  # orphaned directory
+    for st in ("docs", "candidates", "components"):
+        assert st in counters_after_crash, st
+
+    r2 = run_linkage(spark, inp, cfg)
+    # completed upstream stages were REUSED, not recomputed
+    for st in ("docs", "candidates", "components"):
+        assert (
+            r2.counters[st]["completed_at"]
+            == counters_after_crash[st]["completed_at"]
+        ), st
+    # the interrupted stage was recomputed and committed
+    assert "links" in store.counters()
+    # ... and the final result is identical to an uncheckpointed run
+    ref = run_linkage(spark, inp, LinkageConfig())
+    got = r2.clusters.select("node", "cluster_id")
+    want = ref.clusters.select("node", "cluster_id")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
 def test_pipeline_f1_at_5x_scale(spark):
     """Same pipeline, 5x the document count (~6000 pages, comparable to the
     sf0.1 corpus): F1 target and the one-to-one invariant must hold
