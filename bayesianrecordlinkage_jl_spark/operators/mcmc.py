@@ -779,3 +779,193 @@ def exact_posterior_links(
         .groupBy("block_id")
         .applyInPandas(fn, schema="id_a long, id_b long, block_id long, marginal double")
     )
+
+
+def exact_posterior_links_global(
+    pairs: DataFrame,
+    logprior,
+    max_pairs_per_block: int = 10,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact posterior one-to-one matching under a GLOBAL link-count prior
+    — the posterior the reference's restricted MCMC samples when its prior
+    ratio depends on the total nlink (the vignette's own configuration:
+    betabipartite_logratiopn, /root/reference/vignette/example.jl:96-99),
+    computed in closed form. Where exact_posterior_links factorizes over
+    blocks (valid only for the constant-odds exppenalty prior), a count
+    prior couples blocks through |M|; the coupling is resolved EXACTLY by
+    generating functions: per block b enumerate matchings into a degree
+    polynomial Z_b(x) = sum_{M_b} (prod_{p in M_b} r_p) x^{|M_b|} and
+    per-pair numerators N_p(x) (distributed, one applyInPandas sweep per
+    block), then
+
+      Z        = sum_L exp(logprior(L)) [x^L] prod_b Z_b(x)
+      P(p in M) = sum_L exp(logprior(L)) [x^L] (N_p(x) prod_{b'!=b} Z_b'(x)) / Z
+
+    with the cross-block products formed by log-domain prefix/suffix
+    convolution on the driver. The reference can only approximate this
+    distribution by MCMC; here it is exact.
+
+    pairs: (id_a, id_b, r, block_id) as in exact_posterior_links.
+    logprior: callable L -> log prior of a matching with L total links
+    (e.g. lambda L: mcmc.betabipartite_logprior(L, nrow, ncol, 1.0, 1.0),
+    or lambda L: -theta * L for exppenalty — which factorizes, so the
+    result then matches exact_posterior_links(prior_link_ratio=e^-theta)
+    exactly; asserted in tests/test_mcmc.py). Evaluated ONLY on the
+    driver at 0..D (D = max total degree); executors see the values as a
+    broadcast literal table.
+
+    Scale contract: the driver materializes only the per-block Z
+    polynomials (sum of block max-matching sizes + blocks rows — the same
+    order as the link count itself, a driver-scale aggregate like the
+    distinct-vector table); enumeration (the exponential part) and the
+    per-pair marginal reduction stay distributed. Blocks above
+    max_pairs_per_block pairs are EXCLUDED in both the product and the
+    output (same explicit-domain contract as exact_posterior_links);
+    at 100 TB route big blocks to mh_gibbs / one_to_one and prefer the
+    factorizing exppenalty prior. Marginal VALUES accumulate in
+    engine-specific order (last ulp), so only ids are oracle-comparable
+    and the > threshold decision carries a margin certificate
+    (tests/test_mcmc.py)."""
+    import math
+
+    spark = pairs.sparkSession
+    p = pairs.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("r").cast("double"),
+        F.col("block_id").cast("long"),
+    )
+    sizes = p.groupBy("block_id").agg(F.count(F.lit(1)).alias("_np"))
+    small = p.join(
+        sizes.where(F.col("_np") <= max_pairs_per_block).select("block_id"),
+        on="block_id",
+        how="left_semi",
+    )
+
+    def gf(pdf: pd.DataFrame) -> pd.DataFrame:
+        # take/skip DFS over the (id_a, id_b)-ordered pair list; log-space
+        # accumulation per degree. Emits Z rows (id_a/id_b NULL) and
+        # per-pair numerator rows.
+        pdf = pdf.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+        n = len(pdf)
+        ia = pdf["id_a"].tolist()
+        ib = pdf["id_b"].tolist()
+        lw = [math.log(float(x)) for x in pdf["r"]]
+        bid = int(pdf["block_id"].iloc[0])
+        zterms: list[list[float]] = [[] for _ in range(n + 1)]
+        nterms: list[dict[int, list[float]]] = [dict() for _ in range(n)]
+
+        def dfs(i, ua, ub, logw, chosen):
+            if i == n:
+                d = len(chosen)
+                zterms[d].append(logw)
+                for j in chosen:
+                    nterms[j].setdefault(d, []).append(logw)
+                return
+            dfs(i + 1, ua, ub, logw, chosen)
+            if ia[i] not in ua and ib[i] not in ub:
+                dfs(i + 1, ua | {ia[i]}, ub | {ib[i]}, logw + lw[i], chosen + [i])
+
+        dfs(0, frozenset(), frozenset(), 0.0, [])
+
+        def lse(ts: list[float]) -> float:
+            m = max(ts)
+            return m + math.log(sum(math.exp(t - m) for t in ts))
+
+        rows = []
+        for d in range(n + 1):
+            if zterms[d]:
+                rows.append((None, None, bid, d, lse(zterms[d])))
+        for j in range(n):
+            for d, ts in sorted(nterms[j].items()):
+                rows.append((ia[j], ib[j], bid, d, lse(ts)))
+        return pd.DataFrame(
+            rows, columns=["id_a", "id_b", "block_id", "deg", "lcoef"]
+        )
+
+    polys = (
+        small.repartition("block_id")
+        .groupBy("block_id")
+        .applyInPandas(
+            gf, schema="id_a long, id_b long, block_id long, deg int, lcoef double"
+        )
+        .localCheckpoint()  # consumed twice: Z collect + numerator join
+    )
+    zrows = polys.where(F.col("id_a").isNull()).select(
+        "block_id", "deg", "lcoef"
+    ).collect()
+    if not zrows:
+        return polys.sparkSession.createDataFrame(
+            [], schema="id_a long, id_b long, block_id long, marginal double"
+        )
+
+    # driver: per-block log-polynomials -> prefix/suffix log-convolution
+    NEG = float("-inf")
+    zp: dict[int, dict[int, float]] = {}
+    for r_ in zrows:
+        zp.setdefault(r_["block_id"], {})[r_["deg"]] = r_["lcoef"]
+    bids = sorted(zp)
+    arrs = []
+    for b in bids:
+        d = max(zp[b])
+        a = np.full(d + 1, NEG)
+        for k, v in zp[b].items():
+            a[k] = v
+        arrs.append(a)
+
+    def lconv(la: np.ndarray, lb: np.ndarray) -> np.ndarray:
+        out = np.full(len(la) + len(lb) - 1, NEG)
+        for j in range(len(lb)):
+            if lb[j] == NEG:
+                continue
+            out[j : j + len(la)] = np.logaddexp(out[j : j + len(la)], la + lb[j])
+        return out
+
+    nb = len(arrs)
+    pre = [np.array([0.0])]
+    for a in arrs:
+        pre.append(lconv(pre[-1], a))
+    suf = [np.array([0.0])]
+    for a in reversed(arrs):
+        suf.append(lconv(suf[-1], a))
+    suf.reverse()
+    ptot = pre[nb]
+    dtot = len(ptot) - 1
+    lp = np.array([float(logprior(L)) for L in range(dtot + 1)])
+    with np.errstate(invalid="ignore"):
+        terms = lp + ptot
+    fin = terms[np.isfinite(terms)]
+    lz = float(np.logaddexp.reduce(fin))
+
+    # rest_b = prod_{b' != b} Z_b' ; ship (block_id, rdeg, rl) + the prior
+    # table (tdeg -> lprior) back as broadcast literals. Marginal reduces
+    # RELATIONALLY: each numerator row joins every rest coefficient of its
+    # block and every prior row at tdeg = deg + rdeg; terms are exp'd
+    # after subtracting lz (all <= marginal <= 1, no overflow) so the
+    # reduction is a plain SUM groupBy.
+    rest_rows = []
+    for i, b in enumerate(bids):
+        rb = lconv(pre[i], suf[i + 1])
+        for d_, v in enumerate(rb):
+            if v != NEG:
+                rest_rows.append((b, d_, float(v)))
+    prior_rows = [
+        (L, float(lp[L])) for L in range(dtot + 1) if np.isfinite(lp[L])
+    ]
+    rest_df = spark.createDataFrame(rest_rows, schema="block_id long, rdeg int, rl double")
+    prior_df = spark.createDataFrame(prior_rows, schema="tdeg int, lprior double")
+    num = polys.where(F.col("id_a").isNotNull())
+    out = (
+        num.join(F.broadcast(rest_df), on="block_id")
+        .withColumn("tdeg", F.col("deg") + F.col("rdeg"))
+        .join(F.broadcast(prior_df), on="tdeg")
+        .groupBy("id_a", "id_b", "block_id")
+        .agg(
+            F.sum(
+                F.exp(F.col("lcoef") + F.col("rl") + F.col("lprior") - F.lit(lz))
+            ).alias("marginal")
+        )
+        .where(F.col("marginal") > F.lit(float(threshold)))
+    )
+    return out

@@ -420,3 +420,136 @@ def test_absolute_priors_enumeration():
     # out-of-range link counts have zero density
     assert mcmc.betabipartite_prior(4, 3, 3, 1.0, 1.0) == 0.0
     assert mcmc.betabipartite_prior(-1, 3, 3, 1.0, 1.0) == 0.0
+
+def _exact_marginals_global(ids_a, ids_b, w, logprior):
+    """Brute-force per-pair marginals under a GLOBAL link-count prior:
+    pi(M) propto exp(sum_{k in M} w_k + logprior(|M|)) over one-to-one
+    matchings of the whole pair list (blocks jointly)."""
+    import itertools
+
+    import numpy as np
+
+    npairs = len(w)
+    states = []
+    for r in range(npairs + 1):
+        for sub in itertools.combinations(range(npairs), r):
+            rows = [ids_a[k] for k in sub]
+            cols = [ids_b[k] for k in sub]
+            if len(set(rows)) == len(rows) and len(set(cols)) == len(cols):
+                states.append(sub)
+    logp = np.array([sum(w[k] for k in s) + logprior(len(s)) for s in states])
+    p = np.exp(logp - logp.max())
+    p /= p.sum()
+    marg = np.zeros(npairs)
+    for pi_, s in zip(p, states):
+        for k in s:
+            marg[k] += pi_
+    return marg
+
+
+def test_exact_posterior_global_vs_enumeration(spark):
+    """exact_posterior_links_global agrees with brute-force enumeration of
+    the JOINT posterior under the beta-bipartite count prior — the GF
+    convolution resolves the cross-block coupling exactly. Fixture: three
+    blocks whose link counts compete through the prior."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for b, n in [(1, 2), (2, 3), (3, 4)]:
+        for k in range(n):
+            ia = b * 100 + k // 2
+            ib = b * 1000 + (k * 3) % ((n + 1) // 2 + 1)
+            if any(r[0] == ia and r[1] == ib for r in rows):
+                continue
+            rows.append((ia, ib, float(np.exp(rng.normal(1.0, 1.5))), b))
+    nrow, ncol = 12, 9  # prior dimensions larger than the candidate graph
+
+    def lp(L):
+        return mcmc.betabipartite_logprior(L, nrow, ncol, 1.0, 1.0)
+
+    df = spark.createDataFrame(rows, "id_a long, id_b long, r double, block_id long")
+    got = mcmc.exact_posterior_links_global(
+        df, lp, max_pairs_per_block=6, threshold=-1.0
+    ).toPandas()
+    ids_a = [r[0] for r in rows]
+    ids_b = [r[1] for r in rows]
+    w = [float(np.log(r[2])) for r in rows]
+    want = _exact_marginals_global(ids_a, ids_b, w, lp)
+    got_m = dict(zip(zip(got["id_a"], got["id_b"]), got["marginal"]))
+    assert len(got_m) == len(rows)
+    for k in range(len(rows)):
+        assert abs(got_m[(ids_a[k], ids_b[k])] - want[k]) < 1e-9, k
+    # threshold filter behaves like the per-block sibling
+    kept = mcmc.exact_posterior_links_global(
+        df, lp, max_pairs_per_block=6, threshold=0.5
+    ).toPandas()
+    assert set(zip(kept["id_a"], kept["id_b"])) == {
+        (ids_a[k], ids_b[k]) for k in range(len(rows)) if want[k] > 0.5
+    }
+
+
+def test_exact_posterior_global_exppenalty_factorizes(spark):
+    """With the exppenalty prior (logprior(L) = -theta*L) the count prior
+    factorizes per link, so the global GF computation must reproduce
+    exact_posterior_links(prior_link_ratio=e^-theta) marginal-for-marginal
+    — the cross-block convolution cancels exactly."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    theta = 0.7
+    rows = []
+    for b, n in [(1, 1), (2, 4), (3, 5)]:
+        seen = set()
+        for k in range(n):
+            ia = b * 100 + k % ((n + 2) // 2)
+            ib = b * 1000 + (k * 5) % (n // 2 + 2)
+            if (ia, ib) in seen:
+                continue
+            seen.add((ia, ib))
+            rows.append((ia, ib, float(np.exp(rng.normal(0.5, 2.0))), b))
+    df = spark.createDataFrame(rows, "id_a long, id_b long, r double, block_id long")
+    got = mcmc.exact_posterior_links_global(
+        df, lambda L: -theta * L, max_pairs_per_block=8, threshold=-1.0
+    ).toPandas()
+    want = mcmc.exact_posterior_links(
+        df, max_pairs_per_block=8, prior_link_ratio=float(np.exp(-theta)),
+        threshold=-1.0,
+    ).toPandas()
+    gm = dict(zip(zip(got["id_a"], got["id_b"]), got["marginal"]))
+    wm = dict(zip(zip(want["id_a"], want["id_b"]), want["marginal"]))
+    assert set(gm) == set(wm)
+    for kk in wm:
+        assert abs(gm[kk] - wm[kk]) < 1e-9, kk
+
+
+def test_exact_posterior_global_cap_excludes(spark):
+    """Blocks above the pair cap are excluded from BOTH the output and the
+    GF product — the remaining blocks' marginals equal a run without the
+    oversized block entirely (explicit-domain contract)."""
+    import numpy as np
+
+    base = [(1, 101, 7.0, 1), (2, 102, 3.0, 1), (10, 110, 2.5, 2)]
+    big = [(900 + k, 9000 + k, 5.0, 99) for k in range(7)]
+
+    def lp(L):
+        return mcmc.betabipartite_logprior(L, 20, 20, 1.0, 1.0)
+
+    df_all = spark.createDataFrame(
+        base + big, "id_a long, id_b long, r double, block_id long"
+    )
+    df_small = spark.createDataFrame(
+        base, "id_a long, id_b long, r double, block_id long"
+    )
+    got = mcmc.exact_posterior_links_global(
+        df_all, lp, max_pairs_per_block=6, threshold=-1.0
+    ).toPandas()
+    want = mcmc.exact_posterior_links_global(
+        df_small, lp, max_pairs_per_block=6, threshold=-1.0
+    ).toPandas()
+    assert not (got["block_id"] == 99).any()
+    gm = dict(zip(zip(got["id_a"], got["id_b"]), got["marginal"]))
+    wm = dict(zip(zip(want["id_a"], want["id_b"]), want["marginal"]))
+    assert gm.keys() == wm.keys()
+    for kk in wm:
+        assert abs(gm[kk] - wm[kk]) < 1e-12, kk
