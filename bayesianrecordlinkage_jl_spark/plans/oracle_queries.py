@@ -401,6 +401,41 @@ def _cc_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (both static, mirrored verbatim in the DuckDB twin)
 EP_R0 = 0.05
 EP_CAP = 10
+# exact_posterior_links_global prior: beta-bipartite(1,1) over STATIC
+# EPG_NR x EPG_NC dims (a modeling constant — never data-derived, per the
+# static-oracle invariant). 60x60 gives a nontrivial link/non-link split
+# with every gate-fixture marginal clearing 0.5 by >= 4e-3
+# (tests/test_mcmc.py::test_exact_posterior_global_margin).
+EPG_NR = 60
+EPG_NC = 60
+EPG_LMAX = min(EPG_NR, EPG_NC)
+
+
+def _epg_lprior(L: str) -> str:
+    """betabipartite_logprior(L, EPG_NR, EPG_NC, 1, 1) as a DuckDB
+    expression (lbeta(1,1) = 0 drops out)."""
+    return (
+        f"(lgamma({EPG_NR} - ({L}) + 1) - lgamma({EPG_NR} + 1) "
+        f"+ lgamma(({L}) + 1.0) + lgamma({EPG_NC} - ({L}) + 1.0) "
+        f"- lgamma({EPG_NC} + 2.0))"
+    )
+
+
+def _lconv_sql(a: str, b: str) -> str:
+    """Log-domain polynomial convolution of two dense log-coefficient
+    lists (1-indexed): out[k] = logsumexp_{i+j-1=k} a[i] + b[j]. The term
+    list is written three times because DuckDB lambdas have no
+    let-binding; matching-GF degree supports are contiguous so no NULL
+    handling is needed."""
+    t = (
+        f"list_transform(range(greatest(1, k - len({a}) + 1), "
+        f"least(len({b}), k) + 1), j -> {a}[k-j+1] + {b}[j])"
+    )
+    return (
+        f"list_transform(range(1, len({a}) + len({b})), k -> "
+        f"list_max({t}) + ln(list_sum(list_transform({t}, "
+        f"u -> exp(u - list_max({t}))))))"
+    )
 
 
 def _ep_blocked_pairs(s: SparkSession, d: str) -> DataFrame:
@@ -2338,9 +2373,10 @@ def build_catalog() -> dict[str, dict]:
     from .pp_oracle import _ratio_expr as _ratio
 
     _ep_join = " AND ".join(f"v.{g} = d.{g}" for g in GCOLS)
-    cat["exact_posterior_links"] = {
-        "spark": _exact_posterior,
-        "sql": f"""
+    # shared CTE prefix (live EM -> ratios -> CC blocks -> per-block
+    # take/skip matching enumeration `term`) for both exact-posterior
+    # twins; ends at `term` so each entry appends its own reduction.
+    _ep_prefix = f"""
         WITH RECURSIVE
         {_em_ctes(_vectors_sql(), GCOLS, NLEVELS).strip()},
         pairs0 AS MATERIALIZED (
@@ -2395,7 +2431,12 @@ def build_catalog() -> dict[str, dict]:
            AND (b.t = 0 OR (NOT list_contains(e.ua, (e.ps[e.idx+1])['ia'])
                         AND NOT list_contains(e.ub, (e.ps[e.idx+1])['ib'])))),
         term AS MATERIALIZED (SELECT block_id, ch, prod FROM en
-                              WHERE idx = len(ps)),
+                              WHERE idx = len(ps))"""
+
+    cat["exact_posterior_links"] = {
+        "spark": _exact_posterior,
+        "sql": _ep_prefix
+        + """,
         zt AS (SELECT block_id, sum(prod) AS z FROM term GROUP BY block_id),
         nm AS (SELECT block_id, unnest(ch) AS k, prod FROM term),
         marg AS (SELECT block_id, k, sum(prod) AS num FROM nm
@@ -2408,6 +2449,96 @@ def build_catalog() -> dict[str, dict]:
         """,
         "ref": "src/mcmc.jl:56-137 (the matching posterior mh_gibbs samples; "
         "exact enumeration for small blocks)",
+    }
+
+    # --- exact posterior under a GLOBAL link-count prior (the vignette's
+    # betabipartite configuration, example.jl:96-99): blocks couple
+    # through the total nlink; the coupling is resolved exactly by
+    # generating functions — per-block degree polynomials from the same
+    # `term` enumeration, a recursive log-domain convolution fold across
+    # blocks (prefix + suffix), and a marginal reduction joining each
+    # pair's numerator polynomial with its block's rest-product and the
+    # prior weight at the TOTAL degree. Prior dims are STATIC literals
+    # (EPG_NR x EPG_NC, alpha=beta=1 — a modeling constant, not
+    # data-derived); marginals are engine-order floats so only ids are
+    # hashed and the >0.5 decision is margin-certified
+    # (tests/test_mcmc.py::test_exact_posterior_global_margin).
+    def _exact_posterior_global(s: SparkSession, d: str) -> DataFrame:
+        from ..operators import mcmc
+
+        return mcmc.exact_posterior_links_global(
+            _ep_blocked_pairs(s, d),
+            lambda L: mcmc.betabipartite_logprior(
+                L, EPG_NR, EPG_NC, 1.0, 1.0
+            ),
+            max_pairs_per_block=EP_CAP,
+        ).select("id_a", "id_b", "block_id")
+
+    cat["exact_posterior_links_global"] = {
+        "spark": _exact_posterior_global,
+        "sql": _ep_prefix
+        + f""",
+        zd AS MATERIALIZED (
+          SELECT block_id, len(ch) AS deg, ln(sum(prod)) AS lz
+          FROM term GROUP BY block_id, len(ch)),
+        bl AS MATERIALIZED (
+          SELECT block_id,
+                 CAST(row_number() OVER (ORDER BY block_id) AS INT) AS i
+          FROM (SELECT DISTINCT block_id FROM zd)),
+        zl AS MATERIALIZED (
+          SELECT b.i, list(z.lz ORDER BY z.deg) AS poly
+          FROM bl b JOIN zd z ON z.block_id = b.block_id GROUP BY b.i),
+        pref(i, poly) AS (
+          SELECT 0, [CAST(0.0 AS DOUBLE)]
+          UNION ALL
+          SELECT p.i + 1, {_lconv_sql('p.poly', 'z.poly')}
+          FROM pref p JOIN zl z ON z.i = p.i + 1),
+        suf(i, poly) AS (
+          SELECT CAST((SELECT max(i) FROM zl) AS INT) + 1,
+                 [CAST(0.0 AS DOUBLE)]
+          UNION ALL
+          SELECT s.i - 1, {_lconv_sql('s.poly', 'z.poly')}
+          FROM suf s JOIN zl z ON z.i = s.i - 1),
+        ptot AS MATERIALIZED (
+          SELECT poly FROM pref WHERE i = (SELECT max(i) FROM zl)),
+        zt0 AS (SELECT poly,
+                       unnest(range(0, least(len(poly), {EPG_LMAX} + 1))) AS L
+                FROM ptot),
+        zterms AS MATERIALIZED (
+          SELECT L, {_epg_lprior('L')} + poly[L + 1] AS v FROM zt0),
+        lzv AS MATERIALIZED (
+          SELECT (SELECT max(v) FROM zterms)
+                 + ln(sum(exp(v - (SELECT max(v) FROM zterms)))) AS lz
+          FROM zterms),
+        rest AS MATERIALIZED (
+          SELECT b.block_id, {_lconv_sql('pp.poly', 'ss.poly')} AS poly
+          FROM bl b JOIN pref pp ON pp.i = b.i - 1
+                    JOIN suf ss ON ss.i = b.i + 1),
+        nd AS MATERIALIZED (
+          SELECT block_id, k, deg, ln(sum(prod)) AS lnm
+          FROM (SELECT block_id, unnest(ch) AS k, len(ch) AS deg, prod
+                FROM term)
+          GROUP BY block_id, k, deg),
+        mt0 AS MATERIALIZED (
+          SELECT n.block_id, n.k, n.lnm, n.deg, r.poly,
+                 unnest(range(0, len(r.poly))) AS rd
+          FROM nd n JOIN rest r ON r.block_id = n.block_id),
+        mt AS MATERIALIZED (
+          SELECT block_id, k, lnm + poly[rd + 1] + {_epg_lprior('deg + rd')} AS v
+          FROM mt0 WHERE deg + rd <= {EPG_LMAX}),
+        mmx AS MATERIALIZED (
+          SELECT block_id, k, max(v) AS mx FROM mt GROUP BY 1, 2),
+        mm AS MATERIALIZED (
+          SELECT t.block_id, t.k, x.mx + ln(sum(exp(t.v - x.mx))) AS lnum
+          FROM mt t JOIN mmx x ON x.block_id = t.block_id AND x.k = t.k
+          GROUP BY t.block_id, t.k, x.mx)
+        SELECT b.ia AS id_a, b.ib AS id_b, b.block_id
+        FROM mm JOIN bp b ON b.block_id = mm.block_id AND b.k = mm.k
+        WHERE exp(mm.lnum - (SELECT lz FROM lzv)) > 0.5e0
+        """,
+        "ref": "src/prior_functions.jl:128-260 + vignette/example.jl:96-99 "
+        "(the betabipartite-prior posterior the vignette's restricted MCMC "
+        "samples; exact via generating-function convolution)",
     }
 
     # --- ANN scale path: sign-LSH bucketed top-k ---

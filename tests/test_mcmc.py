@@ -553,3 +553,27 @@ def test_exact_posterior_global_cap_excludes(spark):
     assert gm.keys() == wm.keys()
     for kk in wm:
         assert abs(gm[kk] - wm[kk]) < 1e-12, kk
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_exact_posterior_global_margin(spark, sf):
+    """Certificate for the exact_posterior_links_global oracle: the GF
+    convolution accumulates in engine-specific orders, so every marginal
+    on the gate fixtures must clear the 0.5 decision boundary by a margin
+    far above accumulation noise (measured: >= 4e-3 at the EPG_NR x
+    EPG_NC = 60x60 prior). If a fixture change lands a marginal inside
+    the margin, demote the oracle, don't widen this."""
+    from bayesianrecordlinkage_jl_spark.plans import oracle_queries as oq
+
+    blocked = oq._ep_blocked_pairs(spark, f"/root/testdata/{sf}")
+    allm = mcmc.exact_posterior_links_global(
+        blocked,
+        lambda L: mcmc.betabipartite_logprior(
+            L, oq.EPG_NR, oq.EPG_NC, 1.0, 1.0
+        ),
+        max_pairs_per_block=oq.EP_CAP,
+        threshold=-1.0,
+    ).toPandas()
+    assert len(allm) > 0
+    assert (allm["marginal"] > 0.5).any()  # the split is nontrivial
+    assert (abs(allm["marginal"] - 0.5) > 1e-6).all()
