@@ -1720,11 +1720,18 @@ def build_catalog() -> dict[str, dict]:
         "ref": "Fellegi-Sunter 1969 decision regions over the weight "
         "field (match / clerical / nonmatch band volumetrics)",
     }
+    # orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    # top-K heaps merged at the driver — no global sort, no
+    # single-partition WindowExec shuffle); only the <= REVIEW_K
+    # survivors are then ranked, so the window runs over K rows by
+    # construction (plan-pinned in tests/test_plans.py).
     cat["fs_review_queue"] = {
         "spark": lambda s, d: _scored_pairs_cached(s, d)
         .where(
             (F.col("w") >= F.lit(FS_LOWER)) & (F.col("w") < F.lit(FS_UPPER))
         )
+        .orderBy(F.desc("w"), F.asc("id_a"), F.asc("id_b"))
+        .limit(REVIEW_K)
         .withColumn(
             "review_rank",
             F.row_number()
@@ -1735,7 +1742,6 @@ def build_catalog() -> dict[str, dict]:
             )
             .cast("int"),
         )
-        .where(F.col("review_rank") <= REVIEW_K)
         .select("review_rank", "id_a", "id_b", "w"),
         "sql": f"""
         SELECT review_rank, id_a, id_b, w FROM (

@@ -172,6 +172,20 @@ def test_frequency_cap_partial_window_group_limit(spark):
     assert "Partial" in plan and "Final" in plan
 
 
+def test_review_queue_take_ordered_not_global_sort(spark):
+    """The clerical-review top-K must compile to TakeOrderedAndProject
+    (per-partition K-heaps merged at the driver), NOT a global Sort +
+    single-partition WindowExec — the band can hold millions of pairs at
+    scale and only K survive. The ranking window is allowed only AFTER
+    the limit, where its input is K rows by construction."""
+    df = oq.build_catalog()["fs_review_queue"]["spark"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    # no global (non-window) sort of the full band feeds the limit
+    head = plan.split("TakeOrderedAndProject")[-1]
+    assert "Sort " not in head.replace("Sort [", "Sort ["), head[:400]
+
+
 def test_monge_elkan_jw_evaluates_once_behind_checkpoint(spark):
     """The JW pandas UDF must never appear in the consuming plan: it runs
     exactly once, eagerly, inside the localCheckpoint'ed distinct-token-
