@@ -969,3 +969,91 @@ def exact_posterior_links_global(
         .where(F.col("marginal") > F.lit(float(threshold)))
     )
     return out
+
+
+def mh_gibbs_global(
+    blocked_pairs: DataFrame,
+    logprior,
+    rounds: int = 6,
+    nsteps: int = 1000,
+    burnin: int = 0,
+    seed: int = 42,
+    kernel: str = "barker",
+    tol: float = 0.5,
+):
+    """Mean-field global-count sampler — the AT-SCALE path for the
+    count-coupled priors exact_posterior_links_global handles exactly on
+    its small-block domain. The reference's restricted MCMC evaluates the
+    count prior at the GLOBAL nlink (mcmc.jl:87-137 with
+    betabipartite_logratiopn, vignette/example.jl:96-99), which would
+    serialize every cross-block move through shared state on a cluster.
+    Instead, alternate:
+
+      (a) distributed per-block chains under a CONSTANT per-link log
+          odds theta_r — a prior that factorizes over blocks, so the
+          per-block chains are exact for it (no approximation inside a
+          round);
+      (b) a driver re-fit theta_{r+1} = logprior(L+1) - logprior(L) at
+          L = the expected global link count aggregated from round r's
+          counts (one driver scalar per round — the same
+          hierarchy-at-round-granularity pattern as mh_gibbs's outer
+          pM/pU Gibbs).
+
+    The fixed point is the self-consistent exppenalty surrogate of the
+    count prior — the construction shown (tests/test_reference_vignette)
+    to reproduce the reference posterior's Bayes-estimate link set
+    exactly on the reference's own vignette, and validated here against
+    exact_posterior_links_global marginals on the gate fixtures
+    (tests/test_mcmc.py::test_mh_gibbs_global_matches_exact).
+
+    Returns (counts_df, info) where counts_df is the LAST round's
+    (id_a, id_b, w, block_id, n_linked) — feed to bayes_estimate_links —
+    and info = {"theta_log": final per-link log odds, "L": final expected
+    link count, "rounds_run": r+1, "converged": bool}.
+    """
+    import math
+
+    theta_log = float(logprior(1) - logprior(0))
+    denom = float(nsteps - burnin)
+    prev_l = None
+    counts = None
+    converged = False
+    rounds_run = 0
+    for r in range(rounds):
+        counts = mh_gibbs_count(
+            blocked_pairs,
+            nsteps=nsteps,
+            burnin=burnin,
+            lp_link=theta_log,
+            seed=seed + r,
+            kernel=kernel,
+        ).localCheckpoint()  # consumed by the L aggregate AND the caller
+        row = counts.agg(
+            (F.sum("n_linked") / F.lit(denom)).alias("l_hat")
+        ).first()
+        l_hat = float(row["l_hat"] or 0.0)
+        rounds_run = r + 1
+        # damped re-fit (the map L -> theta(L) -> E[links] has positive
+        # feedback; undamped iteration can overshoot), clamped into the
+        # prior's finite add-ratio support: near a truncated prior's
+        # boundary (L -> min(nrow, ncol)) the add-one odds diverge and a
+        # factorized surrogate cannot represent the hard count cap —
+        # callers needing the truncation exactly belong on
+        # exact_posterior_links_global's domain instead.
+        l_tgt = l_hat if prev_l is None else 0.5 * (prev_l + l_hat)
+        l_int = max(0, int(round(l_tgt)))
+        while l_int > 0 and not math.isfinite(
+            float(logprior(l_int + 1) - logprior(l_int))
+        ):
+            l_int -= 1
+        theta_log = float(logprior(l_int + 1) - logprior(l_int))
+        if prev_l is not None and abs(l_hat - prev_l) <= tol:
+            converged = True
+            break
+        prev_l = l_hat
+    return counts, {
+        "theta_log": theta_log,
+        "L": l_hat,
+        "rounds_run": rounds_run,
+        "converged": converged,
+    }

@@ -577,3 +577,59 @@ def test_exact_posterior_global_margin(spark, sf):
     assert len(allm) > 0
     assert (allm["marginal"] > 0.5).any()  # the split is nontrivial
     assert (abs(allm["marginal"] - 0.5) > 1e-6).all()
+
+
+def test_mh_gibbs_global_matches_exact(spark):
+    """The mean-field global-count sampler (distributed per-block chains +
+    per-round theta re-fit — the at-scale path for count-coupled priors)
+    converges to the exact global posterior computed by
+    exact_posterior_links_global on the sf0.001 gate fixture: per-pair
+    frequencies agree with exact marginals within MCMC noise, and the
+    Bayes-estimate link set matches exactly outside the noise band around
+    the 1/2 boundary."""
+    from bayesianrecordlinkage_jl_spark.plans import oracle_queries as oq
+
+    # dims with an INTERIOR mean-field fixed point (far from the prior's
+    # truncation boundary; the catalog's 60x60 prior truncates below this
+    # fixture's matching capacity, which a factorized surrogate cannot
+    # represent -- that regime belongs to the exact operator alone)
+    def lp(L):
+        return mcmc.betabipartite_logprior(L, 200, 200, 1.0, 1.0)
+
+    blocked = oq._ep_blocked_pairs(spark, "/root/testdata/sf0.001")
+    sizes = blocked.groupBy("block_id").count()
+    small = blocked.join(
+        sizes.where(F.col("count") <= oq.EP_CAP).select("block_id"),
+        on="block_id", how="left_semi",
+    )
+    # same domain as the exact operator; chains need w = log r
+    wp = small.withColumn("w", F.log(F.col("r"))).select(
+        "id_a", "id_b", "w", "block_id"
+    ).localCheckpoint()
+
+    exact = mcmc.exact_posterior_links_global(
+        small, lp, max_pairs_per_block=oq.EP_CAP, threshold=-1.0
+    ).toPandas()
+    em_ = dict(zip(zip(exact["id_a"], exact["id_b"]), exact["marginal"]))
+
+    nsteps, burnin = 4000, 400
+    counts, info = mcmc.mh_gibbs_global(
+        wp, lp, rounds=8, nsteps=nsteps, burnin=burnin, seed=7,
+        kernel="barker",
+    )
+    assert info["converged"], info
+    got = counts.toPandas()
+    freq = dict(
+        zip(zip(got["id_a"], got["id_b"]), got["n_linked"] / (nsteps - burnin))
+    )
+    assert freq.keys() == em_.keys()
+    # theta fixed point sits at the exact posterior's own expected count
+    l_exact = sum(em_.values())
+    assert abs(info["L"] - l_exact) < max(2.0, 0.05 * l_exact), (
+        info, l_exact,
+    )
+    band = 0.06  # MCMC noise band around the Bayes boundary
+    for kk, m_exact in em_.items():
+        assert abs(freq[kk] - m_exact) < 0.08, (kk, freq[kk], m_exact)
+        if abs(m_exact - 0.5) > band:
+            assert (freq[kk] > 0.5) == (m_exact > 0.5), (kk, freq[kk], m_exact)
