@@ -71,6 +71,31 @@ MB_MIN_DF, MB_MAX_DF = 2, 40  # meta-blocking block-purging DF bounds
 VSW_M = 0.95  # m-probability literal for value-specific agreement ratios
 
 
+def _mw_prior_modes() -> tuple[dict, dict]:
+    """Dirichlet-prior modes for max_weights_path's second path element:
+    agreement-leaning M pseudo-counts (alpha_l = 1 + l) and the reversed
+    disagreement-leaning U. Exact integer ratios — (alpha-1)/(sum-K) is a
+    single double division, so the frozen SQL literals are bit-identical."""
+    import numpy as np
+
+    from ..operators import em as _em
+
+    a_m = {
+        g: np.array([1.0 + l for l in range(1, NLEVELS[g] + 1)]) for g in GCOLS
+    }
+    a_u = {
+        g: np.array([1.0 + (NLEVELS[g] + 1 - l) for l in range(1, NLEVELS[g] + 1)])
+        for g in GCOLS
+    }
+    return (
+        {g: _em.prior_mode(a_m[g]) for g in GCOLS},
+        {g: _em.prior_mode(a_u[g]) for g in GCOLS},
+    )
+
+
+_MW_PM_EXPORT, _MW_PU_EXPORT = _mw_prior_modes()
+
+
 def load(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
@@ -913,6 +938,57 @@ def build_catalog() -> dict[str, dict]:
         "ref": "src/comparisonsummary.jl:220-252 (count_variables)",
     }
 
+    # --- one-hot observation index (SURVEY 2.3 get_obsidxcounts /
+    # get_obsidxobs) --- the flattened (field, level) axis the reference
+    # builds as a dense 0/1 matrix, kept long: one row per (distinct
+    # vector, field) with the 0-based flattened column index (level 0 =
+    # missing contributes no column -> col_idx = -1, obs = 0). n_pairs is
+    # the obsidxcounts weighting. Pure integer arithmetic on the
+    # lattice-bounded distinct-vector table.
+    _oh_off, _acc = {}, 0
+    for _g in GCOLS:
+        _oh_off[_g] = _acc
+        _acc += NLEVELS[_g]
+
+    def _vector_onehot(s: SparkSession, d: str) -> DataFrame:
+        dv = distinct_vectors(_vectors_cached(s, d), GCOLS)
+        parts = [
+            dv.select(
+                "vec_id",
+                F.lit(g).alias("field"),
+                F.col(g).cast("int").alias("level"),
+                (F.col(g) > 0).cast("int").alias("obs"),
+                F.when(
+                    F.col(g) > 0, F.col(g).cast("int") - 1 + _oh_off[g]
+                ).otherwise(F.lit(-1)).alias("col_idx"),
+                "n_pairs",
+            )
+            for g in GCOLS
+        ]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        return out
+
+    _oh_arms = " UNION ALL ".join(
+        f"SELECT vec_id, '{g}' AS field, CAST({g} AS INT) AS level, "
+        f"CAST({g} > 0 AS INT) AS obs, "
+        f"CASE WHEN {g} > 0 THEN CAST({g} AS INT) - 1 + {_oh_off[g]} "
+        f"ELSE -1 END AS col_idx, n_pairs FROM dv"
+        for g in GCOLS
+    )
+    cat["vector_onehot_index"] = {
+        "spark": _vector_onehot,
+        "sql": f"""
+        WITH dv AS (
+          SELECT CAST(row_number() OVER (ORDER BY g1, g2, g3) AS BIGINT) AS vec_id,
+                 g1, g2, g3, CAST(count(*) AS BIGINT) AS n_pairs
+          FROM ({_vectors_sql()}) GROUP BY g1, g2, g3)
+        {_oh_arms}
+        """,
+        "ref": "src/comparisonsummary.jl:503-529 (get_obsidxcounts/get_obsidxobs)",
+    }
+
     # --- weights (SURVEY 2.2/2.7) ---
     cat["fs_weights"] = {
         # barrier form: comparators evaluated exactly once per pair (the
@@ -948,6 +1024,48 @@ def build_catalog() -> dict[str, dict]:
         "sql": f"SELECT id_a, id_b, ({logit_p!r}e0 + w) AS log_odds "
         f"FROM ({_weighted_pairs_sql()})",
         "ref": "src/weight_functions.jl:451 (bayesrule_posterior)",
+    }
+
+    # --- weight threshold grid (SURVEY 2.2 minimum_margin + 2.6 get_mids)
+    # --- consecutive-gap + midpoint table over the distinct FS weights:
+    # gaps drive auction-epsilon tuning (minimum_margin = min(gap)), mids
+    # are the threshold grid iterative clustering scans. The grid is built
+    # lattice-first (distinct g-vectors, NOT the pair table), so the
+    # unpartitioned lead() window sees at most prod(nlevels) = 24 rows — a
+    # comparator-lattice constant, not a data scale. No rounding: the
+    # reference rounds to `digits` before diffing (weight_functions.jl:4-8),
+    # but Spark round() is HALF_UP while DuckDB's is half-away-from-zero,
+    # so the grid is over exact distinct weights (bit-identical inputs =>
+    # gap/mid, each one exactly-rounded op, bit-identical outputs).
+    def _weight_grid(s: SparkSession, d: str) -> DataFrame:
+        dv = distinct_vectors(_vectors_cached(s, d), GCOLS)
+        dw = dv.select(
+            W.fs_weight([(F.col(g), k) for g, k in FIELD_KINDS]).alias("w")
+        ).distinct()
+        nxt = F.lead("w").over(Window.orderBy("w"))
+        return (
+            dw.select("w", nxt.alias("w_next"))
+            .where(F.col("w_next").isNotNull())
+            .select(
+                "w",
+                "w_next",
+                (F.col("w_next") - F.col("w")).alias("gap"),
+                ((F.col("w") + F.col("w_next")) / F.lit(2.0)).alias("mid"),
+            )
+        )
+
+    cat["weight_threshold_grid"] = {
+        "spark": _weight_grid,
+        "sql": f"""
+        WITH dw AS (SELECT DISTINCT {_WEIGHT_EXPR_SQL} AS w
+                    FROM (SELECT g1, g2, g3 FROM ({_vectors_sql()})
+                          GROUP BY g1, g2, g3)),
+        g AS (SELECT w, lead(w) OVER (ORDER BY w) AS w_next FROM dw)
+        SELECT w, w_next, (w_next - w) AS gap, ((w + w_next) / 2.0e0) AS mid
+        FROM g WHERE w_next IS NOT NULL
+        """,
+        "ref": "src/weight_functions.jl:4-8 (minimum_margin) + "
+        "src/connectedcomponents.jl:116-119 (get_mids threshold grid)",
     }
 
     # --- clustering (SURVEY 2.6) ---
@@ -1899,9 +2017,11 @@ def build_catalog() -> dict[str, dict]:
     # w itself is the
     # bit-portable fs_weights expression, so ordering and output values
     # replay exactly.
-    cat["one_to_one_links"] = {
-        "spark": _one_to_one_links,
-        "sql": f"""
+    # shared by one_to_one_links (hungarian) and one_to_one_links_auction:
+    # both solvers provably return the SAME matching wherever the fixture's
+    # per-block optimum is unique, and the greedy==solver certificate test
+    # covers both methods (tests/test_assignment.py)
+    _o2o_greedy_sql = f"""
         WITH RECURSIVE wp AS MATERIALIZED (
           SELECT id_a, id_b, w FROM ({_weighted_pairs_sql()})
           WHERE w > {EDGE_THRESHOLD!r}e0
@@ -1933,7 +2053,11 @@ def build_catalog() -> dict[str, dict]:
                      FROM (SELECT chosen FROM g ORDER BY n DESC LIMIT 1)))
         SELECT lk.id_a, lk.id_b, lk.w, cc.component AS block_id
         FROM lk JOIN cc ON cc.node = lk.id_a
-        """,
+        """
+
+    cat["one_to_one_links"] = {
+        "spark": _one_to_one_links,
+        "sql": _o2o_greedy_sql,
         "ref": "src/maximization_functions.jl:137-244 (max_C_cluster_hungarian)",
     }
 
@@ -1996,6 +2120,33 @@ def build_catalog() -> dict[str, dict]:
         """,
         "ref": "src/maximization_functions.jl:203-244 (fast paths; mutual-total "
         "blocks are provably solver-free)",
+    }
+
+    # --- the SAME decomposed assignment run through the epsilon-scaling
+    # auction solver (max_C_auction_cluster). Oracle validity: auction with
+    # eps-scaling down to eps_min < min-margin/|block| is exactly optimal,
+    # and the fixture's per-block optimum is unique, so auction ==
+    # Hungarian == greedy replay link-for-link — certified per fixture by
+    # tests/test_assignment.py::test_one_to_one_greedy_hungarian_certificate
+    # (which asserts all THREE methods agree on the catalog fixture; on a
+    # tie-degenerate fixture the certificate fails loudly and this oracle
+    # must be demoted, never weakened).
+    def _one_to_one_links_auction(s: SparkSession, d: str) -> DataFrame:
+        from ..operators import assignment
+
+        wp = _scored_pairs_cached(s, d).where(F.col("w") > EDGE_THRESHOLD)
+        comps = _cc_pos_cached(s, d)
+        blocked = wp.join(
+            comps.withColumnRenamed("node", "id_a"), on="id_a"
+        ).withColumnRenamed("component", "block_id")
+        return assignment.one_to_one(
+            blocked.select("id_a", "id_b", "w", "block_id"), method="auction"
+        )
+
+    cat["one_to_one_links_auction"] = {
+        "spark": _one_to_one_links_auction,
+        "sql": _o2o_greedy_sql,
+        "ref": "src/maximization_functions.jl:246-333 (max_C_auction_cluster)",
     }
 
     # --- cost normalization (SURVEY 2.2 compute_costs_shrunk) ---
@@ -2285,6 +2436,99 @@ def build_catalog() -> dict[str, dict]:
         "spark": _em_estimates,
         "sql": estimate_em_sql(_vectors_sql(), GCOLS, NLEVELS),
         "ref": "src/em_functions.jl:72-101 (estimate_EM on distinct vectors)",
+    }
+
+    # --- max weights across a parameter path (SURVEY 2.7
+    # maximum_weights_vector + prior_mode) --- per distinct vector, the
+    # max likelihood ratio across a 2-element parameter path: the EM fit
+    # and the Dirichlet-prior modes (prior_mode of agreement-leaning M /
+    # disagreement-leaning U pseudo-counts). Scores live in PRODUCT space
+    # (per-vector ratio products, left-assoc over fields — the same
+    # log-free convention as plans/pp_oracle.py; max/ordering are monotone-
+    # equivalent to the reference's log-weight form, asserted in
+    # tests/test_em_weights.py). The EM side of the oracle re-derives the
+    # fit via the recursive CTE (nothing frozen); prior-mode values are
+    # exact integer-ratio literals (module-level _MW_PM_EXPORT/
+    # _MW_PU_EXPORT so the monotone-equivalence test reuses them).
+    import numpy as np
+
+    from ..operators import em as _em_mod
+
+    _MW_PM = _MW_PM_EXPORT
+    _MW_PU = _MW_PU_EXPORT
+
+    def _max_weights_path(s: SparkSession, d: str) -> DataFrame:
+        import pandas as pd
+
+        dv = (
+            distinct_vectors(_vectors_cached(s, d), GCOLS)
+            .orderBy("vec_id")
+            .toPandas()
+        )
+        fit = _em_mod.estimate_em(dv, GCOLS, NLEVELS)
+
+        def ratio(pM: dict, pU: dict) -> np.ndarray:
+            r = None
+            for g in GCOLS:
+                lv = dv[g].to_numpy().astype(int)
+                term = np.ones(len(dv))
+                obs = lv > 0
+                term[obs] = pM[g][lv[obs] - 1] / pU[g][lv[obs] - 1]
+                r = term if r is None else r * term
+            return r
+
+        r_em = ratio(fit.pM, fit.pU)
+        r_prior = ratio(_MW_PM, _MW_PU)
+        return s.createDataFrame(
+            pd.DataFrame(
+                {
+                    "vec_id": dv["vec_id"].to_numpy(),
+                    "r_em": r_em,
+                    "r_prior": r_prior,
+                    "r_max": np.maximum(r_em, r_prior),
+                }
+            ),
+            schema="vec_id bigint, r_em double, r_prior double, r_max double",
+        )
+
+    from .em_oracle import _prod, em_state_ctes, flit
+
+    def _mw_case(g: str, m_of: "callable", u_of: "callable") -> str:
+        whens = " ".join(
+            f"WHEN {l} THEN ({m_of(g, l)} / {u_of(g, l)})"
+            for l in range(1, NLEVELS[g] + 1)
+        )
+        return f"(CASE dv.{g} {whens} ELSE 1.0e0 END)"
+
+    _mw_r_em = _prod(
+        [
+            _mw_case(g, lambda g, l: f"fin.m_{g}_{l}", lambda g, l: f"fin.u_{g}_{l}")
+            for g in GCOLS
+        ]
+    )
+    _mw_r_pr = _prod(
+        [
+            _mw_case(
+                g,
+                lambda g, l: flit(float(_MW_PM[g][l - 1])),
+                lambda g, l: flit(float(_MW_PU[g][l - 1])),
+            )
+            for g in GCOLS
+        ]
+    )
+    cat["max_weights_path"] = {
+        "spark": _max_weights_path,
+        "sql": (
+            "WITH RECURSIVE "
+            + em_state_ctes(_vectors_sql(), GCOLS, NLEVELS)
+            + f"""
+        SELECT dv.rn AS vec_id, {_mw_r_em} AS r_em, {_mw_r_pr} AS r_prior,
+               greatest({_mw_r_em}, {_mw_r_pr}) AS r_max
+        FROM dv, fin
+        """
+        ),
+        "ref": "src/weight_functions.jl:248-263 (maximum_weights_vector) + "
+        "src/em_functions.jl prior_mode",
     }
 
     # --- penalty-path MAP search (SURVEY 2.7; iterative — rows-only) ---

@@ -252,6 +252,15 @@ def test_one_to_one_greedy_hungarian_certificate(spark, sf):
     key = lambda df: sorted(zip(df["id_a"], df["id_b"], df["w"], df["block_id"]))
     assert key(hung) == key(greedy)
 
+    # the same certificate licenses one_to_one_links_auction's reuse of
+    # the greedy replay oracle: epsilon-scaling auction is exactly optimal
+    # and the fixture optimum is unique, so all three methods must agree
+    # link-for-link (if this breaks, demote the auction oracle too)
+    auc = oq.build_catalog()["one_to_one_links_auction"]["spark"](
+        spark, d
+    ).toPandas()
+    assert key(hung) == key(auc)
+
 
 def test_mutual_best_edge_cases(spark):
     """Agg-form mutual_best: empty input, single pair, and extra payload

@@ -89,6 +89,11 @@ QUERIES = [
     "corpus_quantiles",
     "pprl_clk_pairs",
     "pprl_clk_band_pairs",
+    # round-4 pytest-only-row promotions
+    "vector_onehot_index",
+    "weight_threshold_grid",
+    "one_to_one_links_auction",
+    "max_weights_path",
 ]
 
 

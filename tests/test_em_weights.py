@@ -93,6 +93,42 @@ def test_maximum_weights_vector():
     assert w[1] == pytest.approx(max(math.log(0.1 / 0.5), math.log(0.4 / 0.9)))
 
 
+def test_max_weights_path_monotone_equivalent(spark):
+    """The catalog's max_weights_path lives in PRODUCT space (log-free, for
+    the DuckDB twin); this asserts it is monotone-equivalent to the
+    reference's log-space maximum_weights_vector over the same 2-element
+    parameter path on the gate fixture: log(r_max) == w_max (up to libm
+    rounding) and the path element attaining the max agrees everywhere."""
+    from bayesianrecordlinkage_jl_spark.plans import oracle_queries as oq
+
+    d = "/root/testdata/sf0.001"
+    cat = oq.build_catalog()
+    out = (
+        cat["max_weights_path"]["spark"](spark, d)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+
+    dv = (
+        oq.distinct_vectors(oq._vectors_cached(spark, d), oq.GCOLS)
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    fit = em.estimate_em(dv, oq.GCOLS, oq.NLEVELS)
+    prior = em.FSParams(pM=oq._MW_PM_EXPORT, pU=oq._MW_PU_EXPORT, p=fit.p)
+    wmax = em.maximum_weights_vector(dv, oq.GCOLS, [fit, prior])["w"].to_numpy()
+
+    assert np.allclose(np.log(out["r_max"].to_numpy()), wmax, atol=1e-12)
+    # argmax-agreement (strict comparisons only; exact ties trivially agree)
+    w_em = em.weights_vector(dv, oq.GCOLS, fit)["w"].to_numpy()
+    w_pr = em.weights_vector(dv, oq.GCOLS, prior)["w"].to_numpy()
+    strict = ~np.isclose(w_em, w_pr)
+    assert (
+        (out["r_em"].to_numpy() > out["r_prior"].to_numpy())[strict]
+        == (w_em > w_pr)[strict]
+    ).all()
+
+
 def test_fs_decision_band_edges(spark):
     from bayesianrecordlinkage_jl_spark.functions import weights as W
     from pyspark.sql import functions as F
