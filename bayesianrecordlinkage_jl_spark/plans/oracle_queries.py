@@ -2149,6 +2149,33 @@ def build_catalog() -> dict[str, dict]:
         "ref": "src/maximization_functions.jl:246-333 (max_C_auction_cluster)",
     }
 
+    # --- the warm-start (update=true) path: cold auction solve -> recycle
+    # the per-column price table -> warm re-solve. eps-CS holds for ANY
+    # seeded prices (seeds change the phase schedule, never the
+    # guarantee), so the warm links must equal the cold/Hungarian/greedy
+    # links wherever the optimum is unique — same certificate as above.
+    def _one_to_one_links_auction_warm(s: SparkSession, d: str) -> DataFrame:
+        from ..operators import assignment
+
+        wp = _scored_pairs_cached(s, d).where(F.col("w") > EDGE_THRESHOLD)
+        comps = _cc_pos_cached(s, d)
+        blocked = (
+            wp.join(comps.withColumnRenamed("node", "id_a"), on="id_a")
+            .withColumnRenamed("component", "block_id")
+            .select("id_a", "id_b", "w", "block_id")
+            .localCheckpoint()  # consumed by the cold AND the warm solve
+        )
+        _, prices = assignment.one_to_one_auction_warm(blocked)
+        links, _ = assignment.one_to_one_auction_warm(blocked, prices=prices)
+        return links
+
+    cat["one_to_one_links_auction_warm"] = {
+        "spark": _one_to_one_links_auction_warm,
+        "sql": _o2o_greedy_sql,
+        "ref": "src/maximization_functions.jl:246-333 (max_C_auction_cluster "
+        "update=true price recycling)",
+    }
+
     # --- cost normalization (SURVEY 2.2 compute_costs_shrunk) ---
     cat["shrunk_costs"] = {
         "spark": lambda s, d: _scored_pairs_cached(s, d)

@@ -261,6 +261,13 @@ def test_one_to_one_greedy_hungarian_certificate(spark, sf):
     ).toPandas()
     assert key(hung) == key(auc)
 
+    # warm-start price recycling cannot change the solution, only the
+    # phase schedule — the recycled-price re-solve must agree too
+    warm = oq.build_catalog()["one_to_one_links_auction_warm"]["spark"](
+        spark, d
+    ).toPandas()
+    assert key(hung) == key(warm)
+
 
 def test_mutual_best_edge_cases(spark):
     """Agg-form mutual_best: empty input, single pair, and extra payload

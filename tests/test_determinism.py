@@ -93,6 +93,7 @@ QUERIES = [
     "vector_onehot_index",
     "weight_threshold_grid",
     "one_to_one_links_auction",
+    "one_to_one_links_auction_warm",
     "max_weights_path",
 ]
 
