@@ -731,6 +731,46 @@ def build_catalog() -> dict[str, dict]:
         "ref": "vignette/example.jl:10-11 (record-table scan)",
     }
 
+    # --- checkpoint sink/source roundtrip (SURVEY 2.1 h5 read/write
+    # analogs) --- writes the scored-pair stage through StageStore (parquet
+    # + atomic manifest), exercises the fingerprint-resume path, and
+    # returns the READ-BACK table; the oracle computes the same table
+    # directly, so a value-hash match proves the sink+source preserve
+    # every row and every double bit-exactly. The read-back is
+    # localCheckpoint'ed so the temp store can be deleted eagerly.
+    def _checkpoint_roundtrip(s: SparkSession, d: str) -> DataFrame:
+        import shutil
+        import tempfile
+
+        from ..sources.checkpoint import StageStore
+
+        root = tempfile.mkdtemp(prefix="bjs_ckpt_rt_")
+        try:
+            store = StageStore(root)
+            cfg = {"sf_dir": d, "stage": "scored_pairs"}
+            store.write("scored_pairs", _scored_pairs_cached(s, d), cfg)
+            got, resumed = store.load_or_run(
+                s, "scored_pairs", cfg,
+                lambda: (_ for _ in ()).throw(
+                    AssertionError("resume path not taken")
+                ),
+            )
+            if not resumed:
+                raise AssertionError("checkpoint did not resume")
+            return got.select(
+                "id_a", "id_b", "g1", "g2", "g3", "w"
+            ).localCheckpoint(eager=True)
+        finally:
+            shutil.rmtree(root, ignore_errors=True)
+
+    cat["checkpoint_roundtrip"] = {
+        "spark": _checkpoint_roundtrip,
+        "sql": f"SELECT id_a, id_b, g1, g2, g3, {_WEIGHT_EXPR_SQL} AS w "
+        f"FROM ({_vectors_sql()})",
+        "ref": "src/read_write_h5.jl:8-288 (write_/read_ ComparisonSummary "
+        "etc. checkpoint groups)",
+    }
+
     # --- blocking (SURVEY 2.1 sparse candidate indexing) ---
     cat["blocking_key_counts"] = {
         "spark": lambda s, d: load(s, d, "documents")

@@ -95,6 +95,7 @@ QUERIES = [
     "one_to_one_links_auction",
     "one_to_one_links_auction_warm",
     "max_weights_path",
+    "checkpoint_roundtrip",
 ]
 
 
