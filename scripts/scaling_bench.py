@@ -37,6 +37,9 @@ def run_level(cpus: int, sf_dir: str) -> dict:
         # scaling efficiency is judged on the long throughput job; one
         # headline rep per level keeps the 2-core run tractable
         SPARK_GRAFT_BENCH_REPS=os.environ.get("SPARK_GRAFT_BENCH_REPS", "1"),
+        # the sf1 tier (round 4) is a 32-core scale check, not part of the
+        # N-vs-4N protocol — at local[2] it alone would run for hours
+        SPARK_GRAFT_SF1="0",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
