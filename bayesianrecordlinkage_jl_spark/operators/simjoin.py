@@ -506,3 +506,273 @@ def monge_elkan_pairs_sql(
       FROM ab JOIN ba ON ab.id_a = ba.id_a AND ab.id_b = ba.id_b
     )
     """
+
+
+# ---------------------------------------------------------------------------
+# Soft-TF-IDF: the Cohen-Ravikumar-Fienberg hybrid comparator join
+# ---------------------------------------------------------------------------
+
+SOFT_TFIDF_W_CAP = 99_999  # idf clip (also the packed-argmax scale guard)
+_W_SCALE = SOFT_TFIDF_W_CAP + 1
+
+
+def soft_tfidf_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: tuple = ("lang", "source"),
+    max_tokens: int = 8,
+    theta_micro: int = 850_000,
+) -> DataFrame:
+    """-> (id_a, id_b, n_close_a, n_close_b, st_ab_e6, st_ba_e6,
+    st_sym_e6): soft-TF-IDF (Cohen, Ravikumar & Fienberg, IIWeb 2003) over
+    blocked candidate pairs — for each of A's tokens whose best
+    Jaro-Winkler match in B clears `theta_micro`, accumulate
+    w(tok_a) * w(best_b) * jw(tok_a, best_b), then normalize by the full
+    TF-IDF vector norms. The hybrid that beats both plain TF-IDF cosine
+    (no typo tolerance) and plain JW (no rarity weighting) on dirty names;
+    complements monge_elkan_pairs (unweighted mean) with the
+    frequency-weighted form. The reference compares whole fields with
+    scalar kernels (src/comparisonsummary.jl); this is the standard
+    secondary comparator its dirty-source users reach for next.
+
+    Weights are log-free integers so the oracle is bit-strict (repo
+    invariant: no exp/log in oracle-checked columns): w(term) =
+    least(N div df(term), 99_999) — raw inverse document frequency,
+    clipped. The clip is principled (rare-term weight saturation) and
+    doubles as the scale guard for the packed argmax key below. TF is 1 by
+    construction (token sets are distinct). Norms use the doc's FULL
+    capped token set (the normalized-vector definition), so scores are
+    comparable across pairs; a score can exceed 1e6 when several A-tokens
+    share one best B-token (inherent to soft-TF-IDF, not a bug).
+
+    Bit-strict float tail: dot sums are pure BIGINT (order-free); the
+    final st_*_e6 = floor(dot / sqrt(double(norm2_a) * double(norm2_b)))
+    uses only IEEE exactly-rounded ops (int64->double conversion, *, sqrt,
+    /) on identical inputs, so both engines produce the identical double
+    and floor. No exp/log anywhere.
+
+    Argmax without sorting the pair set: per (pair, tok_a) the best
+    qualifying B-token is max(jw_micro * 1e5 + w_b) — a single BIGINT max
+    (jw_micro <= 1e6, w_b <= 99_999, key <= ~1.1e11). Ties beyond
+    (jw, w_b) are irrelevant: the contribution depends only on that pair.
+
+    100-TB notes: tokenize + df-weight once per DOCUMENT below the join;
+    JW evaluates once per DISTINCT surviving token pair and the dim is
+    theta-filtered BEFORE the size-gated broadcast (web text re-pairs the
+    same frequent tokens constantly); the theta filter also prunes the
+    cross relation ahead of both directional aggregates. tok and the
+    blocked pair relation are localCheckpoint'ed (each is consumed 2-3x).
+    Nothing sorts or windows the pair set."""
+    from ..functions import comparators as C
+
+    bcols = list(block_cols)
+    tok = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            *[F.col(c) for c in bcols],
+            F.slice(
+                F.array_sort(F.array_distinct(T.tokens(F.col(text_col)))),
+                1, max_tokens,
+            ).alias("toks"),
+        )
+        .localCheckpoint()  # consumed by terms, pairs-a, pairs-b
+    )
+    n_docs = tok.count()  # corpus size for IDF (cheap: checkpointed)
+    terms = tok.select("doc_id", F.explode("toks").alias("term"))
+    wdim = (
+        terms.groupBy("term")
+        .agg(F.count(F.lit(1)).cast("long").alias("_df"))
+        .select(
+            "term",
+            F.expr(
+                f"least({n_docs} div _df, {SOFT_TFIDF_W_CAP})"
+            ).cast("long").alias("w"),
+        )
+        .localCheckpoint()  # consumed by norms + two weight joins
+    )
+    wdim_b = F.broadcast(wdim) if wdim.count() <= 2_000_000 else wdim
+    norms = (
+        terms.join(wdim_b, on="term")
+        .groupBy("doc_id")
+        .agg(F.sum(F.expr("w * w")).cast("long").alias("norm2"))
+    )
+    a = tok.select(
+        F.col("doc_id").alias("id_a"), *bcols, F.col("toks").alias("toks_a")
+    )
+    b = tok.select(
+        F.col("doc_id").alias("id_b"), *bcols, F.col("toks").alias("toks_b")
+    )
+    pairs = (
+        a.join(b, on=bcols)
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "toks_a", "toks_b")
+        .localCheckpoint()
+    )
+    cross = pairs.select(
+        "id_a", "id_b", F.explode("toks_a").alias("tok_a"), "toks_b"
+    ).select("id_a", "id_b", "tok_a", F.explode("toks_b").alias("tok_b"))
+    dim = (
+        cross.select("tok_a", "tok_b")
+        .distinct()
+        .withColumn(
+            "jw_micro",
+            C.jaro_winkler_micro(F.col("tok_a"), F.col("tok_b")),
+        )
+        .where(F.col("jw_micro") >= theta_micro)  # CLOSE(theta) pre-filter
+        .localCheckpoint()
+    )
+    dim_b = F.broadcast(dim) if dim.count() <= 2_000_000 else dim
+    scored = (
+        cross.join(dim_b, on=["tok_a", "tok_b"])  # inner: drops far pairs
+        .join(
+            wdim_b.select(F.col("term").alias("tok_a"),
+                          F.col("w").alias("w_a")), on="tok_a")
+        .join(
+            wdim_b.select(F.col("term").alias("tok_b"),
+                          F.col("w").alias("w_b")), on="tok_b")
+    )
+
+    def _direction(tok_side: str, w_side: str, other_w: str,
+                   s_name: str, n_name: str) -> DataFrame:
+        best = (
+            scored.groupBy("id_a", "id_b", tok_side, w_side)
+            .agg(
+                F.max(
+                    F.expr(f"jw_micro * {_W_SCALE} + {other_w}")
+                ).alias("_k")
+            )
+        )
+        return best.groupBy("id_a", "id_b").agg(
+            F.sum(
+                F.expr(f"{w_side} * (_k div {_W_SCALE}) * (_k % {_W_SCALE})")
+            ).cast("long").alias(s_name),
+            F.count(F.lit(1)).cast("long").alias(n_name),
+        )
+
+    ab = _direction("tok_a", "w_a", "w_b", "_dot_ab", "n_close_a")
+    ba = _direction("tok_b", "w_b", "w_a", "_dot_ba", "n_close_b")
+    # jw is symmetric, so a pair qualifying in one direction qualifies in
+    # both — inner joins lose nothing
+    return (
+        ab.join(ba, on=["id_a", "id_b"])
+        .join(norms.select(F.col("doc_id").alias("id_a"),
+                           F.col("norm2").alias("_n2a")), on="id_a")
+        .join(norms.select(F.col("doc_id").alias("id_b"),
+                           F.col("norm2").alias("_n2b")), on="id_b")
+        .select(
+            "id_a", "id_b", "n_close_a", "n_close_b",
+            F.expr(
+                "CAST(floor(CAST(_dot_ab AS DOUBLE) / "
+                "sqrt(CAST(_n2a AS DOUBLE) * CAST(_n2b AS DOUBLE))) "
+                "AS BIGINT)"
+            ).alias("st_ab_e6"),
+            F.expr(
+                "CAST(floor(CAST(_dot_ba AS DOUBLE) / "
+                "sqrt(CAST(_n2a AS DOUBLE) * CAST(_n2b AS DOUBLE))) "
+                "AS BIGINT)"
+            ).alias("st_ba_e6"),
+        )
+        .withColumn(
+            "st_sym_e6",
+            F.expr("(st_ab_e6 + st_ba_e6) div 2").cast("long"),
+        )
+    )
+
+
+def soft_tfidf_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    block_cols: tuple = ("lang", "source"),
+    max_tokens: int = 8,
+    theta_micro: int = 850_000,
+) -> str:
+    """DuckDB twin of soft_tfidf_pairs. The corpus size N is a scalar
+    subquery over the tok CTE (static SQL, computed at run time — both
+    engines count the same parquet); everything else mirrors the Spark
+    plan CTE-for-CTE."""
+    from ..functions import comparators as C
+
+    on = " AND ".join(f"a.{c} = b.{c}" for c in block_cols)
+    toks = T.tokens_sql(text_col)
+    jw = C.jaro_winkler_micro_sql("tok_a", "tok_b")
+    return f"""
+    WITH tok AS MATERIALIZED (
+      SELECT CAST({id_col} AS BIGINT) AS doc_id,
+             {', '.join(block_cols)},
+             list_slice(list_sort(list_distinct({toks})), 1, {max_tokens})
+               AS toks
+      FROM {table}
+    ),
+    terms AS (SELECT doc_id, unnest(toks) AS term FROM tok),
+    wdim AS MATERIALIZED (
+      SELECT term,
+             least((SELECT count(*) FROM tok) // count(*),
+                   {SOFT_TFIDF_W_CAP}) AS w
+      FROM terms GROUP BY term
+    ),
+    norms AS (
+      SELECT doc_id, CAST(sum(w * w) AS BIGINT) AS norm2
+      FROM terms JOIN wdim USING (term) GROUP BY doc_id
+    ),
+    pairs AS MATERIALIZED (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.toks AS toks_a, b.toks AS toks_b
+      FROM tok a JOIN tok b ON {on} AND a.doc_id < b.doc_id
+    ),
+    xa AS (SELECT id_a, id_b, unnest(toks_a) AS tok_a, toks_b FROM pairs),
+    xab AS MATERIALIZED (
+      SELECT id_a, id_b, tok_a, unnest(toks_b) AS tok_b FROM xa
+    ),
+    dim AS MATERIALIZED (
+      SELECT tok_a, tok_b, jw_micro
+      FROM (SELECT tok_a, tok_b, {jw} AS jw_micro
+            FROM (SELECT DISTINCT tok_a, tok_b FROM xab))
+      WHERE jw_micro >= {theta_micro}
+    ),
+    scored AS MATERIALIZED (
+      SELECT x.id_a, x.id_b, x.tok_a, x.tok_b, d.jw_micro,
+             wa.w AS w_a, wb.w AS w_b
+      FROM xab x
+      JOIN dim d USING (tok_a, tok_b)
+      JOIN wdim wa ON x.tok_a = wa.term
+      JOIN wdim wb ON x.tok_b = wb.term
+    ),
+    ab AS (
+      SELECT id_a, id_b,
+             CAST(sum(w_a * (_k // {_W_SCALE}) * (_k % {_W_SCALE}))
+                  AS BIGINT) AS _dot_ab,
+             CAST(count(*) AS BIGINT) AS n_close_a
+      FROM (SELECT id_a, id_b, tok_a, w_a,
+                   max(jw_micro * {_W_SCALE} + w_b) AS _k
+            FROM scored GROUP BY id_a, id_b, tok_a, w_a)
+      GROUP BY id_a, id_b
+    ),
+    ba AS (
+      SELECT id_a, id_b,
+             CAST(sum(w_b * (_k // {_W_SCALE}) * (_k % {_W_SCALE}))
+                  AS BIGINT) AS _dot_ba,
+             CAST(count(*) AS BIGINT) AS n_close_b
+      FROM (SELECT id_a, id_b, tok_b, w_b,
+                   max(jw_micro * {_W_SCALE} + w_a) AS _k
+            FROM scored GROUP BY id_a, id_b, tok_b, w_b)
+      GROUP BY id_a, id_b
+    )
+    SELECT id_a, id_b, n_close_a, n_close_b, st_ab_e6, st_ba_e6,
+           (st_ab_e6 + st_ba_e6) // 2 AS st_sym_e6
+    FROM (
+      SELECT ab.id_a, ab.id_b, n_close_a, n_close_b,
+             CAST(floor(CAST(_dot_ab AS DOUBLE) /
+                  sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)))
+                  AS BIGINT) AS st_ab_e6,
+             CAST(floor(CAST(_dot_ba AS DOUBLE) /
+                  sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE)))
+                  AS BIGINT) AS st_ba_e6
+      FROM ab
+      JOIN ba ON ab.id_a = ba.id_a AND ab.id_b = ba.id_b
+      JOIN norms na ON ab.id_a = na.doc_id
+      JOIN norms nb ON ab.id_b = nb.doc_id
+    )
+    """

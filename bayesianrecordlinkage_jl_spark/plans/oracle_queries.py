@@ -893,6 +893,21 @@ def build_catalog() -> dict[str, dict]:
         "(src/comparisonsummary.jl) lack",
     }
 
+    cat["soft_tfidf_pairs"] = {
+        "spark": lambda s, d: simjoin.soft_tfidf_pairs(
+            load(s, d, "documents"), "doc_id", "text",
+            block_cols=("lang", "source"), max_tokens=8,
+        ),
+        "sql": simjoin.soft_tfidf_pairs_sql(
+            "documents", "doc_id", "text",
+            block_cols=("lang", "source"), max_tokens=8,
+        ),
+        "ref": "soft-TF-IDF hybrid comparator (Cohen, Ravikumar & "
+        "Fienberg, IIWeb 2003) — frequency-weighted counterpart to "
+        "monge_elkan_pairs; log-free clipped-integer IDF keeps the "
+        "oracle bit-strict",
+    }
+
     # PPRL quasi-identifier: first three normalized tokens (the "name
     # field" stand-in on this corpus). Column built lazily — catalog
     # construction happens before any SparkContext exists.

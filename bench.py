@@ -190,6 +190,7 @@ def main() -> None:
         "corpus_quantiles",
         "pprl_clk_pairs",
         "pprl_clk_band_pairs",
+        "soft_tfidf_pairs",
     ):
         extra_queries[name], _ = timed_reps(name)
     extras["extra_queries"] = extra_queries

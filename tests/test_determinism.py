@@ -96,6 +96,7 @@ QUERIES = [
     "one_to_one_links_auction_warm",
     "max_weights_path",
     "checkpoint_roundtrip",
+    "soft_tfidf_pairs",
 ]
 
 

@@ -251,3 +251,110 @@ def test_monge_elkan_token_cap_bounds_work(spark):
         df, "doc_id", "text", block_cols=("blk",), max_tokens=3
     ).collect()
     assert r["n_tok_a"] == 3 and r["n_tok_b"] == 3
+
+
+# ---------------------------------------------------------------------------
+# Soft-TF-IDF hybrid comparator
+# ---------------------------------------------------------------------------
+
+
+def _brute_soft_tfidf(rows, max_tokens, theta_micro):
+    """Pure-Python replica: clipped integer IDF weights, scalar JW kernel
+    floored to micro-units, packed-argmax-free max over (jw, w_b), and the
+    exact double tail floor(dot / sqrt(n2a * n2b))."""
+    from bayesianrecordlinkage_jl_spark.functions.comparators import (
+        _jaro_winkler,
+    )
+
+    toks = {i: sorted(set(_toks(t)))[:max_tokens] for i, t, _ in rows}
+    n_docs = len(rows)
+    df = Counter(t for ts in toks.values() for t in ts)
+    w = {t: min(n_docs // n, simjoin.SOFT_TFIDF_W_CAP) for t, n in df.items()}
+    norm2 = {i: sum(w[t] * w[t] for t in ts) for i, ts in toks.items()}
+    blocks = {}
+    for i, _, blk in rows:
+        blocks.setdefault(blk, []).append(i)
+    out = {}
+    for members in blocks.values():
+        for a, b in itertools.combinations(sorted(members), 2):
+            ta, tb = toks[a], toks[b]
+            jw = {
+                (x, y): int(math.floor(
+                    (1.0 if x == y else _jaro_winkler(x, y)) * 1e6))
+                for x in ta for y in tb
+            }
+
+            def _dot(src, dst, flip):
+                dot, n_close = 0, 0
+                for x in src:
+                    q = [
+                        (jw[(y, x) if flip else (x, y)], w[y]) for y in dst
+                        if jw[(y, x) if flip else (x, y)] >= theta_micro
+                    ]
+                    if q:
+                        bj, bw = max(q)
+                        dot += w[x] * bj * bw
+                        n_close += 1
+                return dot, n_close
+
+            dot_ab, n_a = _dot(ta, tb, flip=False)
+            dot_ba, n_b = _dot(tb, ta, flip=True)
+            if n_a == 0 or n_b == 0:
+                continue
+            den = math.sqrt(float(norm2[a]) * float(norm2[b]))
+            st_ab = int(math.floor(dot_ab / den))
+            st_ba = int(math.floor(dot_ba / den))
+            out[(a, b)] = (n_a, n_b, st_ab, st_ba, (st_ab + st_ba) // 2)
+    return out
+
+
+def test_soft_tfidf_matches_brute_force(spark):
+    rows = [
+        (1, "john smith market street", "x"),
+        (2, "smith john market street", "x"),   # reordered: identical set
+        (3, "jon smyth market street", "x"),    # typos on the RARE tokens
+        (4, "mary jones market street", "x"),   # shares only common tokens
+        (5, "unrelated words entirely", "x"),
+        (6, "john smith", "y"),                 # other block: never pairs
+        (7, "", "y"),                           # empty: out of contract
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, blk string")
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["n_close_a"], r["n_close_b"], r["st_ab_e6"],
+            r["st_ba_e6"], r["st_sym_e6"],
+        )
+        for r in simjoin.soft_tfidf_pairs(
+            df, "doc_id", "text", block_cols=("blk",), max_tokens=4
+        ).collect()
+    }
+    want = _brute_soft_tfidf(
+        [r for r in rows if r[2] == "x"] + [r for r in rows if r[2] == "y"],
+        max_tokens=4, theta_micro=850_000,
+    )
+    # brute replica blocks internally; restrict to same-block pairs only
+    assert got == want
+    # identical token sets -> the full normalized TF-IDF self-similarity
+    assert got[(1, 2)][2] == got[(1, 2)][3] == 1_000_000
+    # the typo pair must outscore the shares-only-stopwords pair: rarity
+    # weighting is the point of soft-TF-IDF (plain Monge-Elkan would not
+    # separate them as far)
+    assert got[(1, 3)][4] > got[(1, 4)][4]
+    # cross-block pair absent
+    assert (6, 7) not in got and (1, 6) not in got
+
+
+def test_soft_tfidf_theta_gates_contribution(spark):
+    # two docs sharing one exact token; the others are far (< theta):
+    # only the exact token contributes, n_close = 1 per side
+    df = spark.createDataFrame(
+        [(1, "alpha zzqqx", "x"), (2, "alpha wwvvu", "x")],
+        "doc_id long, text string, blk string",
+    )
+    [r] = simjoin.soft_tfidf_pairs(
+        df, "doc_id", "text", block_cols=("blk",), max_tokens=4
+    ).collect()
+    assert r["n_close_a"] == 1 and r["n_close_b"] == 1
+    # w(alpha) = 2//2 = 1, w(zzqqx) = w(wwvvu) = 2//1 = 2
+    # dot = 1 * 1e6 * 1 = 1e6; norm2 = 1 + 4 = 5 each side
+    assert r["st_ab_e6"] == int(math.floor(1_000_000 / 5.0))
