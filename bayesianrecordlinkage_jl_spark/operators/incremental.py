@@ -550,3 +550,161 @@ def bcubed_metrics_sql(
       FROM sums
     )
     """
+
+
+# ---------------------------------------------------------------------------
+# Chance-corrected clustering agreement: ARI + Fowlkes-Mallows
+# ---------------------------------------------------------------------------
+
+# Final-value tails shared VERBATIM by both engines: every float op is an
+# IEEE exactly-rounded op (int64->double cast, + - * /, sqrt, floor) applied
+# in the identical written order to identical BIGINT inputs, so both engines
+# produce the identical double and the identical floor. No exp/log.
+# `_exp` below = sumA*sumB/T in doubled units; den = max - expected.
+_ARI_TAIL = (
+    "CASE WHEN n_nodes < 2 THEN 1000000 "
+    "WHEN (CAST(pred_pairs2 AS DOUBLE) + CAST(truth_pairs2 AS DOUBLE)) "
+    "/ 2.0e0 - CAST(pred_pairs2 AS DOUBLE) * CAST(truth_pairs2 AS DOUBLE) "
+    "/ CAST(t2 AS DOUBLE) = 0e0 THEN "
+    "CASE WHEN CAST(both_pairs2 AS DOUBLE) "
+    "- CAST(pred_pairs2 AS DOUBLE) * CAST(truth_pairs2 AS DOUBLE) "
+    "/ CAST(t2 AS DOUBLE) = 0e0 THEN 1000000 ELSE 0 END "
+    "ELSE CAST(floor((CAST(both_pairs2 AS DOUBLE) "
+    "- CAST(pred_pairs2 AS DOUBLE) * CAST(truth_pairs2 AS DOUBLE) "
+    "/ CAST(t2 AS DOUBLE)) * 1000000e0 "
+    "/ ((CAST(pred_pairs2 AS DOUBLE) + CAST(truth_pairs2 AS DOUBLE)) "
+    "/ 2.0e0 - CAST(pred_pairs2 AS DOUBLE) * CAST(truth_pairs2 AS DOUBLE) "
+    "/ CAST(t2 AS DOUBLE))) AS BIGINT) END"
+)
+_FM_TAIL = (
+    "CASE WHEN both_pairs2 = 0 THEN 0 "
+    "ELSE CAST(floor(CAST(both_pairs2 AS DOUBLE) * 1000000e0 "
+    "/ sqrt(CAST(pred_pairs2 AS DOUBLE) * CAST(truth_pairs2 AS DOUBLE))) "
+    "AS BIGINT) END"
+)
+
+
+def ari_metrics(
+    pred: DataFrame,
+    truth: DataFrame,
+    node_col: str = "node",
+    pred_col: str = "component",
+    truth_col: str = "component",
+) -> DataFrame:
+    """-> one row (n_nodes, both_pairs2, pred_pairs2, truth_pairs2,
+    ari_micro, fm_micro): Adjusted Rand Index (Hubert & Arabie 1985) and
+    Fowlkes-Mallows index of a predicted clustering vs truth — the
+    CHANCE-CORRECTED agreement that cluster_pair_metrics (raw pair P/R/F1)
+    and bcubed_metrics (per-record average) both miss: raw pair F1 rewards
+    a degenerate one-big-cluster prediction on skewed truth; ARI scores it
+    ~0 because agreement expected under random labelings is subtracted.
+    The standard third leg of clustering evaluation for ER audits.
+
+    Everything is contingency-margin sums, all integer and order-free:
+    both_pairs2 = sum_cells c_pt*(c_pt-1)  (= 2 * pairs co-clustered in
+    BOTH), pred_pairs2 / truth_pairs2 the margin analogs, t2 = n*(n-1).
+    The doubled units cancel in both ratios:
+      ARI = (I - AB/T) / ((A+B)/2 - AB/T)   (identical in 2x units)
+      FM  = I / sqrt(A*B)                    (identical in 2x units)
+    Products of the doubled sums can exceed int64 near ~10^9 co-clustered
+    pairs, so the tails divide as DOUBLES (exactly-rounded IEEE ops shared
+    verbatim with the DuckDB twin — see _ARI_TAIL) rather than as integer
+    cross-products; every BIGINT component is also returned raw so the
+    exact rationals are recoverable. ari_micro uses floor (negative ARI —
+    worse than chance — floors away from zero; document scale is 1e6).
+    Degenerate denominators: both partitions trivial => ARI := 1e6 (the
+    universal convention); n < 2 likewise.
+
+    100-TB notes: identical shape to bcubed_metrics — one node-key join,
+    three map-side-combined label aggregates, three single-row reductions;
+    the pair universe is never materialized. The joined relation is
+    localCheckpoint'ed (consumed by three aggregates).
+
+    Reference analog: none (the reference evaluates via matchcounts only,
+    src/clustering_functions.jl) — this is the evaluation surface its
+    users import scikit-learn for, made distributed and bit-strict."""
+    j = pred.select(
+        F.col(node_col).cast("long").alias("_n"),
+        F.col(pred_col).cast("long").alias("_p"),
+    ).join(
+        truth.select(
+            F.col(node_col).cast("long").alias("_n"),
+            F.col(truth_col).cast("long").alias("_t"),
+        ),
+        on="_n",
+    ).localCheckpoint()  # three aggregates consume it
+
+    cells = (
+        j.groupBy("_p", "_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(
+            F.coalesce(F.sum(F.expr("c * (c - 1)")), F.lit(0))
+            .cast("long").alias("both_pairs2"),
+            F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_nodes"),
+        )
+    )
+    pa = (
+        j.groupBy("_p")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(
+            F.coalesce(F.sum(F.expr("c * (c - 1)")), F.lit(0))
+            .cast("long").alias("pred_pairs2"),
+        )
+    )
+    tb = (
+        j.groupBy("_t")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(
+            F.coalesce(F.sum(F.expr("c * (c - 1)")), F.lit(0))
+            .cast("long").alias("truth_pairs2"),
+        )
+    )
+    return (
+        cells.crossJoin(pa).crossJoin(tb)
+        .withColumn("t2", F.expr("n_nodes * (n_nodes - 1)").cast("long"))
+        .select(
+            "n_nodes", "both_pairs2", "pred_pairs2", "truth_pairs2",
+            F.expr(_ARI_TAIL).cast("long").alias("ari_micro"),
+            F.expr(_FM_TAIL).cast("long").alias("fm_micro"),
+        )
+    )
+
+
+def ari_metrics_sql(
+    pred_expr: str,
+    truth_expr: str,
+    node_col: str = "node",
+    pred_col: str = "component",
+    truth_col: str = "component",
+) -> str:
+    """Twin of ari_metrics (identical shared-verbatim IEEE tails)."""
+    return f"""
+    WITH j AS MATERIALIZED (
+      SELECT CAST(p.{node_col} AS BIGINT) AS _n,
+             CAST(p.{pred_col} AS BIGINT) AS _p,
+             CAST(t.{truth_col} AS BIGINT) AS _t
+      FROM ({pred_expr}) p JOIN ({truth_expr}) t
+        ON CAST(p.{node_col} AS BIGINT) = CAST(t.{node_col} AS BIGINT)
+    ),
+    cells AS (
+      SELECT CAST(COALESCE(sum(c * (c - 1)), 0) AS BIGINT) AS both_pairs2,
+             CAST(COALESCE(sum(c), 0) AS BIGINT) AS n_nodes
+      FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM j GROUP BY _p, _t)
+    ),
+    pa AS (
+      SELECT CAST(COALESCE(sum(c * (c - 1)), 0) AS BIGINT) AS pred_pairs2
+      FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM j GROUP BY _p)
+    ),
+    tb AS (
+      SELECT CAST(COALESCE(sum(c * (c - 1)), 0) AS BIGINT) AS truth_pairs2
+      FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM j GROUP BY _t)
+    )
+    SELECT n_nodes, both_pairs2, pred_pairs2, truth_pairs2,
+           CAST({_ARI_TAIL} AS BIGINT) AS ari_micro,
+           CAST({_FM_TAIL} AS BIGINT) AS fm_micro
+    FROM (
+      SELECT n_nodes, both_pairs2, pred_pairs2, truth_pairs2,
+             CAST(n_nodes * (n_nodes - 1) AS BIGINT) AS t2
+      FROM cells, pa, tb
+    )
+    """

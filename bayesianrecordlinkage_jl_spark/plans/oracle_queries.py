@@ -3339,7 +3339,7 @@ def build_catalog() -> dict[str, dict]:
     # Pairwise clustering evaluation: exact-dup clustering (pred) scored
     # against the near-dup CC clustering (truth) — contingency C(n,2)
     # sums, pair universe never materialized.
-    def _cluster_metrics_spark(s, d):
+    def _cm_pred_truth(s, d):
         from ..operators.connected_components import components_with_isolated
 
         docs = load(s, d, "documents")
@@ -3357,7 +3357,10 @@ def build_catalog() -> dict[str, dict]:
         truth = components_with_isolated(
             edges, docs.select(F.col("doc_id").cast("long").alias("node"))
         )
-        return incremental.cluster_pair_metrics(pred, truth)
+        return pred, truth
+
+    def _cluster_metrics_spark(s, d):
+        return incremental.cluster_pair_metrics(*_cm_pred_truth(s, d))
 
     _CM_PRED_SQL = """
       SELECT g2.doc_id AS node, g1.component AS component
@@ -3384,32 +3387,22 @@ def build_catalog() -> dict[str, dict]:
         "O(n) aggregations, no pair materialization)",
     }
 
-    def _bcubed_spark(s, d):
-        from ..operators.connected_components import components_with_isolated
-
-        docs = load(s, d, "documents")
-        g = docs.select(
-            F.col("doc_id").cast("long").alias("doc_id"),
-            F.md5(F.col("text")).alias("_h"),
-        )
-        cl = g.groupBy("_h").agg(F.min("doc_id").alias("component"))
-        pred = g.join(cl, on="_h").select(
-            F.col("doc_id").alias("node"), "component"
-        )
-        edges = dedup.ngram_jaccard_pairs_via_lsh(
-            docs, "doc_id", "text", JACCARD_MIN_PCT
-        ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        truth = components_with_isolated(
-            edges, docs.select(F.col("doc_id").cast("long").alias("node"))
-        )
-        return incremental.bcubed_metrics(pred, truth)
-
     cat["bcubed_metrics"] = {
-        "spark": _bcubed_spark,
+        "spark": lambda s, d: incremental.bcubed_metrics(
+            *_cm_pred_truth(s, d)
+        ),
         "sql": incremental.bcubed_metrics_sql(_CM_PRED_SQL, _CM_TRUTH_SQL),
         "ref": "B-cubed P/R/F1 (Bagga & Baldwin 1998; Amigo et al. 2009) — "
         "the per-record clustering metric pair-counting misses; integer "
         "micro fixed point over contingency cells",
+    }
+
+    cat["ari_metrics"] = {
+        "spark": lambda s, d: incremental.ari_metrics(*_cm_pred_truth(s, d)),
+        "sql": incremental.ari_metrics_sql(_CM_PRED_SQL, _CM_TRUTH_SQL),
+        "ref": "Adjusted Rand Index + Fowlkes-Mallows (Hubert & Arabie "
+        "1985) — chance-corrected clustering agreement; integer "
+        "contingency sums, shared-verbatim IEEE double tail",
     }
 
     return cat

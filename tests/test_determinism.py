@@ -97,6 +97,7 @@ QUERIES = [
     "max_weights_path",
     "checkpoint_roundtrip",
     "soft_tfidf_pairs",
+    "ari_metrics",
 ]
 
 

@@ -242,3 +242,101 @@ def test_bcubed_perfect_and_degenerate(spark):
     other = spark.createDataFrame([(99, 1)], "node long, component long")
     [z] = incremental.bcubed_metrics(df, other).collect()
     assert (z["n_nodes"], z["b3f1_micro"]) == (0, 0)
+
+
+# --- ARI / Fowlkes-Mallows ----------------------------------------------------
+
+
+def _brute_ari(pred, truth):
+    """Replica using the SAME IEEE double op sequence as _ARI_TAIL."""
+    import math
+    from collections import Counter
+
+    t_of = dict(truth)
+    cells = Counter((p, t_of[n]) for n, p in pred if n in t_of)
+    c_p, c_t = Counter(), Counter()
+    for (p, t), c in cells.items():
+        c_p[p] += c
+        c_t[t] += c
+    idx2 = sum(c * (c - 1) for c in cells.values())
+    sa2 = sum(c * (c - 1) for c in c_p.values())
+    sb2 = sum(c * (c - 1) for c in c_t.values())
+    n = sum(cells.values())
+    if n < 2:
+        ari = 1_000_000
+    else:
+        t2 = n * (n - 1)
+        exp = float(sa2) * float(sb2) / float(t2)
+        den = (float(sa2) + float(sb2)) / 2.0 - exp
+        num = float(idx2) - exp
+        if den == 0.0:
+            ari = 1_000_000 if num == 0.0 else 0
+        else:
+            ari = int(math.floor(num * 1_000_000.0 / den))
+    fm = (
+        0 if idx2 == 0
+        else int(math.floor(
+            float(idx2) * 1_000_000.0 / math.sqrt(float(sa2) * float(sb2))
+        ))
+    )
+    return (n, idx2, sa2, sb2, ari, fm)
+
+
+def _ari_row(spark, pred, truth):
+    pdf = spark.createDataFrame(pred, "node long, component long")
+    tdf = spark.createDataFrame(truth, "node long, component long")
+    [r] = incremental.ari_metrics(pdf, tdf).collect()
+    return (
+        r["n_nodes"], r["both_pairs2"], r["pred_pairs2"], r["truth_pairs2"],
+        r["ari_micro"], r["fm_micro"],
+    )
+
+
+def test_ari_matches_replica_and_chance_corrects(spark):
+    # the lump case: pair RECALL is perfect but ARI discounts the merge
+    pred = [(i, 100) for i in range(8)] + [(i, i) for i in range(8, 12)]
+    truth = [(i, 0) for i in range(4)] + [(i, 1) for i in range(4, 8)] + [
+        (i, i) for i in range(8, 12)
+    ]
+    got = _ari_row(spark, pred, truth)
+    assert got == _brute_ari(pred, truth)
+    assert 0 < got[4] < 1_000_000  # penalized but better than chance
+
+    # degenerate one-big-cluster prediction: pair recall 1, ARI ~ 0
+    lump = [(i, 0) for i in range(12)]
+    lumped = _ari_row(spark, lump, truth)
+    assert lumped == _brute_ari(lump, truth)
+    assert lumped[4] < 220_000
+
+    # all-singleton prediction: exactly chance-level agreement -> 0
+    single = [(i, i) for i in range(12)]
+    assert _ari_row(spark, single, truth)[4] == 0
+
+
+def test_ari_perfect_negative_and_empty(spark):
+    truth = [(0, 0), (1, 0), (2, 1), (3, 1)]
+    assert _ari_row(spark, truth, truth)[4] == 1_000_000
+    # anti-correlated prediction: worse than chance -> negative micro
+    anti = [(0, 0), (2, 0), (1, 1), (3, 1)]
+    got = _ari_row(spark, anti, truth)
+    assert got == _brute_ari(anti, truth)
+    assert got[4] == -500_000
+    # both trivial one-cluster partitions -> den == 0, num == 0 -> 1.0
+    one = [(i, 7) for i in range(4)]
+    assert _ari_row(spark, one, one)[4] == 1_000_000
+    # disjoint node universes -> n = 0 -> conventionally identical
+    other = [(99, 1)]
+    n, i2, a2, b2, ari, fm = _ari_row(spark, truth, other)
+    assert (n, ari, fm) == (0, 1_000_000, 0)
+
+
+def test_ari_replica_on_seeded_random_labelings(spark):
+    import random
+
+    rng = random.Random(41)
+    for trial in range(4):
+        n = 60
+        pred = [(i, rng.randrange(1 + trial * 3)) if trial else (i, i)
+                for i in range(n)]
+        truth = [(i, rng.randrange(5)) for i in range(n)]
+        assert _ari_row(spark, pred, truth) == _brute_ari(pred, truth)
