@@ -529,3 +529,151 @@ def meta_blocking_pairs_sql(
           (SELECT CAST(sum(cbs) AS DOUBLE) / CAST(count(*) AS DOUBLE)
            FROM mb_w)
     """
+
+
+# ---------------------------------------------------------------------------
+# Term-frequency-adjusted agreement weights (Winkler 1988)
+# ---------------------------------------------------------------------------
+
+LN2_MICRO = 693_147  # round(ln 2 * 1e6) — the one frozen scale literal
+
+
+def tf_weighted_agreement_pairs(
+    df: DataFrame,
+    id_col: str,
+    key: Column,
+    block_cols: tuple = ("lang", "source"),
+    m: float = 0.95,
+    cap_bits: int = 10,
+    max_value_df: int = 200,
+) -> DataFrame:
+    """-> (id_a, id_b, value, df_v, n_docs, surprisal_bits, w_tf_micro):
+    agreement pairs on a quasi-identifier `key`, weighted by VALUE-SPECIFIC
+    frequency — Winkler's frequency-based matching (Winkler 1988; the
+    term-frequency adjustment in modern FS engines): agreeing on a rare
+    value ("Zbigniew") is far stronger match evidence than agreeing on a
+    common one ("John"), which the reference's global per-field m/u
+    weights (src/weight_functions.jl:159-173) cannot express.
+
+    Complement of comparison_summary.value_specific_weights (the
+    TWO-SOURCE A x B form with exact float u_v ratios): this is the
+    SELF-dedup form and the scale path — hot values are DF-capped out
+    before the join (the two-source form joins every agreeing pair), and
+    the weight is the log-free integer quantization so it can be
+    oracle-checked bit-strictly and summed with other micro weights.
+
+    Log-free quantized form (repo invariant: no exp/log in oracle-checked
+    columns): surprisal_bits = floor(log2(N / df(v))) computed as
+    length(bin(N div df_v)) - 1 — pure integer/string ops with identical
+    semantics in both engines — capped at `cap_bits` (the standard bound
+    on the rarity boost; df=1 values otherwise dominate). The adjusted
+    weight w_tf_micro = round(ln(m)*1e6) + surprisal_bits * 693147
+    approximates 1e6 * ln(m * N / df_v) = 1e6 * ln(m / tf(v)) from below
+    within one ln(2) quantum; (df_v, n_docs) are returned raw so library
+    users can compute the exact float adjustment (same disposition as
+    BM25: the no-log parity invariant keeps the float form library-level).
+
+    100-TB notes: the self-join key IS (block, value), so per-value
+    fan-out is inherent to "all agreeing pairs"; values more frequent
+    than `max_value_df` are dropped BEFORE the join (an inner join against
+    the kept-value dim), bounding per-key work at C(max_value_df, 2) —
+    principled, not just protective: a value seen >200 times carries ~0
+    adjustment and its agreements are exactly the uninformative ones
+    (the containment_pairs stop-span precedent). The key projection is
+    localCheckpoint'ed (consumed by the count, the dim aggregate, and
+    both join sides); the kept-value dim broadcasts when small."""
+    bcols = list(block_cols)
+    keys = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            *[F.col(c) for c in bcols],
+            key.alias("value"),
+        )
+        .where(F.col("value").isNotNull() & (F.col("value") != ""))
+        .localCheckpoint()  # consumed by count, dim aggregate, join sides
+    )
+    n_docs = keys.count()
+    vdim = (
+        keys.groupBy("value")
+        .agg(F.count(F.lit(1)).cast("long").alias("df_v"))
+        .where(F.col("df_v") <= max_value_df)
+        .withColumn(
+            "surprisal_bits",
+            F.expr(
+                f"least(length(bin({n_docs} div df_v)) - 1, {cap_bits})"
+            ).cast("long"),
+        )
+        .localCheckpoint()  # consumed by the gate count + the join
+    )
+    vdim_b = F.broadcast(vdim) if vdim.count() <= 2_000_000 else vdim
+    kept = keys.join(vdim_b, on="value")  # inner: hot values never join
+    a = kept.select(
+        F.col("doc_id").alias("id_a"), *bcols, "value", "df_v",
+        "surprisal_bits",
+    )
+    b = kept.select(F.col("doc_id").alias("id_b"), *bcols, "value")
+    base_micro = _ln_micro(m)
+    return (
+        a.join(b, on=bcols + ["value"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", "value", "df_v",
+            F.lit(n_docs).cast("long").alias("n_docs"),
+            "surprisal_bits",
+            F.expr(
+                f"CAST({base_micro} + surprisal_bits * {LN2_MICRO} "
+                "AS BIGINT)"
+            ).alias("w_tf_micro"),
+        )
+    )
+
+
+def _ln_micro(x: float) -> int:
+    """round(ln(x) * 1e6) as a frozen integer literal (Python-side log —
+    the invariant bans log in ORACLE-CHECKED columns, not offline)."""
+    import math
+
+    return int(round(math.log(x) * 1_000_000))
+
+
+def tf_weighted_agreement_pairs_sql(
+    table: str,
+    id_col: str,
+    key_sql: str,
+    block_cols: tuple = ("lang", "source"),
+    m: float = 0.95,
+    cap_bits: int = 10,
+    max_value_df: int = 200,
+) -> str:
+    """Twin of tf_weighted_agreement_pairs. N is a scalar subquery over
+    the keys CTE (static SQL; both engines count the same parquet)."""
+    bc = ", ".join(block_cols)
+    on = " AND ".join(f"a.{c} = b.{c}" for c in block_cols)
+    base_micro = _ln_micro(m)
+    return f"""
+    WITH keys AS MATERIALIZED (
+      SELECT CAST({id_col} AS BIGINT) AS doc_id, {bc}, {key_sql} AS value
+      FROM {table}
+      WHERE {key_sql} IS NOT NULL AND {key_sql} <> ''
+    ),
+    vdim AS MATERIALIZED (
+      SELECT value, CAST(count(*) AS BIGINT) AS df_v,
+             CAST(least(
+               length(bin((SELECT count(*) FROM keys) // count(*))) - 1,
+               {cap_bits}) AS BIGINT) AS surprisal_bits
+      FROM keys GROUP BY value
+      HAVING count(*) <= {max_value_df}
+    ),
+    kept AS (
+      SELECT k.doc_id, {', '.join('k.' + c for c in block_cols)}, k.value,
+             v.df_v, v.surprisal_bits
+      FROM keys k JOIN vdim v USING (value)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.value, a.df_v,
+           CAST((SELECT count(*) FROM keys) AS BIGINT) AS n_docs,
+           a.surprisal_bits,
+           CAST({base_micro} + a.surprisal_bits * {LN2_MICRO} AS BIGINT)
+             AS w_tf_micro
+    FROM kept a JOIN kept b ON {on} AND a.value = b.value
+      AND a.doc_id < b.doc_id
+    """

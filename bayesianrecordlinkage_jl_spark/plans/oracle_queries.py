@@ -915,6 +915,26 @@ def build_catalog() -> dict[str, dict]:
         return F.array_join(F.slice(T.tokens(F.col("text")), 1, 3), " ")
 
     _PPRL_KEY_SQL = "array_to_string((" + T.tokens_sql("text") + ")[1:3], ' ')"
+
+    # TF-adjusted agreement: first-two-token quasi-identifier (coarser
+    # than the PPRL key so the fixture actually has shared values).
+    _TF_KEY_SQL = "array_to_string((" + T.tokens_sql("text") + ")[1:2], ' ')"
+    cat["tf_adjusted_agreement"] = {
+        "spark": lambda s, d: blocking.tf_weighted_agreement_pairs(
+            load(s, d, "documents"), "doc_id",
+            F.array_join(F.slice(T.tokens(F.col("text")), 1, 2), " "),
+            block_cols=("lang", "source"),
+        ),
+        "sql": blocking.tf_weighted_agreement_pairs_sql(
+            "documents", "doc_id", _TF_KEY_SQL,
+            block_cols=("lang", "source"),
+        ),
+        "ref": "value-specific frequency weighting (Winkler 1988) — "
+        "agreement on a rare value outweighs a common one; integer-bits "
+        "surprisal keeps the oracle log-free; hot values dropped before "
+        "the join",
+    }
+
     cat["pprl_clk_pairs"] = {
         "spark": lambda s, d: pprl.clk_dice_pairs(
             load(s, d, "documents"), "doc_id", _pprl_key_spark(),

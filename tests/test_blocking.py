@@ -74,3 +74,74 @@ def test_salting_deterministic(spark, docs):
     a = blocking.salt_hot_keys(docs, "rid", ["host"], 16).select("rid", "_salt")
     b = blocking.salt_hot_keys(docs, "rid", ["host"], 16).select("rid", "_salt")
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+# --- TF-adjusted agreement pairs -----------------------------------------------
+
+
+def _brute_tf(rows, m=0.95, cap_bits=10, max_value_df=200):
+    """Replica of tf_weighted_agreement_pairs on (id, lang, source, value)."""
+    import math
+    from collections import Counter
+
+    live = [r for r in rows if r[3]]
+    n = len(live)
+    dfv = Counter(v for *_, v in live)
+    base = int(round(math.log(m) * 1_000_000))
+    out = {}
+    for i, (ia, la, sa, va) in enumerate(live):
+        for ib, lb, sb, vb in live[i + 1:]:
+            if (la, sa, va) != (lb, sb, vb) or dfv[va] > max_value_df:
+                continue
+            lo, hi = min(ia, ib), max(ia, ib)
+            bits = min(int(math.floor(math.log2(n // dfv[va]))), cap_bits)
+            out[(lo, hi)] = (va, dfv[va], n, bits, base + bits * 693_147)
+    return out
+
+
+def test_tf_agreement_matches_replica_and_orders_by_rarity(spark):
+    rows = (
+        [(i, "en", "web", "john") for i in range(9)]
+        + [(10, "en", "web", "zbigniew"), (11, "en", "web", "zbigniew")]
+        + [(20, "en", "web", "mary"), (21, "en", "web", "mary"),
+           (22, "en", "web", "mary")]
+        + [(30, "fr", "web", "john")]          # other block: no pair
+        + [(40, "en", "web", "")]               # empty value: excluded
+        + [(41, "en", "web", "alone")]          # df=1: no pair
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, name string"
+    )
+    got = {
+        (r["id_a"], r["id_b"]): (
+            r["value"], r["df_v"], r["n_docs"], r["surprisal_bits"],
+            r["w_tf_micro"],
+        )
+        for r in blocking.tf_weighted_agreement_pairs(
+            df, "doc_id", F.col("name"), block_cols=("lang", "source")
+        ).collect()
+    }
+    assert got == _brute_tf(rows)
+    # rarity ordering: zbigniew (df 2) outweighs mary (df 3) outweighs john
+    w = {got[k][0]: got[k][4] for k in got}
+    assert w["zbigniew"] > w["mary"] > w["john"]
+
+
+def test_tf_agreement_hot_value_dropped_and_bits_capped(spark):
+    rows = [(i, "en", "web", "hot") for i in range(10)] + [
+        (100, "en", "web", "rare"), (101, "en", "web", "rare")
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, lang string, source string, name string"
+    )
+    out = blocking.tf_weighted_agreement_pairs(
+        df, "doc_id", F.col("name"), block_cols=("lang", "source"),
+        max_value_df=5, cap_bits=2,
+    ).collect()
+    # hot value (df 10 > 5) contributes NO pairs; rare pair capped at 2 bits
+    assert len(out) == 1
+    [r] = out
+    assert (r["value"], r["df_v"], r["surprisal_bits"]) == ("rare", 2, 2)
+    assert r["w_tf_micro"] == _brute_tf(rows, cap_bits=2, max_value_df=5)[
+        (100, 101)
+    ][4]

@@ -98,6 +98,7 @@ QUERIES = [
     "checkpoint_roundtrip",
     "soft_tfidf_pairs",
     "ari_metrics",
+    "tf_adjusted_agreement",
 ]
 
 
