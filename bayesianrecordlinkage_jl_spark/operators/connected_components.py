@@ -279,3 +279,208 @@ def summarize_components(components: DataFrame) -> DataFrame:
         F.max("n_nodes").alias("max_nodes"),
         F.sum("n_nodes").alias("total_nodes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# KwikCluster: correlation clustering by parallel pivots
+# ---------------------------------------------------------------------------
+
+# Total pivot order: 60-bit portable hash (15 lowercase hex chars of md5 —
+# lexicographic == numeric on fixed width) salted with 'kc|', then '|' and
+# the zero-padded node id as an unconditional tie-break; the node id is
+# recovered from the key tail (substr 17, 19). Requires non-negative ids
+# (zero-pad keeps numeric order only then) — true repo-wide.
+_KC_KEY_SPARK = (
+    "substring(md5(concat('kc|', CAST(node AS STRING))), 1, 15) || '|' "
+    "|| lpad(CAST(node AS STRING), 19, '0')"
+)
+_KC_KEY_DUCK = (
+    "substr(md5('kc|' || CAST(node AS VARCHAR)), 1, 15) || '|' "
+    "|| lpad(CAST(node AS VARCHAR), 19, '0')"
+)
+
+
+def kwikcluster(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 10,
+) -> DataFrame:
+    """-> (node, cluster, assigned_round): correlation clustering of a
+    positive-edge similarity graph by KwikCluster pivots (Ailon, Charikar
+    & Newman, JACM 2008) run in synchronous parallel rounds (the
+    MapReduce formulation of Chierichetti, Dalvi & Kumar, KDD 2014) —
+    the ER clustering that does NOT transitively chain: connected
+    components merge "a~b, b~c, c~d" into one entity even when a and d
+    share nothing (the classic over-merge on webtext boilerplate chains);
+    KwikCluster clusters are pivot stars, so every member is a VERIFIED
+    neighbor of its pivot, and inter-cluster positive edges are the
+    disagreements the 3-approximation bounds.
+
+    Determinism (the repo contract, over the randomized original): the
+    pivot permutation is the portable 60-bit hash order above — fixed,
+    replayable, identical in both engines — rather than a fresh random
+    permutation; the expectation guarantee becomes a fixed-permutation
+    heuristic, which is the price of bit-strict replay (same disposition
+    as the frozen IVF centroids). Per round, every active node that
+    precedes ALL its active neighbors in key order becomes a pivot
+    (adjacent pivots are impossible: each would need the smaller key);
+    every active node with a pivot neighbor joins its MINIMUM-key pivot
+    neighbor; both deactivate. Rounds are synchronous and fixed-count, so
+    the DuckDB twin replays them as chained CTEs (the kcore pattern) and
+    the output is well-defined even pre-convergence: nodes still active
+    after `rounds` rounds exit as singletons with assigned_round = -1.
+    Every round clusters at least the globally-minimum active node, and
+    under the hash order the expected round count is O(log n); the
+    catalog pins convergence on its fixture (no -1 rows) in pytest.
+
+    Isolated nodes (no edges) never appear — callers union them back as
+    singletons, the components_with_isolated convention.
+
+    100-TB notes: per round = two node-keyed semi-joins + one map-side
+    MIN per endpoint + one anti-join — state is |active| rows and only
+    shrinks; the symmetric adjacency is localCheckpoint'ed ONCE and
+    reused every round (never re-derived); per-round outputs are
+    node-keyed (the pair graph is never sorted or windowed). Early-exit
+    when the active set empties keeps the Spark side from paying empty
+    rounds (the SQL twin's remaining CTEs are empty no-ops, same result).
+
+    Reference analog: none — the reference clusters by thresholded CC
+    (src/clustering_functions.jl); this is the standard correction its
+    users need when transitive closure over-merges."""
+    e = _canon(
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
+    )
+    adj = (
+        e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .localCheckpoint()  # reused every round
+    )
+    act = (
+        adj.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("k", F.expr(_KC_KEY_SPARK))
+        .localCheckpoint()
+    )
+    parts = []
+    for r in range(1, rounds + 1):
+        if act.count() == 0:
+            break
+        a_s = act.select(F.col("node").alias("src"))
+        a_d = act.select(F.col("node").alias("dst"), F.col("k").alias("k_dst"))
+        actadj = adj.join(a_s, "src").join(a_d, "dst")
+        minnb = actadj.groupBy("src").agg(F.min("k_dst").alias("mk"))
+        piv = (
+            act.join(minnb.withColumnRenamed("src", "node"), "node", "left")
+            .where(F.col("mk").isNull() | (F.col("k") < F.col("mk")))
+            .select("node", "k")
+        )
+        asg = (
+            actadj.join(
+                piv.select(F.col("node").alias("dst"), F.col("k").alias("pk")),
+                "dst",
+            )
+            .groupBy("src")
+            .agg(F.min("pk").alias("mpk"))
+            .select(
+                F.col("src").alias("node"),
+                F.expr("CAST(substring(mpk, 17, 19) AS BIGINT)").alias(
+                    "cluster"
+                ),
+                F.lit(r).cast("long").alias("assigned_round"),
+            )
+        )
+        clustered = (
+            piv.select(
+                "node",
+                F.col("node").alias("cluster"),
+                F.lit(r).cast("long").alias("assigned_round"),
+            )
+            .unionByName(asg)
+            .localCheckpoint()  # consumed by output + the anti-join
+        )
+        parts.append(clustered)
+        act = act.join(
+            clustered.select("node"), "node", "left_anti"
+        ).localCheckpoint()
+    leftover = act.select(
+        "node",
+        F.col("node").alias("cluster"),
+        F.lit(-1).cast("long").alias("assigned_round"),
+    )
+    out = leftover
+    for p in parts:
+        out = out.unionByName(p)
+    return out
+
+
+def kwikcluster_sql(edges_expr: str, rounds: int = 10) -> str:
+    """Twin of kwikcluster: the fixed-round synchronous replay as chained
+    CTEs (DuckDB recursive CTEs can reference the recursive relation only
+    once; each round here consumes the active set three times — the kcore
+    peel-replay pattern)."""
+    ctes = [
+        f"""eraw AS (
+      SELECT greatest(src, dst) AS src, least(src, dst) AS dst
+      FROM (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+            FROM ({edges_expr}))
+      WHERE src <> dst
+    )""",
+        """adj AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM eraw
+        UNION ALL SELECT dst AS src, src AS dst FROM eraw)
+    )""",
+        f"""act0 AS MATERIALIZED (
+      SELECT node, {_KC_KEY_DUCK} AS k
+      FROM (SELECT DISTINCT src AS node FROM adj)
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(f"""mnb{r} AS (
+      SELECT e.src AS node, min(d.k) AS mk
+      FROM adj e JOIN act{p} s ON e.src = s.node
+                 JOIN act{p} d ON e.dst = d.node
+      GROUP BY e.src
+    )""")
+        ctes.append(f"""piv{r} AS MATERIALIZED (
+      SELECT a.node, a.k
+      FROM act{p} a LEFT JOIN mnb{r} m USING (node)
+      WHERE m.mk IS NULL OR a.k < m.mk
+    )""")
+        ctes.append(f"""asg{r} AS (
+      SELECT s.node AS node, CAST(substr(min(p.k), 17, 19) AS BIGINT)
+               AS cluster,
+             CAST({r} AS BIGINT) AS assigned_round
+      FROM adj e JOIN act{p} s ON e.src = s.node
+                 JOIN piv{r} p ON e.dst = p.node
+      GROUP BY s.node
+    )""")
+        ctes.append(f"""clu{r} AS MATERIALIZED (
+      SELECT node, node AS cluster, CAST({r} AS BIGINT) AS assigned_round
+      FROM piv{r}
+      UNION ALL SELECT node, cluster, assigned_round FROM asg{r}
+    )""")
+        ctes.append(f"""act{r} AS MATERIALIZED (
+      SELECT a.node, a.k
+      FROM act{p} a LEFT JOIN clu{r} c USING (node)
+      WHERE c.node IS NULL
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT node, cluster, assigned_round FROM clu{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT CAST(node AS BIGINT) AS node, CAST(cluster AS BIGINT) AS cluster,
+           assigned_round
+    FROM (
+      {unions}
+      UNION ALL SELECT node, node AS cluster, CAST(-1 AS BIGINT)
+        AS assigned_round FROM act{rounds}
+    )
+    """
+    )

@@ -3417,6 +3417,34 @@ def build_catalog() -> dict[str, dict]:
         "micro fixed point over contingency cells",
     }
 
+    # Correlation clustering over the near-dup graph: pivot stars instead
+    # of transitive closure — the over-merge correction.
+    def _kwik_spark(s, d):
+        from ..operators.connected_components import kwikcluster
+
+        edges = dedup.ngram_jaccard_pairs_via_lsh(
+            load(s, d, "documents"), "doc_id", "text", JACCARD_MIN_PCT
+        ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        return kwikcluster(edges, rounds=10)
+
+    from ..operators.connected_components import kwikcluster_sql
+
+    cat["kwikcluster_links"] = {
+        "spark": _kwik_spark,
+        "sql": kwikcluster_sql(
+            "SELECT id_a AS src, id_b AS dst FROM ("
+            + dedup.ngram_jaccard_pairs_via_lsh_sql(
+                "documents", "doc_id", "text", JACCARD_MIN_PCT
+            )
+            + ")",
+            rounds=10,
+        ),
+        "ref": "KwikCluster correlation clustering (Ailon-Charikar-Newman "
+        "2008; parallel pivots per Chierichetti-Dalvi-Kumar 2014) — "
+        "pivot stars, no transitive chaining; fixed hash permutation, "
+        "chained-CTE round replay",
+    }
+
     cat["ari_metrics"] = {
         "spark": lambda s, d: incremental.ari_metrics(*_cm_pred_truth(s, d)),
         "sql": incremental.ari_metrics_sql(_CM_PRED_SQL, _CM_TRUTH_SQL),

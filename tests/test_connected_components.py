@@ -108,3 +108,115 @@ def test_isolated_nodes_and_summary(spark):
     assert s["n_singletons"] == 2
     assert s["max_nodes"] == 2
     assert s["total_nodes"] == 4
+
+
+# --- KwikCluster ----------------------------------------------------------------
+
+
+def _brute_kwik(edges, rounds=10):
+    """Python replica of the synchronous parallel-pivot rounds."""
+    import hashlib
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    key = {
+        v: hashlib.md5(f"kc|{v}".encode()).hexdigest()[:15]
+        + "|" + str(v).zfill(19)
+        for v in adj
+    }
+    active = set(adj)
+    out = {}
+    for r in range(1, rounds + 1):
+        if not active:
+            break
+        piv = {
+            v for v in active
+            if all(key[v] < key[u] for u in adj[v] if u in active)
+        }
+        asg = {}
+        for u in active - piv:
+            pnb = [key[p] for p in adj[u] if p in active and p in piv]
+            if pnb:
+                asg[u] = int(min(pnb)[16:])
+        for v in piv:
+            out[v] = (v, r)
+        for u, c in asg.items():
+            out[u] = (c, r)
+        active -= piv | set(asg)
+    for v in active:
+        out[v] = (v, -1)
+    return out
+
+
+def _kwik_rows(spark, edges, rounds=10):
+    from bayesianrecordlinkage_jl_spark.operators.connected_components import (
+        kwikcluster,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: (r["cluster"], r["assigned_round"])
+        for r in kwikcluster(df, rounds=rounds).collect()
+    }
+
+
+def test_kwikcluster_matches_replica_and_is_star_valid(spark):
+    rng = random.Random(17)
+    edges = sorted({
+        (min(a, b), max(a, b))
+        for a, b in ((rng.randrange(60), rng.randrange(60)) for _ in range(120))
+        if a != b
+    })
+    got = _kwik_rows(spark, edges)
+    assert got == _brute_kwik(edges)
+    # star validity: every non-pivot member is a VERIFIED neighbor of its
+    # pivot, and pivots are mutually non-adjacent
+    nbr = {}
+    for a, b in edges:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    pivots = {v for v, (c, r) in got.items() if c == v and r != -1}
+    for v, (c, r) in got.items():
+        if v != c:
+            assert c in nbr[v]
+    for a, b in edges:
+        assert not (a in pivots and b in pivots)
+    assert all(r != -1 for _, r in got.values())  # converged in 10 rounds
+
+
+def test_kwikcluster_does_not_chain_transitively(spark):
+    # a 31-node path: CC gives ONE component; KwikCluster clusters are
+    # pivot stars (diameter <= 2), so a path needs >= ceil(31/3) clusters
+    edges = [(i, i + 1) for i in range(30)]
+    got = _kwik_rows(spark, edges)
+    assert got == _brute_kwik(edges)
+    n_clusters = len({c for c, _ in got.values()})
+    assert n_clusters >= 11
+    cc = connected_components(
+        spark.createDataFrame(edges, "src long, dst long")
+    )
+    assert cc.select("component").distinct().count() == 1
+
+
+def test_kwikcluster_preconvergence_and_early_exit(spark):
+    # monotone-decreasing-key worst case can't finish in 1 round; the
+    # fixed-round contract still yields a total, replica-exact output
+    rng = random.Random(5)
+    edges = sorted({
+        (min(a, b), max(a, b))
+        for a, b in ((rng.randrange(40), rng.randrange(40)) for _ in range(70))
+        if a != b
+    })
+    got1 = _kwik_rows(spark, edges, rounds=1)
+    assert got1 == _brute_kwik(edges, rounds=1)
+    # isolated pair far from the rest: pivot + member in round 1
+    got = _kwik_rows(spark, [(1000, 1001)] + edges)
+    assert got[1000][1] == 1 and got[1001][1] == 1
+    assert {got[1000][0], got[1001][0]} == {min(
+        1000, 1001, key=lambda v: __import__("hashlib").md5(
+            f"kc|{v}".encode()).hexdigest()[:15] + "|" + str(v).zfill(19)
+    )}

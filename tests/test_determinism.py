@@ -99,6 +99,7 @@ QUERIES = [
     "soft_tfidf_pairs",
     "ari_metrics",
     "tf_adjusted_agreement",
+    "kwikcluster_links",
 ]
 
 
