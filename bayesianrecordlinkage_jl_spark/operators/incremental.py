@@ -708,3 +708,175 @@ def ari_metrics_sql(
       FROM cells, pa, tb
     )
     """
+
+
+# ---------------------------------------------------------------------------
+# Stable cluster-id carryover between ER runs
+# ---------------------------------------------------------------------------
+
+
+def stable_relabel(
+    new: DataFrame,
+    old: DataFrame,
+    node_col: str = "node",
+    cluster_col: str = "component",
+    mint_offset: int = NEW_CLUSTER_OFFSET,
+) -> DataFrame:
+    """-> one row per NEW cluster: (new_cluster, stable_id, matched_old,
+    overlap, new_size, old_size, status): carry ENTITY IDS across ER runs.
+    Re-running linkage after a crawl renames every cluster (CC labels are
+    min node ids; any new member can change them) — downstream systems
+    keyed on entity ids need the new clustering expressed in LAST run's
+    ids wherever the entity survived. The standard contract: a new
+    cluster inherits an old id iff it is the MUTUAL max-overlap partner
+    (the Menestrina et al. 2010 slice comparison applied as an
+    assignment); a split's minority siblings and genuinely new entities
+    mint `mint_offset + new_cluster` (collision-free: the link_increment
+    convention, same offset).
+
+    status: 'carried' (mutual argmax — inherits matched_old),
+    'split' (its best old cluster was claimed by a sibling with larger
+    overlap — mints), 'new' (no node shared with any old cluster —
+    mints). matched_old / old_size are -1 for 'new' rows (not NULL — the
+    cross-engine hash treats absent as a value, integers keep it
+    bit-strict).
+
+    Determinism: both argmaxes are total-ordered — (overlap DESC, id ASC)
+    — as a struct-MAX aggregation (the mutual_best shape: shuffles
+    |clusters| grouped rows, never sorts the overlap-cell relation; the
+    DuckDB twin uses the window form, values identical). Overlap cells
+    are localCheckpoint'ed (consumed by both directions).
+
+    100-TB notes: one node-key join + one (new,old) cell aggregate + two
+    cluster-keyed argmaxes + broadcastable size dims — everything is
+    O(nodes) rows map-side-combined; nothing pairwise. Reference analog:
+    none (the reference rebuilds clusterings per run,
+    src/clustering_functions.jl) — this is the re-crawl id-stability
+    contract."""
+    n = new.select(
+        F.col(node_col).cast("long").alias("_n"),
+        F.col(cluster_col).cast("long").alias("new_c"),
+    )
+    o = old.select(
+        F.col(node_col).cast("long").alias("_n"),
+        F.col(cluster_col).cast("long").alias("old_c"),
+    )
+    cells = (
+        n.join(o, on="_n")
+        .groupBy("new_c", "old_c")
+        .agg(F.count(F.lit(1)).cast("long").alias("overlap"))
+        .localCheckpoint()  # consumed by both argmax directions
+    )
+    fwd = (
+        cells.groupBy("new_c")
+        .agg(F.max(F.struct("overlap", F.expr("-old_c").alias("_no"))).alias("_b"))
+        .select(
+            "new_c",
+            F.col("_b.overlap").alias("overlap"),
+            F.expr("-_b._no").cast("long").alias("matched_old"),
+        )
+    )
+    bwd = (
+        cells.groupBy("old_c")
+        .agg(F.max(F.struct("overlap", F.expr("-new_c").alias("_nn"))).alias("_b"))
+        .select(
+            F.col("old_c").alias("matched_old"),
+            F.expr("-_b._nn").cast("long").alias("bwd_new"),
+        )
+    )
+    nsize = n.groupBy("new_c").agg(
+        F.count(F.lit(1)).cast("long").alias("new_size")
+    )
+    osize = o.groupBy("old_c").agg(
+        F.count(F.lit(1)).cast("long").alias("old_size")
+    )
+    j = (
+        nsize.join(fwd, on="new_c", how="left")
+        .join(bwd, on="matched_old", how="left")
+        .join(
+            osize.withColumnRenamed("old_c", "matched_old"),
+            on="matched_old", how="left",
+        )
+    )
+    return j.select(
+        "new_c",
+        F.expr(
+            "CASE WHEN bwd_new = new_c THEN matched_old "
+            f"ELSE new_c + {mint_offset} END"
+        ).cast("long").alias("stable_id"),
+        F.coalesce(F.col("matched_old"), F.lit(-1)).cast("long").alias(
+            "matched_old"
+        ),
+        F.coalesce(F.col("overlap"), F.lit(0)).cast("long").alias("overlap"),
+        "new_size",
+        F.coalesce(F.col("old_size"), F.lit(-1)).cast("long").alias(
+            "old_size"
+        ),
+        F.expr(
+            "CASE WHEN bwd_new = new_c THEN 'carried' "
+            "WHEN matched_old IS NOT NULL THEN 'split' "
+            "ELSE 'new' END"
+        ).alias("status"),
+    ).withColumnRenamed("new_c", "new_cluster")
+
+
+def stable_relabel_sql(
+    new_expr: str,
+    old_expr: str,
+    node_col: str = "node",
+    cluster_col: str = "component",
+    mint_offset: int = NEW_CLUSTER_OFFSET,
+) -> str:
+    """Twin of stable_relabel (window-form argmaxes, identical total
+    order; -1/0 sentinels identical)."""
+    return f"""
+    WITH n AS MATERIALIZED (
+      SELECT CAST({node_col} AS BIGINT) AS _n,
+             CAST({cluster_col} AS BIGINT) AS new_c
+      FROM ({new_expr})
+    ),
+    o AS MATERIALIZED (
+      SELECT CAST({node_col} AS BIGINT) AS _n,
+             CAST({cluster_col} AS BIGINT) AS old_c
+      FROM ({old_expr})
+    ),
+    cells AS MATERIALIZED (
+      SELECT new_c, old_c, CAST(count(*) AS BIGINT) AS overlap
+      FROM n JOIN o USING (_n) GROUP BY new_c, old_c
+    ),
+    fwd AS (
+      SELECT new_c, overlap, old_c AS matched_old
+      FROM (SELECT new_c, old_c, overlap,
+                   row_number() OVER (PARTITION BY new_c
+                     ORDER BY overlap DESC, old_c ASC) AS rn
+            FROM cells)
+      WHERE rn = 1
+    ),
+    bwd AS (
+      SELECT old_c AS matched_old, new_c AS bwd_new
+      FROM (SELECT old_c, new_c, overlap,
+                   row_number() OVER (PARTITION BY old_c
+                     ORDER BY overlap DESC, new_c ASC) AS rn
+            FROM cells)
+      WHERE rn = 1
+    ),
+    nsize AS (SELECT new_c, CAST(count(*) AS BIGINT) AS new_size
+              FROM n GROUP BY new_c),
+    osize AS (SELECT old_c AS matched_old,
+                     CAST(count(*) AS BIGINT) AS old_size
+              FROM o GROUP BY old_c)
+    SELECT ns.new_c AS new_cluster,
+           CAST(CASE WHEN b.bwd_new = ns.new_c THEN f.matched_old
+                ELSE ns.new_c + {mint_offset} END AS BIGINT) AS stable_id,
+           CAST(COALESCE(f.matched_old, -1) AS BIGINT) AS matched_old,
+           CAST(COALESCE(f.overlap, 0) AS BIGINT) AS overlap,
+           ns.new_size,
+           CAST(COALESCE(os.old_size, -1) AS BIGINT) AS old_size,
+           CASE WHEN b.bwd_new = ns.new_c THEN 'carried'
+                WHEN f.matched_old IS NOT NULL THEN 'split'
+                ELSE 'new' END AS status
+    FROM nsize ns
+    LEFT JOIN fwd f USING (new_c)
+    LEFT JOIN bwd b ON f.matched_old = b.matched_old
+    LEFT JOIN osize os ON f.matched_old = os.matched_old
+    """

@@ -3445,6 +3445,19 @@ def build_catalog() -> dict[str, dict]:
         "chained-CTE round replay",
     }
 
+    def _relabel_spark(s, d):
+        pred, truth = _cm_pred_truth(s, d)
+        return incremental.stable_relabel(truth, pred)
+
+    cat["stable_relabel"] = {
+        "spark": _relabel_spark,
+        "sql": incremental.stable_relabel_sql(_CM_TRUTH_SQL, _CM_PRED_SQL),
+        "ref": "stable entity-id carryover between ER runs: mutual "
+        "max-overlap argmax inherits old ids, splits/new entities mint "
+        "offset ids (link_increment convention); struct-MAX vs window "
+        "form twins",
+    }
+
     cat["ari_metrics"] = {
         "spark": lambda s, d: incremental.ari_metrics(*_cm_pred_truth(s, d)),
         "sql": incremental.ari_metrics_sql(_CM_PRED_SQL, _CM_TRUTH_SQL),

@@ -100,6 +100,7 @@ QUERIES = [
     "ari_metrics",
     "tf_adjusted_agreement",
     "kwikcluster_links",
+    "stable_relabel",
 ]
 
 

@@ -340,3 +340,86 @@ def test_ari_replica_on_seeded_random_labelings(spark):
                 for i in range(n)]
         truth = [(i, rng.randrange(5)) for i in range(n)]
         assert _ari_row(spark, pred, truth) == _brute_ari(pred, truth)
+
+
+# --- stable cluster-id relabeling -----------------------------------------------
+
+
+def _brute_relabel(new, old, offset=incremental.NEW_CLUSTER_OFFSET):
+    from collections import Counter
+
+    o_of = dict(old)
+    cells = Counter((c, o_of[n]) for n, c in new if n in o_of)
+    fwd = {}
+    for (nc, oc), ov in cells.items():
+        cur = fwd.get(nc)
+        if cur is None or (ov, -oc) > (cur[1], -cur[0]):
+            fwd[nc] = (oc, ov)
+    bwd = {}
+    for (nc, oc), ov in cells.items():
+        cur = bwd.get(oc)
+        if cur is None or (ov, -nc) > (cur[1], -cur[0]):
+            bwd[oc] = (nc, ov)
+    nsize = Counter(c for _, c in new)
+    osize = Counter(c for _, c in old)
+    out = {}
+    for nc, size in nsize.items():
+        if nc in fwd:
+            oc, ov = fwd[nc]
+            if bwd[oc][0] == nc:
+                out[nc] = (oc, oc, ov, size, osize[oc], "carried")
+            else:
+                out[nc] = (nc + offset, oc, ov, size, osize[oc], "split")
+        else:
+            out[nc] = (nc + offset, -1, 0, size, -1, "new")
+    return out
+
+
+def _relabel_rows(spark, new, old):
+    ndf = spark.createDataFrame(new, "node long, component long")
+    odf = spark.createDataFrame(old, "node long, component long")
+    return {
+        r["new_cluster"]: (
+            r["stable_id"], r["matched_old"], r["overlap"], r["new_size"],
+            r["old_size"], r["status"],
+        )
+        for r in incremental.stable_relabel(ndf, odf).collect()
+    }
+
+
+def test_stable_relabel_carried_split_new(spark):
+    old = [(i, 10) for i in range(5)] + [(i, 20) for i in range(5, 10)]
+    new = (
+        [(i, 100) for i in range(3)] + [(i, 101) for i in (3, 4)]  # split
+        + [(i, 200) for i in range(5, 10)] + [(12, 200)]           # carried
+        + [(20, 300), (21, 300)]                                    # new
+    )
+    got = _relabel_rows(spark, new, old)
+    assert got == _brute_relabel(new, old)
+    assert got[100][5] == "carried" and got[100][0] == 10
+    assert got[101][5] == "split" and got[101][0] == 101 + incremental.NEW_CLUSTER_OFFSET
+    assert got[200] == (20, 20, 5, 6, 5, "carried")
+    assert got[300] == (300 + incremental.NEW_CLUSTER_OFFSET, -1, 0, 2, -1, "new")
+    # stable ids are unique (the carried/minted contract)
+    ids = [v[0] for v in got.values()]
+    assert len(ids) == len(set(ids))
+
+
+def test_stable_relabel_merge_and_tiebreak(spark):
+    # two old clusters of equal overlap merged into one new cluster:
+    # mutual argmax ties break to the SMALLER old id
+    old = [(0, 7), (1, 7), (2, 3), (3, 3)]
+    new = [(i, 50) for i in range(4)]
+    got = _relabel_rows(spark, new, old)
+    assert got == _brute_relabel(new, old)
+    assert got[50][5] == "carried" and got[50][0] == 3
+    # replica agreement on seeded random clusterings (incl. partial overlap)
+    import random
+
+    rng = random.Random(23)
+    for _ in range(3):
+        old_r = [(i, rng.randrange(6) * 10) for i in range(40)]
+        new_r = [(i, rng.randrange(8)) for i in range(5, 45)]
+        assert _relabel_rows(spark, new_r, old_r) == _brute_relabel(
+            new_r, old_r
+        )
