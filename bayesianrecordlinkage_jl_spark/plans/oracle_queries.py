@@ -406,6 +406,50 @@ def _cc_pos_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _UPSTREAM_MEMO[key]
 
 
+def _jaccard_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized LSH-verified near-dup pairs (the shared edge source for
+    dedup_jaccard_lsh_verified, blocking_quality, cluster metrics,
+    kwikcluster, stable_relabel and the incremental-ER queries): the
+    MinHash band join + exact verify runs ONCE per (session, sf_dir)
+    instead of once per catalog row — the VERDICT-r3 gate-budget fix
+    applied to the second expensive upstream."""
+    if not _memo_enabled():
+        return dedup.ngram_jaccard_pairs_via_lsh(
+            load(spark, sf_dir, "documents"), "doc_id", "text",
+            JACCARD_MIN_PCT,
+        )
+    key = _memo_key(spark, sf_dir, "jaccard_edges")
+    if key not in _UPSTREAM_MEMO:
+        _UPSTREAM_MEMO[key] = dedup.ngram_jaccard_pairs_via_lsh(
+            load(spark, sf_dir, "documents"), "doc_id", "text",
+            JACCARD_MIN_PCT,
+        ).localCheckpoint()
+    return _UPSTREAM_MEMO[key]
+
+
+def _jaccard_cc_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized connected components (isolated docs included) of the
+    near-dup edge graph — shared truth clustering of cluster_metrics /
+    bcubed_metrics / ari_metrics / stable_relabel."""
+    from ..operators.connected_components import components_with_isolated
+
+    def _build():
+        edges = _jaccard_edges_cached(spark, sf_dir).select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        nodes = load(spark, sf_dir, "documents").select(
+            F.col("doc_id").cast("long").alias("node")
+        )
+        return components_with_isolated(edges, nodes)
+
+    if not _memo_enabled():
+        return _build()
+    key = _memo_key(spark, sf_dir, "jaccard_cc")
+    if key not in _UPSTREAM_MEMO:
+        _UPSTREAM_MEMO[key] = _build().localCheckpoint()
+    return _UPSTREAM_MEMO[key]
+
+
 def _cc_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized _cc_spark twin: components plus isolated docs labeled by
     their own id (labels identical — isolated docs never carry edges)."""
@@ -1301,9 +1345,7 @@ def build_catalog() -> dict[str, dict]:
         "ref": "n-gram Jaccard near-dup",
     }
     cat["dedup_jaccard_lsh_verified"] = {
-        "spark": lambda s, d: dedup.ngram_jaccard_pairs_via_lsh(
-            load(s, d, "documents"), "doc_id", "text", JACCARD_MIN_PCT
-        ),
+        "spark": _jaccard_edges_cached,
         "sql": dedup.ngram_jaccard_pairs_via_lsh_sql(
             "documents", "doc_id", "text", JACCARD_MIN_PCT
         ),
@@ -1568,9 +1610,7 @@ def build_catalog() -> dict[str, dict]:
     cat["blocking_quality"] = {
         "spark": lambda s, d: blocking.blocking_quality(
             load(s, d, "documents"), "doc_id", BQ_SCHEMES,
-            dedup.ngram_jaccard_pairs_via_lsh(
-                load(s, d, "documents"), "doc_id", "text", JACCARD_MIN_PCT
-            ),
+            _jaccard_edges_cached(s, d),
         ),
         "sql": blocking.blocking_quality_sql(
             "documents", "doc_id", BQ_SCHEMES,
@@ -3327,9 +3367,7 @@ def build_catalog() -> dict[str, dict]:
     """
 
     def _inc_delta_edges_spark(s, d):
-        pairs = dedup.ngram_jaccard_pairs_via_lsh(
-            load(s, d, "documents"), "doc_id", "text", JACCARD_MIN_PCT
-        )
+        pairs = _jaccard_edges_cached(s, d)
         return pairs.where(
             (F.col("id_a") % 4 == 3) | (F.col("id_b") % 4 == 3)
         ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
@@ -3360,8 +3398,6 @@ def build_catalog() -> dict[str, dict]:
     # against the near-dup CC clustering (truth) — contingency C(n,2)
     # sums, pair universe never materialized.
     def _cm_pred_truth(s, d):
-        from ..operators.connected_components import components_with_isolated
-
         docs = load(s, d, "documents")
         g = docs.select(
             F.col("doc_id").cast("long").alias("doc_id"),
@@ -3371,13 +3407,7 @@ def build_catalog() -> dict[str, dict]:
         pred = g.join(cl, on="_h").select(
             F.col("doc_id").alias("node"), "component"
         )
-        edges = dedup.ngram_jaccard_pairs_via_lsh(
-            docs, "doc_id", "text", JACCARD_MIN_PCT
-        ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        truth = components_with_isolated(
-            edges, docs.select(F.col("doc_id").cast("long").alias("node"))
-        )
-        return pred, truth
+        return pred, _jaccard_cc_cached(s, d)
 
     def _cluster_metrics_spark(s, d):
         return incremental.cluster_pair_metrics(*_cm_pred_truth(s, d))
@@ -3422,9 +3452,9 @@ def build_catalog() -> dict[str, dict]:
     def _kwik_spark(s, d):
         from ..operators.connected_components import kwikcluster
 
-        edges = dedup.ngram_jaccard_pairs_via_lsh(
-            load(s, d, "documents"), "doc_id", "text", JACCARD_MIN_PCT
-        ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        edges = _jaccard_edges_cached(s, d).select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
         return kwikcluster(edges, rounds=10)
 
     from ..operators.connected_components import kwikcluster_sql

@@ -191,6 +191,7 @@ def main() -> None:
         "pprl_clk_pairs",
         "pprl_clk_band_pairs",
         "soft_tfidf_pairs",
+        "tf_adjusted_agreement",
     ):
         extra_queries[name], _ = timed_reps(name)
     extras["extra_queries"] = extra_queries
