@@ -880,3 +880,181 @@ def stable_relabel_sql(
     LEFT JOIN bwd b ON f.matched_old = b.matched_old
     LEFT JOIN osize os ON f.matched_old = os.matched_old
     """
+
+
+# ---------------------------------------------------------------------------
+# Pair-level PR curve over score thresholds
+# ---------------------------------------------------------------------------
+
+
+def _thr_lit(x: float) -> str:
+    """Bit-identical double literal in both engines (repo convention)."""
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def pair_pr_curve(
+    scored: DataFrame,
+    truth: DataFrame,
+    thresholds: tuple,
+    w_col: str = "w",
+) -> DataFrame:
+    """-> one row per threshold: (thr_idx, tp, fp, fn, prec_micro,
+    rec_micro, f1_micro): the pair-level operating characteristic of a
+    scored candidate set against labeled truth pairs — the curve that
+    picks the Fellegi-Sunter upper/lower cutoffs (fs_decision) instead of
+    guessing them. Complements threshold_sensitivity (cluster-count
+    stability, no labels) and cluster_pair_metrics (one clustering, no
+    sweep): this is precision/recall of PAIR classification at every
+    candidate threshold in one pass.
+
+    Truth pairs MISSING from the scored set (blocking misses) count as
+    false negatives at every threshold — the full-outer join makes recall
+    honest about blocking recall, not just scorer recall. Both inputs
+    must be oriented id_a < id_b (the repo-wide pair convention).
+
+    Single-pass shape: each pair is bucketed once by
+    "number of thresholds <= w" (a CASE sum over the literal ascending
+    threshold list; unscored truth pairs take bucket 0), then one
+    (bucket, is_true) count aggregate — at most 2*(K+1) cells — and the
+    per-threshold cumulative counts come from a tiny literal-dim theta
+    join (never a window over the pair set). tp/fp/fn are BIGINT;
+    precision/recall/F1 use the bcubed integer micro fixed point, so the
+    whole row is bit-strict. Thresholds enter as CAST('repr' AS DOUBLE)
+    literals; w is the bit-portable FS weight, so w >= t decides
+    identically in both engines.
+
+    100-TB notes: O(pairs) scan + map-side-combined count; the pair set
+    is never sorted, windowed, or exploded per threshold. Reference
+    analog: none (the reference picks cutoffs by inspection of the
+    weight histogram, vignette/example.jl) — this is that histogram made
+    decision-grade."""
+    ts = [float(t) for t in thresholds]
+    assert ts == sorted(ts), "thresholds must be ascending"
+    spark = scored.sparkSession
+    s = scored.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.col(w_col).cast("double").alias("_w"),
+    )
+    t = truth.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+        F.lit(1).cast("long").alias("is_true"),
+    )
+    bucket_sum = " + ".join(
+        f"(CASE WHEN _w >= {_thr_lit(x)} THEN 1 ELSE 0 END)" for x in ts
+    )
+    j = s.join(t, on=["id_a", "id_b"], how="full").select(
+        F.expr(
+            f"CASE WHEN _w IS NULL THEN 0 ELSE {bucket_sum} END"
+        ).cast("long").alias("bucket"),
+        F.coalesce(F.col("is_true"), F.lit(0)).cast("long").alias("is_true"),
+    )
+    cells = j.groupBy("bucket", "is_true").agg(
+        F.count(F.lit(1)).cast("long").alias("c")
+    ).localCheckpoint()  # consumed by the curve join + the truth total
+    total_true = cells.where(F.col("is_true") == 1).agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("long").alias("n_true")
+    )
+    dim_rows = ", ".join(f"({i + 1})" for i in range(len(ts)))
+    dim = spark.sql(
+        f"SELECT CAST(col1 AS BIGINT) AS thr_idx FROM VALUES {dim_rows}"
+    )
+    curve = (
+        dim.join(cells, on=F.col("bucket") >= F.col("thr_idx"), how="left")
+        .groupBy("thr_idx")
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("CASE WHEN is_true = 1 THEN c ELSE 0 END")),
+                F.lit(0),
+            ).cast("long").alias("tp"),
+            F.coalesce(
+                F.sum(F.expr("CASE WHEN is_true = 0 THEN c ELSE 0 END")),
+                F.lit(0),
+            ).cast("long").alias("fp"),
+        )
+        .crossJoin(total_true)
+    )
+    return curve.select(
+        "thr_idx", "tp", "fp",
+        F.expr("n_true - tp").cast("long").alias("fn"),
+        F.expr(
+            "CASE WHEN tp + fp > 0 THEN (tp * 1000000) div (tp + fp) "
+            "ELSE 0 END"
+        ).cast("long").alias("prec_micro"),
+        F.expr(
+            "CASE WHEN n_true > 0 THEN (tp * 1000000) div n_true "
+            "ELSE 0 END"
+        ).cast("long").alias("rec_micro"),
+    ).withColumn(
+        "f1_micro",
+        F.expr(
+            "CASE WHEN prec_micro + rec_micro > 0 THEN "
+            "(2 * prec_micro * rec_micro) div (prec_micro + rec_micro) "
+            "ELSE 0 END"
+        ).cast("long"),
+    )
+
+
+def pair_pr_curve_sql(
+    scored_expr: str,
+    truth_expr: str,
+    thresholds: tuple,
+    w_col: str = "w",
+) -> str:
+    """Twin of pair_pr_curve (identical literals, buckets, micro DIVs)."""
+    ts = [float(t) for t in thresholds]
+    bucket_sum = " + ".join(
+        f"(CASE WHEN _w >= {_thr_lit(x)} THEN 1 ELSE 0 END)" for x in ts
+    )
+    dim_rows = ", ".join(f"({i + 1})" for i in range(len(ts)))
+    return f"""
+    WITH s AS (
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+             CAST({w_col} AS DOUBLE) AS _w
+      FROM ({scored_expr})
+    ),
+    t AS (
+      SELECT CAST(id_a AS BIGINT) AS id_a, CAST(id_b AS BIGINT) AS id_b,
+             CAST(1 AS BIGINT) AS is_true
+      FROM ({truth_expr})
+    ),
+    j AS (
+      SELECT CAST(CASE WHEN _w IS NULL THEN 0 ELSE {bucket_sum} END
+               AS BIGINT) AS bucket,
+             CAST(COALESCE(is_true, 0) AS BIGINT) AS is_true
+      FROM s FULL OUTER JOIN t USING (id_a, id_b)
+    ),
+    cells AS MATERIALIZED (
+      SELECT bucket, is_true, CAST(count(*) AS BIGINT) AS c
+      FROM j GROUP BY bucket, is_true
+    ),
+    tot AS (
+      SELECT CAST(COALESCE(sum(c), 0) AS BIGINT) AS n_true
+      FROM cells WHERE is_true = 1
+    ),
+    dim AS (SELECT CAST(col0 AS BIGINT) AS thr_idx
+            FROM (VALUES {dim_rows}) v(col0)),
+    curve AS (
+      SELECT d.thr_idx,
+             CAST(COALESCE(sum(CASE WHEN cl.is_true = 1 THEN cl.c
+                                    ELSE 0 END), 0) AS BIGINT) AS tp,
+             CAST(COALESCE(sum(CASE WHEN cl.is_true = 0 THEN cl.c
+                                    ELSE 0 END), 0) AS BIGINT) AS fp
+      FROM dim d LEFT JOIN cells cl ON cl.bucket >= d.thr_idx
+      GROUP BY d.thr_idx
+    )
+    SELECT thr_idx, tp, fp, fn, prec_micro, rec_micro,
+           CAST(CASE WHEN prec_micro + rec_micro > 0 THEN
+             (2 * prec_micro * rec_micro) // (prec_micro + rec_micro)
+           ELSE 0 END AS BIGINT) AS f1_micro
+    FROM (
+      SELECT thr_idx, tp, fp,
+             CAST(n_true - tp AS BIGINT) AS fn,
+             CAST(CASE WHEN tp + fp > 0 THEN (tp * 1000000) // (tp + fp)
+                  ELSE 0 END AS BIGINT) AS prec_micro,
+             CAST(CASE WHEN n_true > 0 THEN (tp * 1000000) // n_true
+                  ELSE 0 END AS BIGINT) AS rec_micro
+      FROM curve, tot
+    )
+    """

@@ -3488,6 +3488,30 @@ def build_catalog() -> dict[str, dict]:
         "form twins",
     }
 
+    # Pair-level operating characteristic: FS weights scored against the
+    # LSH-verified near-dup labels across a threshold sweep.
+    PR_THRESHOLDS = (-6.0, -3.0, 0.0, 3.0, 6.0, 9.0)
+
+    cat["pair_pr_curve"] = {
+        "spark": lambda s, d: incremental.pair_pr_curve(
+            _scored_pairs_cached(s, d),
+            _jaccard_edges_cached(s, d).select("id_a", "id_b"),
+            PR_THRESHOLDS,
+        ),
+        "sql": incremental.pair_pr_curve_sql(
+            _weighted_pairs_sql(),
+            "SELECT id_a, id_b FROM ("
+            + dedup.ngram_jaccard_pairs_via_lsh_sql(
+                "documents", "doc_id", "text", JACCARD_MIN_PCT
+            )
+            + ")",
+            PR_THRESHOLDS,
+        ),
+        "ref": "pair-level PR/F1 sweep over FS weight thresholds vs "
+        "LSH-verified labels — picks the fs_decision cutoffs; "
+        "full-outer join makes recall honest about blocking misses",
+    }
+
     cat["ari_metrics"] = {
         "spark": lambda s, d: incremental.ari_metrics(*_cm_pred_truth(s, d)),
         "sql": incremental.ari_metrics_sql(_CM_PRED_SQL, _CM_TRUTH_SQL),

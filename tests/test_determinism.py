@@ -101,6 +101,7 @@ QUERIES = [
     "tf_adjusted_agreement",
     "kwikcluster_links",
     "stable_relabel",
+    "pair_pr_curve",
 ]
 
 

@@ -423,3 +423,67 @@ def test_stable_relabel_merge_and_tiebreak(spark):
         assert _relabel_rows(spark, new_r, old_r) == _brute_relabel(
             new_r, old_r
         )
+
+
+# --- pair PR curve --------------------------------------------------------------
+
+
+def _brute_pr(scored, truth, ths):
+    w_of = {(a, b): w for a, b, w in scored}
+    universe = set(w_of) | set(truth)
+    out = {}
+    n_true = len(truth)
+    for i, t in enumerate(ths, start=1):
+        pred = {p for p in universe if p in w_of and w_of[p] >= t}
+        tp = len(pred & set(truth))
+        fp = len(pred) - tp
+        fn = n_true - tp
+        prec = (tp * 1_000_000) // (tp + fp) if tp + fp else 0
+        rec = (tp * 1_000_000) // n_true if n_true else 0
+        f1 = (2 * prec * rec) // (prec + rec) if prec + rec else 0
+        out[i] = (tp, fp, fn, prec, rec, f1)
+    return out
+
+
+def test_pair_pr_curve_matches_replica_and_counts_blocking_misses(spark):
+    import random
+
+    rng = random.Random(31)
+    scored = [
+        (a, a + 1 + rng.randrange(5), round(rng.uniform(-4, 9), 3))
+        for a in range(0, 120, 2)
+    ]
+    scored = [(a, b, w) for a, b, w in scored if a < b]
+    truth = [(a, b) for a, b, w in scored if w > 2.0 or rng.random() < 0.2]
+    truth += [(500, 501), (502, 503)]  # unscored truth: blocking misses
+    ths = (-2.0, 0.0, 2.0, 5.0)
+    sdf = spark.createDataFrame(scored, "id_a long, id_b long, w double")
+    tdf = spark.createDataFrame(truth, "id_a long, id_b long")
+    got = {
+        r["thr_idx"]: (
+            r["tp"], r["fp"], r["fn"], r["prec_micro"], r["rec_micro"],
+            r["f1_micro"],
+        )
+        for r in incremental.pair_pr_curve(sdf, tdf, ths).collect()
+    }
+    assert got == _brute_pr(scored, truth, ths)
+    # blocking misses hold recall below 1 even at the loosest threshold
+    assert got[1][2] >= 2
+    # monotone: precision non-decreasing is NOT guaranteed, but predicted
+    # count (tp+fp) must be non-increasing in the threshold
+    pred_counts = [got[i][0] + got[i][1] for i in sorted(got)]
+    assert pred_counts == sorted(pred_counts, reverse=True)
+
+
+def test_pair_pr_curve_empty_truth_and_perfect(spark):
+    scored = [(1, 2, 3.0), (3, 4, -1.0)]
+    sdf = spark.createDataFrame(scored, "id_a long, id_b long, w double")
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    got = {
+        r["thr_idx"]: (r["tp"], r["fp"], r["rec_micro"])
+        for r in incremental.pair_pr_curve(sdf, empty, (0.0,)).collect()
+    }
+    assert got == {1: (0, 1, 0)}
+    perfect = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    [r] = incremental.pair_pr_curve(sdf, perfect, (0.0,)).collect()
+    assert (r["tp"], r["fp"], r["fn"], r["f1_micro"]) == (1, 0, 0, 1_000_000)
