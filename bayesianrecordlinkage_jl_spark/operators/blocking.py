@@ -677,3 +677,222 @@ def tf_weighted_agreement_pairs_sql(
     FROM kept a JOIN kept b ON {on} AND a.value = b.value
       AND a.doc_id < b.doc_id
     """
+
+
+# ---------------------------------------------------------------------------
+# Canopy clustering (McCallum-Nigam-Ungar 2000) — overlapping cheap-metric
+# blocks for an expensive downstream comparator
+# ---------------------------------------------------------------------------
+
+# Portable total order for center selection: 60-bit md5 hex (lexicographic
+# == numeric at fixed width) salted 'cn|', id tie-break appended; id parsed
+# back from the tail (substr 17, 19). Non-negative ids assumed (repo-wide).
+_CANOPY_KEY_SPARK = (
+    "substring(md5(concat('cn|', CAST(node AS STRING))), 1, 15) || '|' "
+    "|| lpad(CAST(node AS STRING), 19, '0')"
+)
+_CANOPY_KEY_DUCK = (
+    "substr(md5('cn|' || CAST(node AS VARCHAR)), 1, 15) || '|' "
+    "|| lpad(CAST(node AS VARCHAR), 19, '0')"
+)
+
+
+def canopy_clusters(
+    edges: DataFrame,
+    t_loose: int,
+    t_tight: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    sim_col: str = "sim",
+    rounds: int = 10,
+) -> DataFrame:
+    """-> (canopy, node, sim, assigned_round): OVERLAPPING canopies
+    (McCallum, Nigam & Ungar, KDD 2000) from a cheap-similarity pair
+    graph — the classic two-threshold blocking: an expensive comparator
+    then runs only within canopies, and because membership uses the LOOSE
+    threshold while pool-removal uses the TIGHT one, a record near two
+    entities lands in BOTH canopies (what single-assignment blocking
+    loses). sim is floor()ed onto the integer grid first (float sims like
+    jac_pct otherwise hit the truncate-vs-round cast divergence between
+    engines); t_loose <= floor(sim) joins a canopy, t_tight <= floor(sim)
+    removes from the center pool; t_tight > t_loose.
+
+    Synchronous deterministic variant (the kwikcluster contract): per
+    round, every active node minimal in the portable hash+id key order
+    among its active TIGHT-graph neighbors becomes a center (two centers
+    are never tight-adjacent — each would need the smaller key); every
+    active node loose-adjacent to a center joins that center's canopy
+    (ALL of them — membership is overlapping, never an argmax); centers
+    and their tight neighbors deactivate. Centers may join each other's
+    canopies when loose-but-not-tight adjacent — the sequential
+    algorithm's overlap, preserved. Fixed `rounds` with chained-CTE
+    DuckDB replay; still-active leftovers exit as singleton canopies with
+    assigned_round = -1 (every round retires at least the globally
+    minimal active node, so leftovers mean rounds was set too small —
+    pytest pins convergence on the fixture).
+
+    Output size is bounded: each loose edge contributes at most one
+    membership row per direction EVER (a node is a center in exactly one
+    round, then leaves the pool), plus one self row per center
+    (sim = -1 sentinel). Nothing quadratic beyond the input pair graph.
+
+    100-TB notes: identical shape to kwikcluster — per round two
+    node-keyed semi-joins per graph + one map-side MIN + an anti-join on
+    |active| rows; both filtered adjacencies are localCheckpoint'ed once;
+    the pair graph is never sorted or windowed. Reference analog: none
+    (the reference takes user index lists, src/comparisonsummary.jl) —
+    this is the canonical pre-LSH blocking its users had to hand-roll."""
+    base = edges.select(
+        F.col(id_a).cast("long").alias("src"),
+        F.col(id_b).cast("long").alias("dst"),
+        # floor BEFORE the integer cast: Spark's double->long truncates
+        # while DuckDB's rounds — floor() is the one portable grid
+        F.expr(f"CAST(floor({sim_col}) AS BIGINT)").alias("sim"),
+    )
+    sym = base.unionByName(
+        base.select(
+            F.col("dst").alias("src"), F.col("src").alias("dst"), "sim"
+        )
+    )
+    loose = sym.where(F.col("sim") >= t_loose).localCheckpoint()
+    tight = loose.where(F.col("sim") >= t_tight).select(
+        "src", "dst"
+    ).localCheckpoint()
+    act = (
+        loose.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("k", F.expr(_CANOPY_KEY_SPARK))
+        .localCheckpoint()
+    )
+    parts = []
+    for r in range(1, rounds + 1):
+        if act.count() == 0:
+            break
+        a_s = act.select(F.col("node").alias("src"))
+        a_d = act.select(F.col("node").alias("dst"), F.col("k").alias("k_dst"))
+        t_act = tight.join(a_s, "src").join(a_d, "dst")
+        minnb = t_act.groupBy("src").agg(F.min("k_dst").alias("mk"))
+        ctr = (
+            act.join(minnb.withColumnRenamed("src", "node"), "node", "left")
+            .where(F.col("mk").isNull() | (F.col("k") < F.col("mk")))
+            .select("node")
+            .localCheckpoint()  # consumed by mem, rem, self rows
+        )
+        mem = (
+            loose.join(a_s, "src")
+            .join(ctr.withColumnRenamed("node", "dst"), "dst")
+            .select(
+                F.col("dst").alias("canopy"),
+                F.col("src").alias("node"),
+                "sim",
+                F.lit(r).cast("long").alias("assigned_round"),
+            )
+        )
+        selfrows = ctr.select(
+            F.col("node").alias("canopy"),
+            "node",
+            F.lit(-1).cast("long").alias("sim"),
+            F.lit(r).cast("long").alias("assigned_round"),
+        )
+        rem = (
+            tight.join(a_s, "src")
+            .join(ctr.withColumnRenamed("node", "dst"), "dst")
+            .select(F.col("src").alias("node"))
+            .unionByName(ctr)
+            .distinct()
+        )
+        parts.append(mem.unionByName(selfrows).localCheckpoint())
+        act = act.join(rem, "node", "left_anti").localCheckpoint()
+    leftover = act.select(
+        F.col("node").alias("canopy"),
+        "node",
+        F.lit(-1).cast("long").alias("sim"),
+        F.lit(-1).cast("long").alias("assigned_round"),
+    )
+    out = leftover
+    for p in parts:
+        out = out.unionByName(p)
+    return out
+
+
+def canopy_clusters_sql(
+    edges_expr: str,
+    t_loose: int,
+    t_tight: int,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    sim_col: str = "sim",
+    rounds: int = 10,
+) -> str:
+    """Twin of canopy_clusters: fixed-round chained-CTE replay (the kcore
+    / kwikcluster pattern)."""
+    ctes = [
+        f"""base AS (
+      SELECT CAST({id_a} AS BIGINT) AS src, CAST({id_b} AS BIGINT) AS dst,
+             CAST(floor({sim_col}) AS BIGINT) AS sim
+      FROM ({edges_expr})
+    )""",
+        f"""loose AS MATERIALIZED (
+      SELECT src, dst, sim FROM (
+        SELECT src, dst, sim FROM base
+        UNION ALL SELECT dst AS src, src AS dst, sim FROM base)
+      WHERE sim >= {t_loose}
+    )""",
+        f"""tight AS MATERIALIZED (
+      SELECT src, dst FROM loose WHERE sim >= {t_tight}
+    )""",
+        f"""act0 AS MATERIALIZED (
+      SELECT node, {_CANOPY_KEY_DUCK} AS k
+      FROM (SELECT DISTINCT src AS node FROM loose)
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(f"""mnb{r} AS (
+      SELECT e.src AS node, min(d.k) AS mk
+      FROM tight e JOIN act{p} s ON e.src = s.node
+                   JOIN act{p} d ON e.dst = d.node
+      GROUP BY e.src
+    )""")
+        ctes.append(f"""ctr{r} AS MATERIALIZED (
+      SELECT a.node
+      FROM act{p} a LEFT JOIN mnb{r} m USING (node)
+      WHERE m.mk IS NULL OR a.k < m.mk
+    )""")
+        ctes.append(f"""mem{r} AS MATERIALIZED (
+      SELECT e.dst AS canopy, e.src AS node, e.sim,
+             CAST({r} AS BIGINT) AS assigned_round
+      FROM loose e JOIN act{p} s ON e.src = s.node
+                   JOIN ctr{r} c ON e.dst = c.node
+      UNION ALL
+      SELECT node AS canopy, node, CAST(-1 AS BIGINT) AS sim,
+             CAST({r} AS BIGINT) AS assigned_round
+      FROM ctr{r}
+    )""")
+        ctes.append(f"""rem{r} AS (
+      SELECT DISTINCT node FROM (
+        SELECT e.src AS node
+        FROM tight e JOIN act{p} s ON e.src = s.node
+                     JOIN ctr{r} c ON e.dst = c.node
+        UNION ALL SELECT node FROM ctr{r})
+    )""")
+        ctes.append(f"""act{r} AS MATERIALIZED (
+      SELECT a.node, a.k
+      FROM act{p} a LEFT JOIN rem{r} x USING (node)
+      WHERE x.node IS NULL
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT canopy, node, sim, assigned_round FROM mem{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT CAST(canopy AS BIGINT) AS canopy, CAST(node AS BIGINT) AS node,
+           CAST(sim AS BIGINT) AS sim, assigned_round
+    FROM (
+      {unions}
+      UNION ALL SELECT node AS canopy, node, CAST(-1 AS BIGINT) AS sim,
+        CAST(-1 AS BIGINT) AS assigned_round FROM act{rounds}
+    )
+    """
+    )

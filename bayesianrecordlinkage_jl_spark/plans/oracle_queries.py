@@ -3488,6 +3488,24 @@ def build_catalog() -> dict[str, dict]:
         "form twins",
     }
 
+    # Overlapping two-threshold canopies over the near-dup similarity
+    # graph (loose = the LSH floor, tight = strong near-dups).
+    cat["canopy_clusters"] = {
+        "spark": lambda s, d: blocking.canopy_clusters(
+            _jaccard_edges_cached(s, d), 30, 60,
+            sim_col="jac_pct", rounds=10,
+        ),
+        "sql": blocking.canopy_clusters_sql(
+            dedup.ngram_jaccard_pairs_via_lsh_sql(
+                "documents", "doc_id", "text", JACCARD_MIN_PCT
+            ),
+            30, 60, sim_col="jac_pct", rounds=10,
+        ),
+        "ref": "canopy clustering (McCallum-Nigam-Ungar 2000): "
+        "overlapping cheap-metric blocks, loose membership / tight "
+        "removal; synchronous deterministic rounds, chained-CTE replay",
+    }
+
     # Pair-level operating characteristic: FS weights scored against the
     # LSH-verified near-dup labels across a threshold sweep.
     PR_THRESHOLDS = (-6.0, -3.0, 0.0, 3.0, 6.0, 9.0)

@@ -145,3 +145,104 @@ def test_tf_agreement_hot_value_dropped_and_bits_capped(spark):
     assert r["w_tf_micro"] == _brute_tf(rows, cap_bits=2, max_value_df=5)[
         (100, 101)
     ][4]
+
+
+# --- canopy clustering ----------------------------------------------------------
+
+
+def _brute_canopy(rows, t1, t2, rounds=10):
+    import hashlib
+    from collections import defaultdict
+
+    loose = defaultdict(dict)
+    tight = defaultdict(set)
+    for a, b, s in rows:
+        if s >= t1:
+            loose[a][b] = s
+            loose[b][a] = s
+        if s >= t2:
+            tight[a].add(b)
+            tight[b].add(a)
+    key = {
+        v: hashlib.md5(f"cn|{v}".encode()).hexdigest()[:15]
+        + "|" + str(v).zfill(19)
+        for v in loose
+    }
+    active = set(loose)
+    out = set()
+    for r in range(1, rounds + 1):
+        if not active:
+            break
+        ctr = {
+            v for v in active
+            if all(key[v] < key[u] for u in tight[v] if u in active)
+        }
+        rem = set(ctr)
+        for c in ctr:
+            out.add((c, c, -1, r))
+            for u, s in loose[c].items():
+                if u in active:
+                    out.add((c, u, s, r))
+            for u in tight[c]:
+                if u in active:
+                    rem.add(u)
+        active -= rem
+    for v in active:
+        out.add((v, v, -1, -1))
+    return out
+
+
+def _canopy_rows(spark, rows, t1, t2, rounds=10):
+    df = spark.createDataFrame(rows, "id_a long, id_b long, sim long")
+    return {
+        (r["canopy"], r["node"], r["sim"], r["assigned_round"])
+        for r in blocking.canopy_clusters(
+            df, t1, t2, sim_col="sim", rounds=rounds
+        ).collect()
+    }
+
+
+def test_canopy_matches_replica_and_overlaps(spark):
+    import random
+
+    rng = random.Random(12)
+    edges = sorted({
+        (min(a, b), max(a, b))
+        for a, b in ((rng.randrange(40), rng.randrange(40)) for _ in range(90))
+        if a != b
+    })
+    rows = [(a, b, rng.randrange(20, 100)) for a, b in edges]
+    got = _canopy_rows(spark, rows, 30, 60)
+    assert got == _brute_canopy(rows, 30, 60)
+    loose_nbr = {}
+    for a, b, s in rows:
+        if s >= 30:
+            loose_nbr.setdefault(a, set()).add(b)
+            loose_nbr.setdefault(b, set()).add(a)
+    tight = {(min(a, b), max(a, b)) for a, b, s in rows if s >= 60}
+    centers = {c for c, n, s, r in got if c == n and r != -1}
+    # every member is loose-adjacent to its center; centers never
+    # tight-adjacent; every loose node lands in >= 1 canopy
+    for c, n, s, r in got:
+        if c != n:
+            assert n in loose_nbr[c]
+    for a, b in tight:
+        assert not (a in centers and b in centers)
+    covered = {n for _, n, _, _ in got}
+    assert covered == set(loose_nbr)
+    # the loose/tight gap produces genuine overlap on this fixture
+    from collections import Counter
+
+    memb = Counter(n for c, n, s, r in got)
+    assert max(memb.values()) >= 2
+
+
+def test_canopy_two_entity_bridge_lands_in_both(spark):
+    # u is loose-close to both centers a and d, tight to neither: the
+    # record-near-two-entities case single-assignment blocking loses
+    rows = [(1, 2, 90), (4, 5, 90), (1, 3, 40), (2, 3, 40),
+            (3, 4, 40), (3, 5, 40)]
+    got = _canopy_rows(spark, rows, 30, 60)
+    assert got == _brute_canopy(rows, 30, 60)
+    canopies_of_3 = {c for c, n, _, _ in got if n == 3 and c != 3}
+    assert len(canopies_of_3) == 2

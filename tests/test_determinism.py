@@ -102,6 +102,7 @@ QUERIES = [
     "kwikcluster_links",
     "stable_relabel",
     "pair_pr_curve",
+    "canopy_clusters",
 ]
 
 
