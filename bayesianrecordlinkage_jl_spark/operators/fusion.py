@@ -147,3 +147,98 @@ def record_fusion_sql(
         f"WITH {body}\n    SELECT {', '.join(sel)} FROM "
         + " ".join(joins)
     )
+
+
+def group_linkage(
+    edges: DataFrame,
+    members: DataFrame,
+    member_id: str,
+    group_col: str,
+) -> DataFrame:
+    """Group-level (household-style) linkage: roll record-pair evidence up
+    to GROUP pairs (On et al., ICDE 2007 group linkage; Fu et al.'s
+    household linkage). `edges` is any record-pair evidence relation
+    (id_a, id_b) — here the LSH-verified near-dup graph; `members` maps
+    member_id -> group_col. Returns one row per unordered CROSS-group pair
+    with any evidence: edge count, both group sizes, and score_bp =
+    floor(10000 * n_edges / min(|A|, |B|)) — an integer-basis-point
+    containment-style group score (the "at least this fraction of the
+    smaller group has a match" reading; bipartite-matching variants refine
+    it but need per-pair weights, which `edges` here doesn't carry).
+
+    100-TB shape: two keyed joins of the edge list against the member map
+    (equi, broadcastable when the member map's group dim is small), one
+    (group_a, group_b) count aggregate, then a broadcast join of the tiny
+    group-size dim. Nothing is quadratic in group size; the edge list is
+    consumed once (callers pass the memoized/checkpointed edge source)."""
+    m = members.select(
+        F.col(member_id).cast("long").alias("_id"),
+        F.col(group_col).alias("_g"),
+    )
+    tagged = (
+        edges.select("id_a", "id_b")
+        .join(m.select(F.col("_id").alias("id_a"),
+                       F.col("_g").alias("_ga")), on="id_a")
+        .join(m.select(F.col("_id").alias("id_b"),
+                       F.col("_g").alias("_gb")), on="id_b")
+        .where(F.col("_ga") != F.col("_gb"))
+        .select(
+            F.least("_ga", "_gb").alias("group_a"),
+            F.greatest("_ga", "_gb").alias("group_b"),
+        )
+    )
+    cnt = tagged.groupBy("group_a", "group_b").agg(
+        F.count(F.lit(1)).alias("n_edges")
+    )
+    sizes = m.groupBy("_g").agg(F.count(F.lit(1)).alias("_n"))
+    return (
+        cnt.join(
+            F.broadcast(sizes.select(F.col("_g").alias("group_a"),
+                                     F.col("_n").alias("n_docs_a"))),
+            on="group_a",
+        )
+        .join(
+            F.broadcast(sizes.select(F.col("_g").alias("group_b"),
+                                     F.col("_n").alias("n_docs_b"))),
+            on="group_b",
+        )
+        .select(
+            "group_a", "group_b", "n_edges", "n_docs_a", "n_docs_b",
+            F.floor(
+                F.lit(10000.0) * F.col("n_edges")
+                / F.least("n_docs_a", "n_docs_b")
+            ).cast("long").alias("score_bp"),
+        )
+    )
+
+
+def group_linkage_sql(
+    edges_sql: str,
+    members_table: str,
+    member_id: str,
+    group_col: str,
+) -> str:
+    """DuckDB twin of group_linkage (same least/greatest normalization,
+    same floor-of-double score — 10000*n/min with n, min small integers is
+    exact in IEEE doubles, so the floor is bit-identical)."""
+    return f"""
+    WITH gedges AS ({edges_sql}),
+    m AS (SELECT CAST({member_id} AS BIGINT) AS _id, {group_col} AS _g
+          FROM {members_table}),
+    x AS (SELECT least(ma._g, mb._g) AS group_a,
+                 greatest(ma._g, mb._g) AS group_b
+          FROM gedges e
+          JOIN m ma ON ma._id = e.id_a
+          JOIN m mb ON mb._id = e.id_b
+          WHERE ma._g <> mb._g),
+    cnt AS (SELECT group_a, group_b, CAST(count(*) AS BIGINT) AS n_edges
+            FROM x GROUP BY 1, 2),
+    sz AS (SELECT _g, CAST(count(*) AS BIGINT) AS _n FROM m GROUP BY 1)
+    SELECT c.group_a, c.group_b, c.n_edges,
+           sa._n AS n_docs_a, sb._n AS n_docs_b,
+           CAST(floor(10000.0 * c.n_edges / least(sa._n, sb._n)) AS BIGINT)
+             AS score_bp
+    FROM cnt c
+    JOIN sz sa ON sa._g = c.group_a
+    JOIN sz sb ON sb._g = c.group_b
+    """

@@ -1,0 +1,269 @@
+"""Temporal join operators: as-of join, banded range join, hypertable
+rollup. The reference has no time axis (person records); these are the
+event-stream companions a web-scale linkage pipeline needs around its
+crawl/event tables (TESTDATA `events`), built the way Spark lacks natively
+but can express scalably.
+
+`asof_join` — for every LEFT event, the most recent RIGHT event at or
+before it (per key). The naive formulation is a range join (quadratic
+inside a key, and Catalyst plans theta joins as nested loops). The scale
+path here is the classic union+carry-forward: union both sides with a
+side tag, ONE window per key ordered by the total order
+(ts, side, event_id) with `last(value, ignore nulls)` over
+ROWS UNBOUNDED PRECEDING..CURRENT ROW, then keep the left rows. Cost:
+one shuffle on the key, O(n log n) per key, no pair blow-up — at 100 TB
+this is a single sort-based window, the same shape Flink/kdb use for
+as-of. RIGHT rows sort BEFORE left rows at equal ts (side 0 < 1), so a
+same-timestamp right row IS visible to the left row (<= semantics); ties
+among right rows resolve to the largest event_id — a total order, so the
+result is partitioning-invariant. All carried columns come from the same
+last right row because every right row is non-null in all carried
+columns and the frame order is shared.
+
+`range_join` — all (left, right) pairs within |t_r - t_l| <= delta per
+key. The naive theta join is a nested loop; the scale path buckets time
+by delta and equi-joins: LEFT rows explode to buckets {b-1, b, b+1},
+RIGHT rows keep bucket b, join on (key, bucket), then the exact |dt| <=
+delta filter. Each qualifying pair joins on EXACTLY ONE bucket (the
+right row's own), so no dedup pass is needed. Cost: 3x left fan-out, one
+equi shuffle — no quadratic term unless a (key, delta-window) is itself
+hot, which is data skew the salting story already covers upstream.
+
+`hypertable_rollup` — multi-grain time rollup ((day, type) -> (day) ->
+()) in ONE pass via GROUP BY ROLLUP, the hypertable continuous-aggregate
+shape. Spark plans rollup as a single Expand + hash aggregate: the fact
+table is read once for all grains. Float sums at the coarse grains would
+sum thousands of doubles in partitioning-dependent order, so the value
+aggregate is integer cents (floor(value*100 + 0.5) per row, then BIGINT
+sums) — exact, order-free, bit-identical across engines; the grain id
+derives from rollup NULL markers, not engine-specific GROUPING_ID.
+
+Oracle twins: `asof_join_sql` is the SAME window-union form (DuckDB
+last_value IGNORE NULLS with the identical frame + total order);
+`range_join_sql` is the plain theta join (sound at fixture scale, the
+point is value parity with the banded plan); `hypertable_rollup_sql` is
+DuckDB's GROUP BY ROLLUP. Epoch arithmetic is integer microseconds on
+both sides (Spark unix_micros / DuckDB epoch_us).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+US = 1_000_000
+
+
+def _epoch_us(col: str) -> Column:
+    """Integer microseconds since epoch for a TIMESTAMP_NTZ column —
+    TZ-free by construction (parquet naive timestamps read as NTZ in
+    Spark 4; unix_micros would force a session-TZ cast). Matches DuckDB
+    epoch_us on the same naive values exactly."""
+    return F.expr(
+        f"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00',"
+        f" {col})"
+    )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    id_col: str,
+    carry_cols: list[str],
+) -> DataFrame:
+    """Most-recent-right-at-or-before per left row. Returns the left rows
+    (id, key, ts) plus, for each c in carry_cols, `asof_<c>` (NULL when no
+    right row precedes) and `asof_gap_us` (left ts - right ts, BIGINT
+    micros, NULL likewise). Requires right rows non-null in ts/id/carry
+    columns; ties: same-ts right rows visible, largest right id wins."""
+    lc = left.select(
+        F.col(key).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.col(id_col).alias("_id"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_c_{c}")
+          for c in carry_cols],
+        F.lit(None).cast("long").alias("_rts"),
+    )
+    rc = right.select(
+        F.col(key).alias("_k"),
+        F.col(ts_col).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.col(id_col).alias("_id"),
+        *[F.col(c).alias(f"_c_{c}") for c in carry_cols],
+        _epoch_us(ts_col).alias("_rts"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy("_ts", "_side", "_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    u = lc.unionByName(rc)
+    carried = u.select(
+        "_k", "_ts", "_side", "_id",
+        *[F.last(f"_c_{c}", ignorenulls=True).over(w).alias(f"asof_{c}")
+          for c in carry_cols],
+        F.last("_rts", ignorenulls=True).over(w).alias("_last_rts"),
+    )
+    return carried.where(F.col("_side") == 1).select(
+        F.col("_id").alias(id_col),
+        F.col("_k").alias(key),
+        F.col("_ts").alias(ts_col),
+        *[F.col(f"asof_{c}") for c in carry_cols],
+        (_epoch_us("_ts") - F.col("_last_rts")).alias("asof_gap_us"),
+    )
+
+
+def asof_join_sql(
+    left_sql: str,
+    right_sql: str,
+    key: str,
+    ts_col: str,
+    id_col: str,
+    carry_cols: list[str],
+    carry_types: list[str],
+) -> str:
+    """DuckDB twin of asof_join: identical union + window-carry form
+    (NOT DuckDB's ASOF JOIN syntax — same algorithm, same total order,
+    so doubles carry through untouched and parity is structural)."""
+    lnulls = ", ".join(
+        f"CAST(NULL AS {t}) AS _c_{c}" for c, t in zip(carry_cols, carry_types)
+    )
+    rcarry = ", ".join(f"{c} AS _c_{c}" for c in carry_cols)
+    frame = (
+        f"OVER (PARTITION BY _k ORDER BY _ts, _side, _id "
+        f"ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+    )
+    picks = ", ".join(
+        f"last_value(_c_{c} IGNORE NULLS) {frame} AS asof_{c}"
+        for c in carry_cols
+    )
+    return f"""
+    WITH lrows AS (SELECT {key} AS _k, {ts_col} AS _ts, 1 AS _side,
+                          {id_col} AS _id, {lnulls},
+                          CAST(NULL AS BIGINT) AS _rts
+                   FROM ({left_sql})),
+    rrows AS (SELECT {key} AS _k, {ts_col} AS _ts, 0 AS _side,
+                     {id_col} AS _id, {rcarry},
+                     epoch_us({ts_col}) AS _rts
+              FROM ({right_sql})),
+    u AS (SELECT * FROM lrows UNION ALL SELECT * FROM rrows),
+    carried AS (SELECT _k, _ts, _side, _id, {picks},
+                       last_value(_rts IGNORE NULLS) {frame} AS _last_rts
+                FROM u)
+    SELECT _id AS {id_col}, _k AS {key}, _ts AS {ts_col},
+           {", ".join(f"asof_{c}" for c in carry_cols)},
+           epoch_us(_ts) - _last_rts AS asof_gap_us
+    FROM carried WHERE _side = 1
+    """
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str,
+    id_col: str,
+    delta_s: int,
+) -> DataFrame:
+    """All same-key pairs within |t_r - t_l| <= delta_s seconds, as a
+    bucketed EQUI join (never a theta/nested-loop plan). Returns
+    (key, id_l, id_r, gap_us = right epoch - left epoch, signed)."""
+    dus = delta_s * US
+    lb = left.select(
+        F.col(key).alias("_k"),
+        F.col(id_col).alias("id_l"),
+        _epoch_us(ts_col).alias("_tl"),
+    )
+    # left rows fan out to the 3 buckets a qualifying right row can be in
+    lb = lb.select(
+        "*",
+        F.explode(
+            F.array(
+                F.expr(f"_tl div {dus} - 1"),
+                F.expr(f"_tl div {dus}"),
+                F.expr(f"_tl div {dus} + 1"),
+            )
+        ).alias("_b"),
+    )
+    rb = right.select(
+        F.col(key).alias("_k"),
+        F.col(id_col).alias("id_r"),
+        _epoch_us(ts_col).alias("_tr"),
+    ).select("*", F.expr(f"_tr div {dus}").alias("_b"))
+    return (
+        lb.join(rb, on=["_k", "_b"])
+        .where(F.abs(F.col("_tr") - F.col("_tl")) <= F.lit(dus))
+        .select(
+            F.col("_k").alias(key), "id_l", "id_r",
+            (F.col("_tr") - F.col("_tl")).alias("gap_us"),
+        )
+    )
+
+
+def range_join_sql(
+    left_sql: str,
+    right_sql: str,
+    key: str,
+    ts_col: str,
+    id_col: str,
+    delta_s: int,
+) -> str:
+    dus = delta_s * US
+    return f"""
+    SELECT l.{key} AS {key}, l.{id_col} AS id_l, r.{id_col} AS id_r,
+           epoch_us(r.{ts_col}) - epoch_us(l.{ts_col}) AS gap_us
+    FROM ({left_sql}) l JOIN ({right_sql}) r
+      ON l.{key} = r.{key}
+     AND abs(epoch_us(r.{ts_col}) - epoch_us(l.{ts_col})) <= {dus}
+    """
+
+
+def hypertable_rollup(
+    df: DataFrame, ts_col: str, dim_col: str, value_col: str
+) -> DataFrame:
+    """One-pass multi-grain rollup: (day, dim) -> (day) -> (), each row
+    tagged grain 0/1/2. Value sums are integer cents (order-free)."""
+    base = df.select(
+        F.date_trunc("day", F.col(ts_col)).alias("day"),
+        F.col(dim_col).alias(dim_col),
+        F.floor(F.col(value_col) * 100 + F.lit(0.5))
+        .cast("long")
+        .alias("_cents"),
+    )
+    out = base.rollup("day", dim_col).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("_cents").alias("sum_value_cents"),
+    )
+    grain = (
+        F.when(F.col("day").isNull(), F.lit(2))
+        .when(F.col(dim_col).isNull(), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return out.select(
+        grain.cast("int").alias("grain"), "day", dim_col,
+        "n_events", "sum_value_cents",
+    )
+
+
+def hypertable_rollup_sql(
+    table: str, ts_col: str, dim_col: str, value_col: str
+) -> str:
+    return f"""
+    WITH base AS (SELECT date_trunc('day', {ts_col}) AS day,
+                         {dim_col},
+                         CAST(floor({value_col} * 100 + 0.5) AS BIGINT)
+                           AS _cents
+                  FROM {table}),
+    r AS (SELECT day, {dim_col},
+                 CAST(count(*) AS BIGINT) AS n_events,
+                 sum(_cents) AS sum_value_cents
+          FROM base GROUP BY ROLLUP (day, {dim_col}))
+    SELECT CAST(CASE WHEN day IS NULL THEN 2
+                     WHEN {dim_col} IS NULL THEN 1
+                     ELSE 0 END AS INTEGER) AS grain,
+           day, {dim_col}, n_events, CAST(sum_value_cents AS BIGINT)
+             AS sum_value_cents
+    FROM r
+    """

@@ -3299,6 +3299,97 @@ def build_catalog() -> dict[str, dict]:
         "ref": "session windows (streaming-shaped; gaps-and-islands batch oracle)",
     }
 
+    # --- temporal joins + rollup (operators/temporal.py) -------------------
+    # as-of / banded range join / hypertable rollup over the events table:
+    # the temporal companions Spark lacks natively, expressed as
+    # union+window carry-forward, bucketed equi-join, and GROUP BY ROLLUP
+    # (one Expand pass). Fixture: error events look up / pair with click
+    # events per user; RANGE_DELTA_S sized so matches exist at sf0.001.
+    from ..operators import temporal as TP
+
+    RANGE_DELTA_S = 7200
+    _EV_ERR = "SELECT * FROM events WHERE event_type = 'error'"
+    _EV_CLK = "SELECT * FROM events WHERE event_type = 'click'"
+
+    def _asof_spark(s: SparkSession, d: str) -> DataFrame:
+        ev = load(s, d, "events")
+        out = TP.asof_join(
+            ev.where(F.col("event_type") == "error"),
+            ev.where(F.col("event_type") == "click"),
+            key="user_id", ts_col="ts", id_col="event_id",
+            carry_cols=["event_id", "value"],
+        ).withColumnsRenamed(
+            {"asof_event_id": "asof_click_id", "asof_value": "asof_click_value"}
+        )
+        # catalog outputs are NULL-free (the cross-engine value compare is
+        # bitwise on doubles; NaN != NaN) — unmatched lefts are pytest-covered
+        return out.where(F.col("asof_gap_us").isNotNull())
+
+    cat["asof_join_events"] = {
+        "spark": _asof_spark,
+        "sql": "SELECT event_id, user_id, ts, "
+        "asof_event_id AS asof_click_id, "
+        "asof_value AS asof_click_value, asof_gap_us FROM ("
+        + TP.asof_join_sql(
+            _EV_ERR, _EV_CLK, key="user_id", ts_col="ts",
+            id_col="event_id", carry_cols=["event_id", "value"],
+            carry_types=["BIGINT", "DOUBLE"],
+        )
+        + ") WHERE asof_gap_us IS NOT NULL",
+        "ref": "as-of join (most recent click at/before each error per "
+        "user) — union + one window carry-forward, never a range join",
+    }
+
+    cat["range_join_events"] = {
+        "spark": lambda s, d: TP.range_join(
+            load(s, d, "events").where(F.col("event_type") == "click"),
+            load(s, d, "events").where(F.col("event_type") == "error"),
+            key="user_id", ts_col="ts", id_col="event_id",
+            delta_s=RANGE_DELTA_S,
+        ),
+        "sql": TP.range_join_sql(
+            _EV_CLK, _EV_ERR, key="user_id", ts_col="ts",
+            id_col="event_id", delta_s=RANGE_DELTA_S,
+        ),
+        "ref": "banded range join (click-error pairs within 2h per user) — "
+        "bucketed equi-join scale path vs the oracle's theta join",
+    }
+
+    cat["event_rollup"] = {
+        "spark": lambda s, d: TP.hypertable_rollup(
+            load(s, d, "events"), "ts", "event_type", "value"
+        ),
+        "sql": TP.hypertable_rollup_sql("events", "ts", "event_type", "value"),
+        "ref": "hypertable-style multi-grain rollup ((day,type)->(day)->()) "
+        "in one Expand pass; integer-cents sums (order-free)",
+    }
+
+    # --- group (household-style) linkage over the near-dup edge graph -----
+    def _group_linkage_spark(s: SparkSession, d: str) -> DataFrame:
+        from ..operators.fusion import group_linkage
+
+        return group_linkage(
+            _jaccard_edges_cached(s, d),
+            load(s, d, "documents").select("doc_id", "source"),
+            member_id="doc_id", group_col="source",
+        )
+
+    from ..operators.fusion import group_linkage_sql
+
+    cat["group_linkage"] = {
+        "spark": _group_linkage_spark,
+        "sql": group_linkage_sql(
+            "SELECT id_a, id_b FROM ("
+            + dedup.ngram_jaccard_pairs_via_lsh_sql(
+                "documents", "doc_id", "text", JACCARD_MIN_PCT
+            )
+            + ")",
+            "documents", member_id="doc_id", group_col="source",
+        ),
+        "ref": "group linkage (On et al. ICDE 2007): record-pair evidence "
+        "rolled up to cross-source group pairs with basis-point scores",
+    }
+
     # --- incremental entity resolution (operators/incremental.py) ---------
     #
     # Fixture: the standing corpus is documents with doc_id % 4 != 3,

@@ -192,6 +192,10 @@ def main() -> None:
         "pprl_clk_band_pairs",
         "soft_tfidf_pairs",
         "tf_adjusted_agreement",
+        "asof_join_events",
+        "range_join_events",
+        "event_rollup",
+        "group_linkage",
     ):
         extra_queries[name], _ = timed_reps(name)
     extras["extra_queries"] = extra_queries

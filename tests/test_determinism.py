@@ -103,6 +103,11 @@ QUERIES = [
     "stable_relabel",
     "pair_pr_curve",
     "canopy_clusters",
+    # round-4 temporal/group additions
+    "asof_join_events",
+    "range_join_events",
+    "event_rollup",
+    "group_linkage",
 ]
 
 

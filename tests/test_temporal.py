@@ -1,0 +1,177 @@
+"""Temporal join operators (operators/temporal.py): brute-force pandas
+replicas of as-of join / banded range join / hypertable rollup /
+group linkage on the sf0.001 events + synthetic fixtures, plus plan pins
+proving the scale shapes (no nested-loop joins, single-window as-of)."""
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from bayesianrecordlinkage_jl_spark.operators import temporal as TP
+from bayesianrecordlinkage_jl_spark.operators.fusion import group_linkage
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+def _pd_events():
+    return pd.read_parquet(f"{SF}/events.parquet")
+
+
+def test_asof_join_matches_bruteforce(spark, events):
+    out = TP.asof_join(
+        events.where(F.col("event_type") == "error"),
+        events.where(F.col("event_type") == "click"),
+        key="user_id", ts_col="ts", id_col="event_id",
+        carry_cols=["event_id", "value"],
+    ).toPandas().sort_values("event_id", ignore_index=True)
+
+    ev = _pd_events()
+    errs = ev[ev.event_type == "error"]
+    clicks = ev[ev.event_type == "click"]
+    # all left rows appear exactly once, matched or not
+    assert len(out) == len(errs)
+    byid = out.set_index("event_id")
+    n_null = 0
+    for _, e in errs.iterrows():
+        cand = clicks[(clicks.user_id == e.user_id) & (clicks.ts <= e.ts)]
+        row = byid.loc[e.event_id]
+        if len(cand) == 0:
+            assert pd.isna(row.asof_event_id) and pd.isna(row.asof_gap_us)
+            n_null += 1
+        else:
+            # most recent; ts ties resolve to the largest click event_id
+            best = cand.sort_values(["ts", "event_id"]).iloc[-1]
+            assert row.asof_event_id == best.event_id
+            assert row.asof_value == best.value
+            assert row.asof_gap_us == (
+                (e.ts.value - best.ts.value) // 1000  # pandas ns -> us
+            )
+    assert n_null > 0  # fixture exercises the unmatched branch
+
+
+def test_asof_join_plan_is_single_window_no_join(spark, events):
+    out = TP.asof_join(
+        events.where(F.col("event_type") == "error"),
+        events.where(F.col("event_type") == "click"),
+        key="user_id", ts_col="ts", id_col="event_id",
+        carry_cols=["value"],
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan  # carry-forward union, never a range join
+    assert plan.count("Window") == 1
+
+
+def test_asof_same_ts_right_row_is_visible(spark):
+    # a click at EXACTLY the error's ts must be picked (<= semantics),
+    # and among same-ts clicks the larger event_id wins
+    rows = [
+        (1, "2024-01-01 00:00:10", 100, "click", 1.0),
+        (2, "2024-01-01 00:00:10", 100, "click", 2.0),
+        (3, "2024-01-01 00:00:10", 100, "error", 0.0),
+        (4, "2024-01-01 00:00:09", 100, "error", 0.0),
+    ]
+    from datetime import datetime
+
+    df = spark.createDataFrame(
+        [(i, datetime.fromisoformat(t), u, k, v) for i, t, u, k, v in rows],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double",
+    )
+    out = TP.asof_join(
+        df.where(F.col("event_type") == "error"),
+        df.where(F.col("event_type") == "click"),
+        key="user_id", ts_col="ts", id_col="event_id",
+        carry_cols=["event_id"],
+    ).toPandas().set_index("event_id")
+    assert out.loc[3].asof_event_id == 2  # same-ts, larger id wins
+    assert out.loc[3].asof_gap_us == 0
+    assert pd.isna(out.loc[4].asof_event_id)  # strictly before any click
+
+
+def test_range_join_matches_bruteforce(spark, events):
+    delta = 7200
+    out = TP.range_join(
+        events.where(F.col("event_type") == "click"),
+        events.where(F.col("event_type") == "error"),
+        key="user_id", ts_col="ts", id_col="event_id", delta_s=delta,
+    ).toPandas()
+    ev = _pd_events()
+    clicks = ev[ev.event_type == "click"]
+    errs = ev[ev.event_type == "error"]
+    exp = clicks.merge(errs, on="user_id", suffixes=("_l", "_r"))
+    exp["gap_us"] = exp.ts_r.values.astype("datetime64[us]").astype(
+        "int64"
+    ) - exp.ts_l.values.astype("datetime64[us]").astype("int64")
+    exp = exp[exp.gap_us.abs() <= delta * 1_000_000]
+    a = set(map(tuple, out[["id_l", "id_r", "gap_us"]].itertuples(index=False)))
+    b = set(map(tuple, exp[["event_id_l", "event_id_r", "gap_us"]].itertuples(index=False)))
+    assert a == b and len(a) > 0
+    # each qualifying pair emitted exactly once (bucket membership is unique)
+    assert len(out) == len(exp)
+
+
+def test_range_join_plan_is_equi_join(spark, events):
+    out = TP.range_join(
+        events.where(F.col("event_type") == "click"),
+        events.where(F.col("event_type") == "error"),
+        key="user_id", ts_col="ts", id_col="event_id", delta_s=7200,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_hypertable_rollup_matches_bruteforce(spark, events):
+    out = TP.hypertable_rollup(events, "ts", "event_type", "value").toPandas()
+    ev = _pd_events()
+    ev["day"] = ev.ts.dt.floor("D")
+    ev["_cents"] = (ev.value * 100 + 0.5).apply(lambda x: int(x // 1))
+    fine = ev.groupby(["day", "event_type"], as_index=False).agg(
+        n_events=("event_id", "size"), sum_value_cents=("_cents", "sum")
+    )
+    g0 = out[out.grain == 0]
+    assert len(g0) == len(fine)
+    m = g0.merge(fine, left_on=["day", "event_type"],
+                 right_on=["day", "event_type"], suffixes=("", "_e"))
+    assert (m.n_events == m.n_events_e).all()
+    assert (m.sum_value_cents == m.sum_value_cents_e).all()
+    # grain 1 = per-day totals, grain 2 = grand total; sums telescope
+    g1, g2 = out[out.grain == 1], out[out.grain == 2]
+    assert len(g1) == ev.day.nunique() and len(g2) == 1
+    assert g1.n_events.sum() == len(ev) == int(g2.n_events.iloc[0])
+    assert (
+        g0.sum_value_cents.sum()
+        == g1.sum_value_cents.sum()
+        == int(g2.sum_value_cents.iloc[0])
+        == ev._cents.sum()
+    )
+
+
+def test_group_linkage_bruteforce(spark):
+    edges = spark.createDataFrame(
+        [(1, 11), (2, 12), (3, 13), (1, 21), (11, 21)],
+        "id_a long, id_b long",
+    )
+    members = spark.createDataFrame(
+        [(i, "A") for i in (1, 2, 3)]
+        + [(i, "B") for i in (11, 12, 13)]
+        + [(21, "C")],
+        "doc_id long, source string",
+    )
+    out = (
+        group_linkage(edges, members, "doc_id", "source")
+        .toPandas()
+        .set_index(["group_a", "group_b"])
+        .sort_index()
+    )
+    # A-B: 3 cross edges, min size 3 -> 10000; A-C: 1 edge / min 1 -> 10000;
+    # B-C: 1 edge / min 1 -> 10000; no within-group rows
+    assert set(out.index) == {("A", "B"), ("A", "C"), ("B", "C")}
+    assert out.loc[("A", "B")].n_edges == 3
+    assert out.loc[("A", "B")].score_bp == 10000
+    assert out.loc[("A", "C")].n_docs_a == 3
+    assert out.loc[("A", "C")].n_docs_b == 1
