@@ -505,3 +505,136 @@ def phonetic_key(col: str) -> Column:
     expression is server-parsed as one string, per the literal-construction
     invariant)."""
     return F.expr(phonetic_key_sql(col))
+
+
+# --- Damerau-Levenshtein (unrestricted, UTF-8 bytes) --------------------
+#
+# The reference's string model is plain Levenshtein (levOrd,
+# /root/reference/src/... vignette comparators); adjacent-transposition
+# typos ("teh", "recieve") cost 2 there but 1 under Damerau-Levenshtein —
+# the standard typo model for name/field linkage. UNRESTRICTED DL (a
+# transposed pair may be edited again later) rather than the easier OSA
+# restriction, because the cross-engine kernel (DuckDB damerau_levenshtein)
+# implements unrestricted DL over UTF-8 BYTES — same byte convention as the
+# JW comparator above, and the same hot-path design: the C kernel runs
+# inside the Arrow-batched pandas UDF (threads=1; Spark parallelizes across
+# tasks), with a pure-Python scalar reference for environments without
+# duckdb and for three-way bit-parity tests.
+
+
+def _damerau_levenshtein_bytes(a: bytes, b: bytes) -> int:
+    """Scalar reference: unrestricted Damerau-Levenshtein over byte
+    strings (Lowrance-Wagner 1975 alphabet-array DP). O(|a||b|)."""
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    maxd = la + lb
+    da: dict[int, int] = {}
+    # matrix with sentinel row/col at index 0 (maxd) and offset +1 rows
+    d = [[0] * (lb + 2) for _ in range(la + 2)]
+    d[0][0] = maxd
+    for i in range(la + 1):
+        d[i + 1][0] = maxd
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[0][j + 1] = maxd
+        d[1][j + 1] = j
+    for i in range(1, la + 1):
+        db = 0
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cb = b[j - 1]
+            k = da.get(cb, 0)
+            ell = db
+            if ca == cb:
+                cost = 0
+                db = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,            # substitute
+                d[i + 1][j] + 1,           # insert
+                d[i][j + 1] + 1,           # delete
+                d[k][ell] + (i - k - 1) + 1 + (j - ell - 1),  # transpose
+            )
+        da[ca] = i
+    return d[la + 1][lb + 1]
+
+
+_DUCK_DL = None  # per-worker cached DuckDB connection for the C++ DL kernel
+
+
+def _dl_dists(va, vb):
+    """Batch unrestricted-DL distances for non-null string arrays.
+    Primary kernel: DuckDB's C++ damerau_levenshtein over the whole Arrow
+    batch; fallback: the scalar reference. Bit parity asserted by
+    test_comparator_equivalence."""
+    import numpy as np
+
+    try:
+        import duckdb
+    except ImportError:
+        return np.fromiter(
+            (
+                _damerau_levenshtein_bytes(
+                    x.encode("utf-8"), y.encode("utf-8")
+                )
+                for x, y in zip(va, vb)
+            ),
+            np.int64,
+            len(va),
+        )
+
+    global _DUCK_DL
+    if _DUCK_DL is None:
+        _DUCK_DL = duckdb.connect()
+        _DUCK_DL.execute("SET threads TO 1")
+    df = pd.DataFrame({"a": va, "b": vb})
+    _DUCK_DL.register("_dl_batch", df)
+    out = _DUCK_DL.execute(
+        "SELECT CASE WHEN a = b THEN 0 "
+        "ELSE damerau_levenshtein(a, b) END AS dist FROM _dl_batch"
+    ).fetchnumpy()["dist"]
+    _DUCK_DL.unregister("_dl_batch")
+    return np.asarray(out, dtype=np.int64)
+
+
+def damerau_ord(a: Column, b: Column) -> Column:
+    """Unrestricted-DL distance binned {0, 1, 2, >2} -> levels 1..4;
+    0 missing — the levOrd convention with the typo-aware metric.
+    Arrow-batched pandas UDF around the DuckDB C kernel; no per-row
+    Python in the hot path (the scalar DP is the no-duckdb fallback)."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("tinyint")
+    def _dl(sa: pd.Series, sb: pd.Series) -> pd.Series:
+        valid = sa.notna().to_numpy() & sb.notna().to_numpy()
+        lvl = np.zeros(len(sa), dtype=np.int8)
+        if valid.any():
+            vi = np.nonzero(valid)[0]
+            dist = _dl_dists(
+                sa.to_numpy(dtype=object)[vi], sb.to_numpy(dtype=object)[vi]
+            )
+            lv = np.full(len(vi), 4, dtype=np.int8)
+            lv[dist <= 2] = 3
+            lv[dist <= 1] = 2
+            lv[dist == 0] = 1
+            lvl[vi] = lv
+        return pd.Series(lvl, dtype="int8")
+
+    return _dl(a, b)
+
+
+def damerau_ord_sql(a: str, b: str) -> str:
+    """DuckDB twin of damerau_ord (the oracle IS the primary kernel, so
+    parity is structural)."""
+    return (
+        f"CAST(CASE WHEN {a} IS NULL OR {b} IS NULL THEN 0 "
+        f"WHEN {a} = {b} THEN 1 "
+        f"WHEN damerau_levenshtein({a}, {b}) <= 1 THEN 2 "
+        f"WHEN damerau_levenshtein({a}, {b}) <= 2 THEN 3 "
+        f"ELSE 4 END AS TINYINT)"
+    )

@@ -1029,6 +1029,22 @@ def build_catalog() -> dict[str, dict]:
         "ref": "north_star Jaro-Winkler comparator (pandas UDF, bit-exact vs DuckDB)",
     }
 
+    cat["comparison_vectors_dl"] = {
+        "spark": lambda s, d: _pairs_spark(s, d).select(
+            "id_a",
+            "id_b",
+            C.damerau_ord(F.col("t64_a"), F.col("t64_b")).alias("g_dl"),
+        ),
+        "sql": f"""
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               {C.damerau_ord_sql(f'substr(a.text,1,{LEV_PREFIX})', f'substr(b.text,1,{LEV_PREFIX})')} AS g_dl
+        FROM documents a JOIN documents b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        """,
+        "ref": "unrestricted Damerau-Levenshtein comparator (typo-aware "
+        "upgrade of levOrd; DuckDB C kernel in the pandas UDF, bit-exact)",
+    }
+
     # --- aggregation layer (SURVEY 2.3) ---
     cat["distinct_vectors"] = {
         "spark": lambda s, d: distinct_vectors(_vectors_cached(s, d), GCOLS),

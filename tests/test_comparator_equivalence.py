@@ -186,3 +186,51 @@ def test_solver_variants_agree_on_blocks(spark, seed):
         assert totals["auction"].get(blk, 0.0) == pytest.approx(tw, abs=1e-6)
         # greedy is a lower bound but never exceeds the optimum
         assert totals["greedy"].get(blk, 0.0) <= tw + 1e-9
+
+
+def test_damerau_levenshtein_parity():
+    """Production DL batch kernel (_dl_dists: DuckDB C++ with scalar-DP
+    fallback) == the scalar Lowrance-Wagner reference, exact, on
+    adversarial pairs incl. transposition-heavy edits and multibyte UTF-8
+    (the comparator is defined over UTF-8 BYTES, DuckDB's convention —
+    'café' vs 'cafe' is distance 2, not 1)."""
+    rng = random.Random(23)
+
+    def rnd():
+        if rng.random() < 0.08:
+            return ""
+        alpha = "abc dé12猫"
+        return "".join(rng.choice(alpha) for _ in range(rng.randint(1, 32)))
+
+    pairs = []
+    for _ in range(4000):
+        a = rnd()
+        r = rng.random()
+        if r < 0.2:
+            b = a
+        elif r < 0.5 and len(a) >= 2:
+            lst = list(a)
+            i = rng.randrange(len(lst) - 1)
+            lst[i], lst[i + 1] = lst[i + 1], lst[i]  # adjacent transpose
+            b = "".join(lst)
+        elif r < 0.7 and a:
+            b = a[: max(0, len(a) - 2)] + rng.choice("ab1é")
+        else:
+            b = rnd()
+        pairs.append((a, b))
+    sa = np.array([p[0] for p in pairs], dtype=object)
+    sb = np.array([p[1] for p in pairs], dtype=object)
+    got = C._dl_dists(sa, sb)
+    ref = np.array(
+        [
+            C._damerau_levenshtein_bytes(a.encode("utf-8"), b.encode("utf-8"))
+            for a, b in pairs
+        ]
+    )
+    assert (got == ref).all()
+    # unrestricted (not OSA): a transposed pair may be edited again
+    assert C._dl_dists(np.array(["CA"], object), np.array(["ABC"], object))[0] == 2
+    # byte convention on multibyte chars
+    assert C._dl_dists(np.array(["café"], object), np.array(["cafe"], object))[0] == 2
+    # transposition beats substitution-twice
+    assert C._dl_dists(np.array(["teh"], object), np.array(["the"], object))[0] == 1

@@ -108,6 +108,7 @@ QUERIES = [
     "range_join_events",
     "event_rollup",
     "group_linkage",
+    "comparison_vectors_dl",
 ]
 
 
