@@ -267,3 +267,92 @@ def hypertable_rollup_sql(
              AS sum_value_cents
     FROM r
     """
+
+
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+    bucket_s: int,
+) -> DataFrame:
+    """All same-key (left, right) pairs whose HALF-OPEN validity intervals
+    [start, end) overlap — temporal record linkage's third join shape
+    (as-of = point->latest, range = point±delta, interval = span x span).
+    start/end are integer-microsecond columns (callers derive them the
+    same way in both engines; integer arithmetic keeps the oracle strict).
+
+    Scale path: both sides explode to the Δ-buckets their interval covers
+    (fan-out bounded by ceil(span/Δ)+1 — pick Δ near the typical span),
+    then an EQUI join on (key, bucket). A pair meets in EVERY shared
+    bucket, so instead of a distinct pass over the pair set (a second
+    shuffle), rows are kept only where the joined bucket is the FIRST
+    shared one: b == greatest(bucket(l.start), bucket(r.start)) — the
+    overlap's first bucket is always shared, so each qualifying pair
+    survives exactly once. Returns (key, id_l, id_r, overlap_us)."""
+    dus = bucket_s * US
+
+    def _spread(df: DataFrame, side: str) -> DataFrame:
+        return df.select(
+            F.col(key).alias("_k"),
+            F.col(id_col).alias(f"id_{side}"),
+            F.col(start_col).alias(f"_s{side}"),
+            F.col(end_col).alias(f"_e{side}"),
+        ).select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.expr(f"_s{side} div {dus}"),
+                    # end is EXCLUSIVE: an interval ending exactly on a
+                    # bucket boundary does not reach into that bucket
+                    F.expr(f"(_e{side} - 1) div {dus}"),
+                )
+            ).alias("_b"),
+        )
+
+    # empty intervals [s, s) overlap nothing under half-open semantics;
+    # filtering BEFORE the explode also pushes to the scans
+    lb = _spread(left.where(F.col(start_col) < F.col(end_col)), "l")
+    rb = _spread(right.where(F.col(start_col) < F.col(end_col)), "r")
+    return (
+        lb.join(rb, on=["_k", "_b"])
+        .where(
+            (F.col("_sl") < F.col("_er"))
+            & (F.col("_sr") < F.col("_el"))
+            & (
+                F.col("_b")
+                == F.greatest(
+                    F.expr(f"_sl div {dus}"), F.expr(f"_sr div {dus}")
+                )
+            )
+        )
+        .select(
+            F.col("_k").alias(key), "id_l", "id_r",
+            (
+                F.least("_el", "_er") - F.greatest("_sl", "_sr")
+            ).alias("overlap_us"),
+        )
+    )
+
+
+def interval_join_sql(
+    left_sql: str,
+    right_sql: str,
+    key: str,
+    id_col: str,
+    start_col: str,
+    end_col: str,
+) -> str:
+    """DuckDB twin: the plain theta overlap join (values identical; the
+    banded plan is the Spark-side scale shape)."""
+    return f"""
+    SELECT l.{key} AS {key}, l.{id_col} AS id_l, r.{id_col} AS id_r,
+           least(l.{end_col}, r.{end_col})
+             - greatest(l.{start_col}, r.{start_col}) AS overlap_us
+    FROM ({left_sql}) l JOIN ({right_sql}) r
+      ON l.{key} = r.{key}
+     AND l.{start_col} < r.{end_col} AND r.{start_col} < l.{end_col}
+     AND l.{start_col} < l.{end_col} AND r.{start_col} < r.{end_col}
+    """

@@ -3371,6 +3371,43 @@ def build_catalog() -> dict[str, dict]:
         "bucketed equi-join scale path vs the oracle's theta join",
     }
 
+    # interval overlap join: each event carries a validity span
+    # [ts, ts + floor(value*60) seconds) — view-vs-purchase overlaps per
+    # user. Spans reach ~9.3h (value <= 560.21), so 3600s buckets bound
+    # the fan-out at ceil(span/3600)+1 <= 11 rows per interval; floor()
+    # BEFORE the integer cast in BOTH engines (the Spark-truncates/
+    # DuckDB-rounds lore).
+    def _iv_spark(s: SparkSession, d: str, etype: str) -> DataFrame:
+        ev = load(s, d, "events").where(F.col("event_type") == etype)
+        return ev.select(
+            "user_id", "event_id",
+            TP._epoch_us("ts").alias("s_us"),
+            (
+                TP._epoch_us("ts")
+                + F.floor(F.col("value") * 60).cast("long") * F.lit(1_000_000)
+            ).alias("e_us"),
+        )
+
+    def _iv_sql(etype: str) -> str:
+        return f"""SELECT user_id, event_id, epoch_us(ts) AS s_us,
+        epoch_us(ts) + CAST(floor(value*60) AS BIGINT)*1000000 AS e_us
+        FROM events WHERE event_type = '{etype}'"""
+
+    cat["interval_join_events"] = {
+        "spark": lambda s, d: TP.interval_join(
+            _iv_spark(s, d, "view"), _iv_spark(s, d, "purchase"),
+            key="user_id", id_col="event_id",
+            start_col="s_us", end_col="e_us", bucket_s=3600,
+        ),
+        "sql": TP.interval_join_sql(
+            _iv_sql("view"), _iv_sql("purchase"),
+            key="user_id", id_col="event_id",
+            start_col="s_us", end_col="e_us",
+        ),
+        "ref": "interval overlap join (validity-span temporal linkage) — "
+        "bucketed equi-join with first-shared-bucket exactly-once emit",
+    }
+
     cat["event_rollup"] = {
         "spark": lambda s, d: TP.hypertable_rollup(
             load(s, d, "events"), "ts", "event_type", "value"

@@ -196,6 +196,8 @@ def main() -> None:
         "range_join_events",
         "event_rollup",
         "group_linkage",
+        "interval_join_events",
+        "comparison_vectors_dl",
     ):
         extra_queries[name], _ = timed_reps(name)
     extras["extra_queries"] = extra_queries

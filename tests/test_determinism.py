@@ -109,6 +109,7 @@ QUERIES = [
     "event_rollup",
     "group_linkage",
     "comparison_vectors_dl",
+    "interval_join_events",
 ]
 
 

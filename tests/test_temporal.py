@@ -175,3 +175,78 @@ def test_group_linkage_bruteforce(spark):
     assert out.loc[("A", "B")].score_bp == 10000
     assert out.loc[("A", "C")].n_docs_a == 3
     assert out.loc[("A", "C")].n_docs_b == 1
+
+
+def _iv(spark, rows):
+    return spark.createDataFrame(
+        rows, "user_id long, event_id long, s_us long, e_us long"
+    )
+
+
+def test_interval_join_matches_bruteforce(spark, events):
+    ev = _pd_events()
+    ev["s_us"] = ev.ts.values.astype("datetime64[us]").astype("int64")
+    ev["e_us"] = ev.s_us + (ev.value * 60).apply(lambda x: int(x // 1)) * 1_000_000
+
+    def side(t):
+        sub = ev[ev.event_type == t]
+        return spark.createDataFrame(
+            sub[["user_id", "event_id", "s_us", "e_us"]]
+        )
+
+    out = TP.interval_join(
+        side("view"), side("purchase"),
+        key="user_id", id_col="event_id",
+        start_col="s_us", end_col="e_us", bucket_s=3600,
+    ).toPandas()
+    v = ev[ev.event_type == "view"]
+    p = ev[ev.event_type == "purchase"]
+    exp = v.merge(p, on="user_id", suffixes=("_l", "_r"))
+    exp = exp[(exp.s_us_l < exp.e_us_r) & (exp.s_us_r < exp.e_us_l)]
+    exp["overlap_us"] = exp[["e_us_l", "e_us_r"]].min(axis=1) - exp[
+        ["s_us_l", "s_us_r"]
+    ].max(axis=1)
+    a = set(map(tuple, out[["id_l", "id_r", "overlap_us"]].itertuples(index=False)))
+    b = set(map(tuple, exp[["event_id_l", "event_id_r", "overlap_us"]].itertuples(index=False)))
+    assert a == b and len(a) > 0
+    # exactly-once emit (first-shared-bucket filter, no dedup pass)
+    assert len(out) == len(exp)
+
+
+def test_interval_join_boundaries(spark):
+    B = 10  # bucket_s=10 -> 10_000_000 us buckets
+    left = _iv(spark, [
+        (1, 1, 0, 25_000_000),          # spans buckets 0,1,2
+        (1, 2, 5_000_000, 5_000_000),   # EMPTY interval: matches nothing
+        (1, 3, 30_000_000, 40_000_000), # exactly bucket 3
+    ])
+    right = _iv(spark, [
+        (1, 10, 24_999_999, 26_000_000),  # overlaps id 1 by 1us
+        (1, 11, 25_000_000, 26_000_000),  # half-open: does NOT touch id 1
+        (1, 12, 0, 50_000_000),           # overlaps 1 and 3, not empty 2
+        (1, 13, 40_000_000, 41_000_000),  # end-boundary: not id 3
+    ])
+    out = TP.interval_join(
+        left, right, key="user_id", id_col="event_id",
+        start_col="s_us", end_col="e_us", bucket_s=B,
+    ).toPandas()
+    pairs = set(map(tuple, out[["id_l", "id_r"]].itertuples(index=False)))
+    assert pairs == {(1, 10), (1, 12), (3, 12)}
+    # each pair exactly once despite sharing several buckets with id 12
+    assert len(out) == 3
+    ov = out.set_index(["id_l", "id_r"]).overlap_us
+    assert ov.loc[(1, 10)] == 1
+    assert ov.loc[(1, 12)] == 25_000_000
+    assert ov.loc[(3, 12)] == 10_000_000
+
+
+def test_interval_join_plan_is_equi_join(spark):
+    left = _iv(spark, [(1, 1, 0, 5)])
+    right = _iv(spark, [(1, 2, 0, 5)])
+    out = TP.interval_join(
+        left, right, key="user_id", id_col="event_id",
+        start_col="s_us", end_col="e_us", bucket_s=10,
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
