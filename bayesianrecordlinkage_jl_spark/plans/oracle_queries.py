@@ -3242,6 +3242,120 @@ def build_catalog() -> dict[str, dict]:
         "per-value chance-agreement probabilities",
     }
 
+    # --- u-probabilities from deterministic random pairing ----------------
+    # The production FS recipe estimates u (P(agree | non-match)) directly
+    # from random record pairs — at web scale the non-match population is
+    # ~all pairs, so chance-agreement rates converge fast (the EM path
+    # estimates m and u jointly; this is the independent cross-check /
+    # initializer, cf. Splink's estimate_u_using_random_sampling). Random
+    # pairing is DETERMINISTIC here: rank docs by the portable 60-bit hash
+    # of 'usamp:'||doc_id (order independent of every linkage field) and
+    # chain-pair adjacent ranks — n-1 pseudo-random pairs, each doc in <=2,
+    # via the SNM machinery (bucketed rank, equi join on rank; window=2).
+    # Comparators run through the same single-eval raw->barrier->bin path
+    # as the scoring pipeline; outputs are integer counts + integer-micro
+    # rates (bit-strict).
+    _USAMP_KEY_SQL = (
+        "substr(md5('usamp:' || CAST(doc_id AS VARCHAR)), 1, 15)"
+    )
+
+    def _u_probs_spark(s: SparkSession, d: str) -> DataFrame:
+        from ..operators.blocking import sorted_neighborhood_pairs
+
+        docs = load(s, d, "documents")
+        key = F.substring(
+            F.md5(F.concat(F.lit("usamp:"), F.col("doc_id").cast("string"))),
+            1, 15,
+        )
+        pairs = sorted_neighborhood_pairs(
+            docs.select("doc_id"), "doc_id", key, window=2
+        ).select("id_a", "id_b")
+        proj = docs.select(
+            "doc_id", "n_chars",
+            F.substring("text", 1, LEV_PREFIX).alias("t64"),
+            F.array_distinct(F.split("text", " ")).alias("toks"),
+        )
+        p = (
+            pairs.join(
+                proj.select(
+                    F.col("doc_id").alias("id_a"),
+                    F.col("t64").alias("t64_a"),
+                    F.col("toks").alias("toks_a"),
+                    F.col("n_chars").alias("n_chars_a"),
+                ),
+                on="id_a",
+            ).join(
+                proj.select(
+                    F.col("doc_id").alias("id_b"),
+                    F.col("t64").alias("t64_b"),
+                    F.col("toks").alias("toks_b"),
+                    F.col("n_chars").alias("n_chars_b"),
+                ),
+                on="id_b",
+            )
+        )
+        raw = _raw_measures(p)
+        agg = raw.groupBy("id_a", "id_b").agg(
+            *[F.first(c).alias(c) for c in _RAW_COLS]
+        )
+        b = _bin_exprs()
+        v = agg.select(*[b[g].alias(g) for g in GCOLS])
+        stacked = None
+        for g in GCOLS:
+            part = v.select(
+                F.lit(g).alias("field"), F.col(g).cast("int").alias("level")
+            )
+            stacked = part if stacked is None else stacked.unionByName(part)
+        cnt = stacked.groupBy("field", "level").agg(
+            F.count(F.lit(1)).alias("n_pairs")
+        )
+        wtot = Window.partitionBy("field")
+        return cnt.select(
+            "field", "level", "n_pairs",
+            F.expr("1000000 * n_pairs").alias("_num"),
+            F.sum("n_pairs").over(wtot).alias("_tot"),
+        ).select(
+            "field", "level", "n_pairs",
+            F.expr("_num div _tot").alias("u_micro"),
+        )
+
+    from ..operators.blocking import sorted_neighborhood_pairs_sql
+
+    _USAMP_G = {
+        "g1": C.lev_ord_sql(
+            f"substr(text_a,1,{LEV_PREFIX})", f"substr(text_b,1,{LEV_PREFIX})"
+        ),
+        "g2": C.token_jaccard_ord_sql("text_a", "text_b"),
+        "g3": C.num_band_ord_sql("n_chars_a", "n_chars_b", NCHAR_CUTS),
+    }
+
+    cat["u_probability_estimates"] = {
+        "spark": _u_probs_spark,
+        "sql": f"""
+        WITH usnm AS ({sorted_neighborhood_pairs_sql(
+            "documents", "doc_id", _USAMP_KEY_SQL, 2)}),
+        up AS (SELECT da.text AS text_a, db.text AS text_b,
+                      da.n_chars AS n_chars_a, db.n_chars AS n_chars_b
+               FROM usnm JOIN documents da ON da.doc_id = usnm.id_a
+                         JOIN documents db ON db.doc_id = usnm.id_b),
+        gv AS (SELECT {_USAMP_G['g1']} AS g1, {_USAMP_G['g2']} AS g2,
+                      {_USAMP_G['g3']} AS g3 FROM up),
+        stacked AS (
+          SELECT 'g1' AS field, CAST(g1 AS INT) AS level FROM gv
+          UNION ALL SELECT 'g2', CAST(g2 AS INT) FROM gv
+          UNION ALL SELECT 'g3', CAST(g3 AS INT) FROM gv),
+        cnt AS (SELECT field, level, CAST(count(*) AS BIGINT) AS n_pairs
+                FROM stacked GROUP BY 1, 2)
+        SELECT field, level, n_pairs,
+               CAST((1000000 * n_pairs) // CAST(sum(n_pairs)
+                 OVER (PARTITION BY field) AS BIGINT) AS BIGINT) AS u_micro
+        FROM cnt
+        """,
+        "ref": "u-probability estimation from deterministic hash-random "
+        "pairs (the FS/Splink production recipe: u from random pairs, m "
+        "from EM) — complements src/em_functions.jl's joint estimate",
+    }
+
     def _pages_linkage(s: SparkSession, d: str) -> DataFrame:
         from ..plans.pipeline import LinkageConfig, run_linkage
         from ..sources.pages import generate_pages

@@ -198,6 +198,7 @@ def main() -> None:
         "group_linkage",
         "interval_join_events",
         "comparison_vectors_dl",
+        "u_probability_estimates",
     ):
         extra_queries[name], _ = timed_reps(name)
     extras["extra_queries"] = extra_queries

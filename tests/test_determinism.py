@@ -110,6 +110,7 @@ QUERIES = [
     "group_linkage",
     "comparison_vectors_dl",
     "interval_join_events",
+    "u_probability_estimates",
 ]
 
 

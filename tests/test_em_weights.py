@@ -148,3 +148,87 @@ def test_fs_decision_band_edges(spark):
     assert got == [
         "match", "match", "clerical", "clerical", "nonmatch", "nonmatch"
     ]
+
+
+def test_u_probability_estimates_replica(spark):
+    """u_probability_estimates == a pandas replica of the full chain:
+    hash-rank pairing (each doc in <= 2 pairs), comparator binning, and
+    integer-micro rates. Also pins the pairing invariants the estimate's
+    'random pairs' claim rests on."""
+    import hashlib
+
+    import pandas as pd
+
+    from bayesianrecordlinkage_jl_spark.plans.oracle_queries import (
+        build_catalog,
+    )
+
+    d = "/root/testdata/sf0.001"
+    out = (
+        build_catalog()["u_probability_estimates"]["spark"](spark, d)
+        .toPandas()
+        .sort_values(["field", "level"], ignore_index=True)
+    )
+    docs = pd.read_parquet(f"{d}/documents.parquet")
+    docs["_key"] = docs.doc_id.map(
+        lambda i: hashlib.md5(f"usamp:{i}".encode()).hexdigest()[:15]
+    )
+    docs = docs.sort_values(["_key", "doc_id"], ignore_index=True)
+    # ONE global chain in (key, id) order (the SNM global rank is composed
+    # from bucketed ranks + offsets, so adjacent ranks cross bucket
+    # boundaries too): N-1 pairs, each doc in at most 2
+    pairs = [
+        (docs.doc_id[i], docs.doc_id[i + 1]) for i in range(len(docs) - 1)
+    ]
+    from collections import Counter
+
+    occ = Counter(x for p in pairs for x in p)
+    assert max(occ.values()) <= 2
+    assert len(pairs) == len(docs) - 1
+
+    bydoc = docs.set_index("doc_id")
+
+    def lev(a, b):
+        # plain DP levenshtein on the 64-char prefixes
+        a, b = a[:64], b[:64]
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    rows = []
+    for ia, ib in pairs:
+        ra, rb = bydoc.loc[ia], bydoc.loc[ib]
+        mx = max(len(ra.text[:64]), len(rb.text[:64]))
+        lv = lev(ra.text, rb.text)
+        g1 = (1 if mx == 0 or lv == 0 else
+              2 if (mx - lv) * 4 >= mx * 3 else
+              3 if (mx - lv) * 2 >= mx else 4)
+        ta, tb = set(ra.text.split(" ")), set(rb.text.split(" "))
+        i_, u_ = len(ta & tb), len(ta | tb)
+        g2 = (1 if i_ * 10 >= u_ * 9 else 2 if i_ * 10 >= u_ * 6 else
+              3 if i_ * 10 >= u_ * 3 else 4)
+        d = abs(ra.n_chars - rb.n_chars)
+        g3 = 1 if d == 0 else 2 if d <= 50 else 3
+        rows.append((g1, g2, g3))
+    rep = pd.DataFrame(rows, columns=["g1", "g2", "g3"])
+    exp = []
+    for f in ["g1", "g2", "g3"]:
+        c = rep[f].value_counts()
+        tot = int(c.sum())
+        for lvl, n in sorted(c.items()):
+            exp.append((f, int(lvl), int(n), (1_000_000 * int(n)) // tot))
+    exp = pd.DataFrame(
+        exp, columns=["field", "level", "n_pairs", "u_micro"]
+    ).sort_values(["field", "level"], ignore_index=True)
+    pd.testing.assert_frame_equal(
+        out.astype({"level": "int64", "n_pairs": "int64", "u_micro": "int64"}),
+        exp.astype({"level": "int64", "n_pairs": "int64", "u_micro": "int64"}),
+    )
+    # u-rates per field sum to ~1e6 (floor rounding only)
+    s = out.groupby("field").u_micro.sum()
+    assert ((s > 999_990) & (s <= 1_000_000)).all()
