@@ -864,6 +864,61 @@ def build_catalog() -> dict[str, dict]:
         "upstream; README.md:160-183",
     }
 
+    # --- blocking-rule coverage (Splink-style rule analysis) --------------
+    # Production blocking is a UNION of rules; choosing them needs the
+    # overlap histogram: how many candidate pairs each rule contributes
+    # uniquely vs jointly. Rules here are the catalog's own three families
+    # (bit 1 = equi-key lang+source, bit 2 = MinHash-LSH bands, bit 4 =
+    # sorted-neighborhood), same constants as their standalone entries.
+    # One union + per-rule dedup + a pair-keyed bit-sum — linear in the
+    # candidate sets, nothing quadratic.
+    def _rule_coverage_spark(s: SparkSession, d: str) -> DataFrame:
+        r1 = _pairs_spark(s, d).select("id_a", "id_b").withColumn(
+            "_bit", F.lit(1)
+        )
+        r2 = dedup.minhash_lsh_pairs(
+            load(s, d, "documents"), "doc_id", "text"
+        ).select("id_a", "id_b").withColumn("_bit", F.lit(2))
+        r3 = blocking.sorted_neighborhood_pairs(
+            load(s, d, "documents"), "doc_id", _snm_key_spark(),
+            window=SNM_WINDOW, bucket_len=4,
+        ).select("id_a", "id_b").withColumn("_bit", F.lit(4))
+        u = r1.unionByName(r2).unionByName(r3).select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            "_bit",
+        ).distinct()
+        masks = u.groupBy("id_a", "id_b").agg(
+            F.sum("_bit").cast("int").alias("rule_mask")
+        )
+        return masks.groupBy("rule_mask").agg(
+            F.count(F.lit(1)).alias("n_pairs")
+        )
+
+    cat["blocking_rule_coverage"] = {
+        "spark": _rule_coverage_spark,
+        "sql": f"""
+        WITH rc1 AS (SELECT id_a, id_b, 1 AS _bit FROM ({_PAIRS_SQL})),
+        rc2 AS (SELECT id_a, id_b, 2 AS _bit
+                FROM ({dedup.minhash_lsh_pairs_sql(
+                    "documents", "doc_id", "text")})),
+        rc3 AS (SELECT id_a, id_b, 4 AS _bit
+                FROM ({blocking.sorted_neighborhood_pairs_sql(
+                    "documents", "doc_id", _SNM_KEY_SQL, SNM_WINDOW)})),
+        rcu AS (SELECT DISTINCT least(id_a, id_b) AS id_a,
+                       greatest(id_a, id_b) AS id_b, _bit
+                FROM (SELECT * FROM rc1 UNION ALL SELECT * FROM rc2
+                      UNION ALL SELECT * FROM rc3)),
+        rcm AS (SELECT id_a, id_b, CAST(sum(_bit) AS INT) AS rule_mask
+                FROM rcu GROUP BY 1, 2)
+        SELECT rule_mask, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM rcm GROUP BY 1
+        """,
+        "ref": "blocking-rule union coverage histogram (Splink blocking-"
+        "rule analysis; Papadakis blocking surveys) — which rule families "
+        "contribute which candidates, uniquely vs jointly",
+    }
+
     # --- meta-blocking: token blocking + CBS weights + WEP pruning ---
     cat["meta_blocking"] = {
         "spark": lambda s, d: blocking.meta_blocking_pairs(

@@ -199,6 +199,7 @@ def main() -> None:
         "interval_join_events",
         "comparison_vectors_dl",
         "u_probability_estimates",
+        "blocking_rule_coverage",
     ):
         extra_queries[name], _ = timed_reps(name)
     extras["extra_queries"] = extra_queries

@@ -61,3 +61,34 @@ def test_blocking_quality_catalog_monotone(spark):
         rows["lang+source"]["completeness"]
         <= min(rows["lang"]["completeness"], rows["source"]["completeness"])
     )
+
+
+def test_blocking_rule_coverage_set_algebra(spark):
+    """blocking_rule_coverage's mask histogram == set algebra over the
+    three standalone rule queries' own pair sets (same catalog constants),
+    and the mask totals are consistent: sum over masks containing bit b ==
+    |rule b's distinct normalized pair set|."""
+    from collections import Counter
+
+    from bayesianrecordlinkage_jl_spark.plans.oracle_queries import (
+        build_catalog,
+    )
+
+    d = "/root/testdata/sf0.001"
+    cat = build_catalog()
+
+    def pairset(name):
+        df = cat[name]["spark"](spark, d).select("id_a", "id_b").toPandas()
+        return {
+            (min(a, b), max(a, b)) for a, b in zip(df.id_a, df.id_b)
+        }
+
+    r = {1: pairset("candidate_pairs"), 2: pairset("dedup_minhash_lsh"),
+         4: pairset("snm_pairs")}
+    exp = Counter()
+    for p in r[1] | r[2] | r[4]:
+        exp[sum(bit for bit, s in r.items() if p in s)] += 1
+    got = cat["blocking_rule_coverage"]["spark"](spark, d).toPandas()
+    assert {int(m): int(n) for m, n in zip(got.rule_mask, got.n_pairs)} == dict(exp)
+    # at least one pair is multi-rule and one is single-rule on the fixture
+    assert any(m > 4 or m == 3 for m in exp) and any(m in (1, 2, 4) for m in exp)

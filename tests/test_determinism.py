@@ -111,6 +111,7 @@ QUERIES = [
     "comparison_vectors_dl",
     "interval_join_events",
     "u_probability_estimates",
+    "blocking_rule_coverage",
 ]
 
 
