@@ -3851,4 +3851,285 @@ def build_catalog() -> dict[str, dict]:
         "contingency sums, shared-verbatim IEEE double tail",
     }
 
+    # --- per-pair weight waterfall (Splink-style match-weight explanation)
+    # One row per (reviewable pair, field): the field's agreement level,
+    # its log(m/u) contribution, and the left-to-right cumulative weight —
+    # exactly fs_weight's association order, so cum_w at the last step IS
+    # the w column bit-for-bit. Restricted to the review band (w >=
+    # FS_LOWER) so cardinality is pairs-above-threshold x |fields|, never
+    # the full candidate set. Spark side is a single F.inline projection
+    # over checkpointed tinyint g-columns (one pass, no re-scoring).
+    def _waterfall_spark(s: SparkSession, d: str) -> DataFrame:
+        sp = _scored_pairs_cached(s, d).where(
+            F.col("w") >= F.lit(float(FS_LOWER))
+        )
+        terms = [W.field_weight(F.col(g), k) for g, k in FIELD_KINDS]
+        cums = [terms[0]]
+        for t in terms[1:]:
+            cums.append(cums[-1] + t)
+        rows = F.array(*[
+            F.struct(
+                F.lit(i + 1).alias("step"),
+                F.lit(g).alias("field"),
+                F.col(g).cast("int").alias("level"),
+                terms[i].alias("contrib"),
+                cums[i].alias("cum_w"),
+            )
+            for i, (g, _k) in enumerate(FIELD_KINDS)
+        ])
+        return sp.select("id_a", "id_b", F.inline(rows))
+
+    _WF_TERMS = [W.field_weight_sql(g, k) for g, k in FIELD_KINDS]
+    _WF_CUMS = [f"({_WF_TERMS[0]})"]
+    for _t in _WF_TERMS[1:]:
+        _WF_CUMS.append(f"({_WF_CUMS[-1]} + ({_t}))")
+    _WF_STEPS_SQL = " UNION ALL ".join(
+        f"SELECT id_a, id_b, {i + 1} AS step, '{g}' AS field, "
+        f"CAST({g} AS INT) AS level, ({_WF_TERMS[i]}) AS contrib, "
+        f"{_WF_CUMS[i]} AS cum_w FROM wfp"
+        for i, (g, _k) in enumerate(FIELD_KINDS)
+    )
+
+    cat["match_weight_waterfall"] = {
+        "spark": _waterfall_spark,
+        "sql": f"""
+        WITH wfp AS (
+          SELECT id_a, id_b, g1, g2, g3 FROM ({_vectors_sql()})
+          WHERE ({_WEIGHT_EXPR_SQL}) >= {W._dlit(float(FS_LOWER))}
+        )
+        {_WF_STEPS_SQL}
+        """,
+        "ref": "per-pair FS weight decomposition (Splink waterfall chart "
+        "semantics) — explains src/weight_functions.jl:159-173 sums field "
+        "by field for clerical review; cum_w replays fs_weight's exact "
+        "left-to-right association",
+    }
+
+    # --- unlinkables profile (best-match-weight histogram per record) ----
+    # For every record: the best candidate weight it achieves under the
+    # blocking scheme, floored to an integer weight bin; records with NO
+    # candidate pair land in the sentinel bin -9999. The share of records
+    # whose best weight sits below the match threshold is Splink's
+    # "unlinkables" curve — what fraction of the file CANNOT be linked no
+    # matter where the cutoff goes. floor() in BOTH emitters (Spark CAST
+    # truncates toward zero, DuckDB rounds — the canopy lesson).
+    def _unlinkables_spark(s: SparkSession, d: str) -> DataFrame:
+        sp = _scored_pairs_cached(s, d)
+        ends = sp.select(F.col("id_a").alias("id"), "w").unionByName(
+            sp.select(F.col("id_b").alias("id"), "w")
+        )
+        best = ends.groupBy("id").agg(F.max("w").alias("best_w"))
+        docs = load(s, d, "documents").select(F.col("doc_id").alias("id"))
+        j = docs.join(best, on="id", how="left")
+        w_bin = (
+            F.when(F.col("best_w").isNull(), F.lit(-9999).cast("long"))
+            .otherwise(F.floor("best_w"))
+        )
+        return (
+            j.select(w_bin.alias("w_bin"))
+            .groupBy("w_bin")
+            .agg(F.count(F.lit(1)).alias("n_records"))
+        )
+
+    cat["unlinkables_profile"] = {
+        "spark": _unlinkables_spark,
+        "sql": f"""
+        WITH ulp AS ({_weighted_pairs_sql()}),
+        ulends AS (SELECT id_a AS id, w FROM ulp
+                   UNION ALL SELECT id_b AS id, w FROM ulp),
+        ulbest AS (SELECT id, max(w) AS best_w FROM ulends GROUP BY 1)
+        SELECT CASE WHEN best_w IS NULL THEN CAST(-9999 AS BIGINT)
+                    ELSE CAST(floor(best_w) AS BIGINT) END AS w_bin,
+               CAST(count(*) AS BIGINT) AS n_records
+        FROM (SELECT d.doc_id AS id, b.best_w
+              FROM documents d LEFT JOIN ulbest b ON b.id = d.doc_id)
+        GROUP BY 1
+        """,
+        "ref": "unlinkables analysis (Splink's unlinkables chart): "
+        "per-record best candidate weight under the blocking scheme, "
+        "binned — the records no threshold can ever link; max over the "
+        "same value set is order-free, so cross-engine bit parity holds",
+    }
+
+    # --- deterministic rule-cascade linkage ------------------------------
+    # Production ER's waterfall of deterministic rules before probabilistic
+    # scoring: rule 1 = exact content hash match (block-free), rule 2 =
+    # near-identical prefix inside the standard block (g1 = 1), rule 3 =
+    # n-gram-Jaccard near-dup (LSH-verified). Each pair is labeled with the
+    # HIGHEST-priority (minimum-id) rule that matched — a union + pair-key
+    # min, linear in the candidate sets.
+    def _cascade_spark(s: SparkSession, d: str) -> DataFrame:
+        docs = load(s, d, "documents")
+        g = docs.select(
+            F.col("doc_id").cast("long").alias("doc_id"),
+            F.md5(F.col("text")).alias("_h"),
+        )
+        r1 = (
+            g.select(F.col("doc_id").alias("id_a"), "_h")
+            .join(g.select(F.col("doc_id").alias("id_b"), "_h"), on="_h")
+            .where(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b", F.lit(1).alias("rule_id"))
+        )
+        r2 = (
+            _scored_pairs_cached(s, d)
+            .where(F.col("g1") == 1)
+            .select(
+                F.col("id_a").cast("long").alias("id_a"),
+                F.col("id_b").cast("long").alias("id_b"),
+                F.lit(2).alias("rule_id"),
+            )
+        )
+        r3 = _jaccard_edges_cached(s, d).select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.lit(3).alias("rule_id"),
+        )
+        return (
+            r1.unionByName(r2)
+            .unionByName(r3)
+            .groupBy("id_a", "id_b")
+            .agg(F.min("rule_id").cast("int").alias("rule_id"))
+        )
+
+    cat["rule_cascade_links"] = {
+        "spark": _cascade_spark,
+        "sql": f"""
+        WITH cscd1 AS (
+          SELECT x.doc_id AS id_a, y.doc_id AS id_b, 1 AS rule_id
+          FROM (SELECT doc_id, md5(text) AS _h FROM documents) x
+          JOIN (SELECT doc_id, md5(text) AS _h FROM documents) y
+            ON x._h = y._h AND x.doc_id < y.doc_id),
+        cscd2 AS (SELECT id_a, id_b, 2 AS rule_id
+                  FROM ({_vectors_sql()}) WHERE g1 = 1),
+        cscd3 AS (SELECT id_a, id_b, 3 AS rule_id
+                  FROM ({dedup.ngram_jaccard_pairs_via_lsh_sql(
+                      "documents", "doc_id", "text", JACCARD_MIN_PCT)}))
+        SELECT id_a, id_b, CAST(min(rule_id) AS INT) AS rule_id
+        FROM (SELECT * FROM cscd1 UNION ALL SELECT * FROM cscd2
+              UNION ALL SELECT * FROM cscd3)
+        GROUP BY 1, 2
+        """,
+        "ref": "deterministic rule cascade (census/production ER: exact "
+        "match passes before probabilistic ones; Fellegi-Sunter 1969 "
+        "multi-pass practice) — pair gets the first rule that fires",
+    }
+
+    # --- capture-recapture duplicate-count estimate -----------------------
+    # Two independent capture occasions = two candidate-generation rules
+    # (equi-block positive-weight pairs vs LSH near-dup pairs); the Chapman
+    # estimator of the TOTAL true-pair population sizes what both rules
+    # miss. Integer counts from one full-outer pass; the only float op is a
+    # single division + subtraction (bit-identical cross-engine).
+    def _caprecap_spark(s: SparkSession, d: str) -> DataFrame:
+        a = (
+            _scored_pairs_cached(s, d)
+            .where(F.col("w") > EDGE_THRESHOLD)
+            .select("id_a", "id_b", F.lit(1).alias("in_a"))
+        )
+        b = _jaccard_edges_cached(s, d).select(
+            "id_a", "id_b", F.lit(1).alias("in_b")
+        )
+        jo = a.join(b, on=["id_a", "id_b"], how="full")
+        agg = jo.agg(
+            F.sum(F.coalesce(F.col("in_a"), F.lit(0)))
+            .cast("long")
+            .alias("n_rule_a"),
+            F.sum(F.coalesce(F.col("in_b"), F.lit(0)))
+            .cast("long")
+            .alias("n_rule_b"),
+            F.sum(
+                F.coalesce(F.col("in_a"), F.lit(0))
+                * F.coalesce(F.col("in_b"), F.lit(0))
+            )
+            .cast("long")
+            .alias("n_overlap"),
+        )
+        chapman = (
+            ((F.col("n_rule_a") + 1) * (F.col("n_rule_b") + 1)).cast("double")
+            / (F.col("n_overlap") + 1).cast("double")
+        ) - F.lit(1.0)
+        return agg.select(
+            "n_rule_a", "n_rule_b", "n_overlap",
+            chapman.alias("chapman_total"),
+        )
+
+    cat["capture_recapture_estimate"] = {
+        "spark": _caprecap_spark,
+        "sql": f"""
+        WITH cra AS (SELECT id_a, id_b, 1 AS in_a
+                     FROM ({_weighted_pairs_sql()})
+                     WHERE w > {W._dlit(float(EDGE_THRESHOLD))}),
+        crb AS (SELECT id_a, id_b, 1 AS in_b
+                FROM ({dedup.ngram_jaccard_pairs_via_lsh_sql(
+                    "documents", "doc_id", "text", JACCARD_MIN_PCT)})),
+        crj AS (SELECT coalesce(in_a, 0) AS in_a, coalesce(in_b, 0) AS in_b
+                FROM cra FULL OUTER JOIN crb USING (id_a, id_b)),
+        crc AS (SELECT CAST(sum(in_a) AS BIGINT) AS n_rule_a,
+                       CAST(sum(in_b) AS BIGINT) AS n_rule_b,
+                       CAST(sum(in_a * in_b) AS BIGINT) AS n_overlap
+                FROM crj)
+        SELECT n_rule_a, n_rule_b, n_overlap,
+               (CAST((n_rule_a + 1) * (n_rule_b + 1) AS DOUBLE)
+                / CAST(n_overlap + 1 AS DOUBLE)) - 1.0e0 AS chapman_total
+        FROM crc
+        """,
+        "ref": "capture-recapture (Chapman 1951) duplicate-population "
+        "estimate from two independent candidate rules — the standard "
+        "coverage diagnostic when no labeled truth exists",
+    }
+
+    # --- per-cluster graph diagnostics ------------------------------------
+    # Node count, internal edge count, edge density, and the weakest /
+    # strongest internal edge per entity cluster: low-density clusters with
+    # a weak bridge edge are the over-merge suspects one_to_one /
+    # kwikcluster exist to fix. Edges inherit their component via ONE
+    # id_a-side label join (id_b's label is identical by construction);
+    # everything aggregates per component — |edges| shuffled once, never
+    # any quadratic blowup. density = 2E/(n(n-1)) is one integer-ratio
+    # division, min/max over doubles are order-free: bit-strict.
+    def _cluster_graph_stats_spark(s: SparkSession, d: str) -> DataFrame:
+        cc = _cc_cached(s, d)
+        sp = _scored_pairs_cached(s, d).where(F.col("w") > EDGE_THRESHOLD)
+        e = sp.join(
+            cc.select(F.col("node").alias("id_a"), "component"), on="id_a"
+        )
+        es = e.groupBy("component").agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.min("w").alias("min_w"),
+            F.max("w").alias("max_w"),
+        )
+        ns = cc.groupBy("component").agg(F.count(F.lit(1)).alias("n_nodes"))
+        out = ns.join(es, on="component")
+        density = (F.col("n_edges") * 2).cast("double") / (
+            F.col("n_nodes") * (F.col("n_nodes") - 1)
+        ).cast("double")
+        return out.select(
+            "component", "n_nodes", "n_edges", "min_w", "max_w",
+            density.alias("density"),
+        )
+
+    cat["cluster_graph_stats"] = {
+        "spark": _cluster_graph_stats_spark,
+        "sql": f"""
+        WITH cgcc AS ({_cc_sql()}),
+        cge AS (SELECT p.id_a, p.id_b, p.w, c.component
+                FROM (SELECT id_a, id_b, w FROM ({_weighted_pairs_sql()})
+                      WHERE w > {W._dlit(float(EDGE_THRESHOLD))}) p
+                JOIN cgcc c ON c.node = p.id_a),
+        cges AS (SELECT component, CAST(count(*) AS BIGINT) AS n_edges,
+                        min(w) AS min_w, max(w) AS max_w
+                 FROM cge GROUP BY 1),
+        cgns AS (SELECT component, CAST(count(*) AS BIGINT) AS n_nodes
+                 FROM cgcc GROUP BY 1)
+        SELECT n.component, n.n_nodes, e.n_edges, e.min_w, e.max_w,
+               CAST(e.n_edges * 2 AS DOUBLE)
+                 / CAST(n.n_nodes * (n.n_nodes - 1) AS DOUBLE) AS density
+        FROM cgns n JOIN cges e ON e.component = n.component
+        """,
+        "ref": "per-cluster graph diagnostics (edge density + weakest "
+        "internal edge) — the over-merge audit downstream of "
+        "src/clustering_functions.jl components; Splink cluster metrics "
+        "semantics",
+    }
+
     return cat

@@ -112,6 +112,12 @@ QUERIES = [
     "interval_join_events",
     "u_probability_estimates",
     "blocking_rule_coverage",
+    # round-4 ER-diagnostics additions
+    "match_weight_waterfall",
+    "unlinkables_profile",
+    "rule_cascade_links",
+    "capture_recapture_estimate",
+    "cluster_graph_stats",
 ]
 
 
