@@ -4132,4 +4132,180 @@ def build_catalog() -> dict[str, dict]:
         "semantics",
     }
 
+    # --- cluster embedding centroids --------------------------------------
+    # Per multi-doc near-dup cluster: the embedding centroid in integer
+    # micro units — sums of floor(v*1e6+0.5) are order-free (the coarse-
+    # grain rollup lesson), so the aggregate is bit-strict under any
+    # partitioning; the mean is ONE integer-ratio division. This is the
+    # SemDeDup/IVF seeding primitive: one narrow posexplode of the
+    # clustered embeddings (64x row fan-out of |clustered docs|), one
+    # map-side-combinable aggregate — no vector ever crosses a shuffle.
+    def _centroids_spark(s: SparkSession, d: str) -> DataFrame:
+        cc = _jaccard_cc_cached(s, d)
+        sizes = cc.groupBy("component").agg(
+            F.count(F.lit(1)).alias("_n")
+        ).where(F.col("_n") >= 2)
+        emb = load(s, d, "embeddings").select(
+            F.col("vec_id").alias("node"), "embedding"
+        )
+        j = (
+            cc.join(sizes.select("component"), on="component")
+            .join(emb, on="node")
+        )
+        ex = j.select(
+            "component", F.posexplode("embedding").alias("dim", "_v")
+        )
+        q = F.floor(F.col("_v").cast("double") * 1000000.0 + F.lit(0.5))
+        agg = ex.select(
+            "component", F.col("dim").cast("int").alias("dim"),
+            q.alias("_q"),
+        ).groupBy("component", "dim").agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("_q").cast("long").alias("sum_micro"),
+        )
+        return agg.select(
+            "component", "dim", "n_docs", "sum_micro",
+            (
+                F.col("sum_micro").cast("double")
+                / F.col("n_docs").cast("double")
+            ).alias("centroid_micro"),
+        )
+
+    cat["cluster_centroids"] = {
+        "spark": _centroids_spark,
+        "sql": f"""
+        WITH ctcc AS ({_CM_TRUTH_SQL}),
+        ctsz AS (SELECT component FROM ctcc GROUP BY 1 HAVING count(*) >= 2),
+        ctex AS (
+          SELECT c.component, CAST(u.i - 1 AS INT) AS dim,
+                 CAST(floor(CAST(e.embedding[u.i] AS DOUBLE) * 1000000.0e0
+                            + 0.5e0) AS BIGINT) AS _q
+          FROM ctcc c
+          JOIN ctsz USING (component)
+          JOIN embeddings e ON e.vec_id = c.node
+          CROSS JOIN (SELECT unnest(generate_series(1, {EMB_DIM_DEDUP}))
+                      AS i) u)
+        SELECT component, dim, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(_q) AS BIGINT) AS sum_micro,
+               CAST(sum(_q) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 AS centroid_micro
+        FROM ctex GROUP BY 1, 2
+        """,
+        "ref": "cluster embedding centroids (SemDeDup/IVF seeding "
+        "primitive; Abbas et al. 2023) — integer-micro quantized sums so "
+        "the centroid aggregate is order-free and bit-strict; mean is one "
+        "integer-ratio division",
+    }
+
+    # --- contrastive pair mining (lexical-vs-embedding disagreement) ------
+    # Candidates = near-dup LSH edges UNION embedding-cosine LSH pairs;
+    # each candidate gets BOTH exact measures (distinct-token Jaccard +
+    # exact cosine) and a quadrant label: lexically-near but embedding-far
+    # = hard negative for embedding training, embedding-near but
+    # lexically-far = paraphrase positive. Label predicates compare
+    # integer jac counts and the ONE shared cosine double, so the CASE is
+    # bit-portable. Vectors/token arrays attach by id-keyed joins to the
+    # deduped candidate set only — the 64-dim fold runs per survivor,
+    # never inside the LSH fan-out.
+    def _contrastive_spark(s: SparkSession, d: str) -> DataFrame:
+        from ..operators.similarity import cosine
+
+        jac_src = _jaccard_edges_cached(s, d).select("id_a", "id_b")
+        emb_src = dedup.embedding_cosine_pairs(
+            load(s, d, "embeddings"), "vec_id", "embedding",
+            dim=EMB_DIM_DEDUP, min_cosine=EMB_COS_MIN,
+            n_planes=EMB_LSH_PLANES,
+        ).select("id_a", "id_b")
+        cand = jac_src.unionByName(emb_src).distinct()
+        toks = load(s, d, "documents").select(
+            F.col("doc_id").alias("_id"),
+            F.array_distinct(T.tokens(F.col("text"))).alias("_toks"),
+        )
+        vecs = load(s, d, "embeddings").select(
+            F.col("vec_id").alias("_id"), F.col("embedding").alias("_v")
+        )
+        j = (
+            cand.join(toks.select(F.col("_id").alias("id_a"),
+                                  F.col("_toks").alias("toks_a")), on="id_a")
+            .join(toks.select(F.col("_id").alias("id_b"),
+                              F.col("_toks").alias("toks_b")), on="id_b")
+            .join(vecs.select(F.col("_id").alias("id_a"),
+                              F.col("_v").alias("va")), on="id_a")
+            .join(vecs.select(F.col("_id").alias("id_b"),
+                              F.col("_v").alias("vb")), on="id_b")
+        )
+        i = F.size(F.array_intersect("toks_a", "toks_b"))
+        u = F.size("toks_a") + F.size("toks_b") - i
+        m = j.select(
+            "id_a", "id_b",
+            i.alias("_i"), u.alias("_u"),
+            cosine(F.col("va"), F.col("vb")).alias("sim"),
+        )
+        label = (
+            F.when(
+                (F.col("_i") * 100 >= F.col("_u") * JACCARD_MIN_PCT)
+                & (F.col("sim") < F.lit(float(EMB_COS_MIN))),
+                F.lit("hard_negative"),
+            )
+            .when(
+                (F.col("sim") >= F.lit(float(EMB_COS_MIN)))
+                & (F.col("_i") * 100 < F.col("_u") * JACCARD_MIN_PCT),
+                F.lit("paraphrase_positive"),
+            )
+            .otherwise(F.lit("consistent"))
+        )
+        return m.select(
+            "id_a", "id_b",
+            (F.col("_i") * 100 / F.col("_u")).cast("double").alias("jac_pct"),
+            "sim", label.alias("label"),
+        )
+
+    from ..operators.similarity import cosine_sql as _cos_sql
+
+    _CPM_I = "len(list_intersect(ta._toks, tb._toks))"
+    _CPM_U = f"(len(ta._toks) + len(tb._toks) - {_CPM_I})"
+    _CPM_COS = _cos_sql("ea._v", "eb._v")
+
+    cat["contrastive_pair_mining"] = {
+        "spark": _contrastive_spark,
+        "sql": f"""
+        WITH cpmc AS (
+          SELECT DISTINCT id_a, id_b FROM (
+            SELECT id_a, id_b FROM ({dedup.ngram_jaccard_pairs_via_lsh_sql(
+                "documents", "doc_id", "text", JACCARD_MIN_PCT)})
+            UNION ALL
+            SELECT id_a, id_b FROM ({dedup.embedding_cosine_pairs_sql(
+                "embeddings", "vec_id", "embedding",
+                dim=EMB_DIM_DEDUP, min_cosine=EMB_COS_MIN,
+                n_planes=EMB_LSH_PLANES)}))),
+        cpmt AS MATERIALIZED (
+          SELECT doc_id AS _id,
+                 list_distinct({T.tokens_sql('text')}) AS _toks
+          FROM documents),
+        cpmv AS MATERIALIZED (
+          SELECT vec_id AS _id, embedding AS _v FROM embeddings),
+        cpmm AS (
+          SELECT c.id_a, c.id_b, {_CPM_I} AS _i, {_CPM_U} AS _u,
+                 {_CPM_COS} AS sim
+          FROM cpmc c
+          JOIN cpmt ta ON ta._id = c.id_a
+          JOIN cpmt tb ON tb._id = c.id_b
+          JOIN cpmv ea ON ea._id = c.id_a
+          JOIN cpmv eb ON eb._id = c.id_b)
+        SELECT id_a, id_b, CAST(_i * 100 / _u AS DOUBLE) AS jac_pct, sim,
+               CASE WHEN _i * 100 >= _u * {JACCARD_MIN_PCT}
+                         AND sim < {W._dlit(float(EMB_COS_MIN))}
+                    THEN 'hard_negative'
+                    WHEN sim >= {W._dlit(float(EMB_COS_MIN))}
+                         AND _i * 100 < _u * {JACCARD_MIN_PCT}
+                    THEN 'paraphrase_positive'
+                    ELSE 'consistent' END AS label
+        FROM cpmm
+        """,
+        "ref": "contrastive pair mining for embedding training (hard "
+        "negatives = lexically-near/embedding-far; SimCSE/E5-style "
+        "curation) — union of the two LSH candidate families, both exact "
+        "measures per survivor",
+    }
+
     return cat

@@ -118,6 +118,8 @@ QUERIES = [
     "rule_cascade_links",
     "capture_recapture_estimate",
     "cluster_graph_stats",
+    "cluster_centroids",
+    "contrastive_pair_mining",
 ]
 
 
