@@ -4308,4 +4308,145 @@ def build_catalog() -> dict[str, dict]:
         "measures per survivor",
     }
 
+    # --- cross-source duplication matrix -----------------------------------
+    # Near-dup edges rolled up by unordered source pair: which sources
+    # mirror / syndicate each other's content — the dedup-policy input at
+    # corpus scale (same-source dups are boilerplate, cross-source dups
+    # are syndication). One |edges| pass + a tiny groupBy; min/max over
+    # identical double sets are order-free.
+    def _source_overlap_spark(s: SparkSession, d: str) -> DataFrame:
+        e = _jaccard_edges_cached(s, d)
+        src = load(s, d, "documents").select(
+            F.col("doc_id").alias("_id"), F.col("source").alias("_src")
+        )
+        j = (
+            e.join(src.select(F.col("_id").alias("id_a"),
+                              F.col("_src").alias("src_a")), on="id_a")
+            .join(src.select(F.col("_id").alias("id_b"),
+                             F.col("_src").alias("src_b")), on="id_b")
+        )
+        return (
+            j.select(
+                F.least("src_a", "src_b").alias("source_a"),
+                F.greatest("src_a", "src_b").alias("source_b"),
+                "jac_pct",
+            )
+            .groupBy("source_a", "source_b")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.max("jac_pct").alias("max_jac_pct"),
+            )
+        )
+
+    cat["source_overlap_matrix"] = {
+        "spark": _source_overlap_spark,
+        "sql": f"""
+        WITH soe AS ({dedup.ngram_jaccard_pairs_via_lsh_sql(
+            "documents", "doc_id", "text", JACCARD_MIN_PCT)}),
+        soj AS (SELECT least(da.source, db.source) AS source_a,
+                       greatest(da.source, db.source) AS source_b,
+                       soe.jac_pct
+                FROM soe JOIN documents da ON da.doc_id = soe.id_a
+                         JOIN documents db ON db.doc_id = soe.id_b)
+        SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs,
+               max(jac_pct) AS max_jac_pct
+        FROM soj GROUP BY 1, 2
+        """,
+        "ref": "cross-source duplication matrix (syndication/mirror "
+        "audit over the near-dup graph) — CCNet/RefinedWeb-style corpus "
+        "provenance diagnostic",
+    }
+
+    # --- embedding label consistency ---------------------------------------
+    # The LSH-verified cosine pairs rolled up by unordered planted-label
+    # pair: on-diagonal mass = embedding space respects the labels,
+    # off-diagonal cells = confusion hot-spots. The embedding-quality
+    # probe for the similarity index, priced at the candidate set — the
+    # label matrix never materializes n^2.
+    def _label_consistency_spark(s: SparkSession, d: str) -> DataFrame:
+        pairs = dedup.embedding_cosine_pairs(
+            load(s, d, "embeddings"), "vec_id", "embedding",
+            dim=EMB_DIM_DEDUP, min_cosine=EMB_COS_MIN,
+            n_planes=EMB_LSH_PLANES,
+        )
+        lab = load(s, d, "embeddings").select(
+            F.col("vec_id").alias("_id"), F.col("label").alias("_l")
+        )
+        j = (
+            pairs.join(lab.select(F.col("_id").alias("id_a"),
+                                  F.col("_l").alias("l_a")), on="id_a")
+            .join(lab.select(F.col("_id").alias("id_b"),
+                             F.col("_l").alias("l_b")), on="id_b")
+        )
+        return (
+            j.select(
+                F.least("l_a", "l_b").alias("label_lo"),
+                F.greatest("l_a", "l_b").alias("label_hi"),
+                "sim",
+            )
+            .groupBy("label_lo", "label_hi")
+            .agg(
+                F.count(F.lit(1)).alias("n_pairs"),
+                F.min("sim").alias("min_sim"),
+                F.max("sim").alias("max_sim"),
+            )
+        )
+
+    cat["embedding_label_consistency"] = {
+        "spark": _label_consistency_spark,
+        "sql": f"""
+        WITH elc AS ({dedup.embedding_cosine_pairs_sql(
+            "embeddings", "vec_id", "embedding",
+            dim=EMB_DIM_DEDUP, min_cosine=EMB_COS_MIN,
+            n_planes=EMB_LSH_PLANES)}),
+        elj AS (SELECT least(ea.label, eb.label) AS label_lo,
+                       greatest(ea.label, eb.label) AS label_hi, elc.sim
+                FROM elc JOIN embeddings ea ON ea.vec_id = elc.id_a
+                         JOIN embeddings eb ON eb.vec_id = elc.id_b)
+        SELECT label_lo, label_hi, CAST(count(*) AS BIGINT) AS n_pairs,
+               min(sim) AS min_sim, max(sim) AS max_sim
+        FROM elj GROUP BY 1, 2
+        """,
+        "ref": "embedding-quality confusion matrix over the ANN candidate "
+        "set (planted labels) — index-health probe for the similarity "
+        "path; never materializes the quadratic label matrix",
+    }
+
+    # --- lexical diversity per source (Heaps-law profile) ------------------
+    # Exact token and type counts per source + type-token ratio: the
+    # vocabulary-growth diagnostic for mixture design (low TTR = dup-heavy
+    # or templated source). Exact distinct via one (source, token)
+    # shuffle; TTR is one integer-ratio division.
+    def _lexdiv_spark(s: SparkSession, d: str) -> DataFrame:
+        docs = load(s, d, "documents")
+        tok = docs.select(
+            "source", F.explode(T.tokens(F.col("text"))).alias("_tok")
+        )
+        return tok.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.countDistinct("_tok").alias("n_types"),
+        ).select(
+            "source", "n_tokens", "n_types",
+            (
+                F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double")
+            ).alias("type_token_ratio"),
+        )
+
+    cat["lexical_diversity"] = {
+        "spark": _lexdiv_spark,
+        "sql": f"""
+        WITH lxt AS (SELECT source, unnest({T.tokens_sql('text')}) AS _tok
+                     FROM documents)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_tokens,
+               CAST(count(DISTINCT _tok) AS BIGINT) AS n_types,
+               CAST(count(DISTINCT _tok) AS DOUBLE)
+                 / CAST(count(*) AS DOUBLE) AS type_token_ratio
+        FROM lxt GROUP BY 1
+        """,
+        "ref": "per-source lexical diversity (Heaps-law / type-token "
+        "profile) — mixture-design diagnostic: templated or dup-heavy "
+        "sources surface as TTR outliers",
+    }
+
     return cat

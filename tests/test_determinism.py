@@ -120,6 +120,9 @@ QUERIES = [
     "cluster_graph_stats",
     "cluster_centroids",
     "contrastive_pair_mining",
+    "source_overlap_matrix",
+    "embedding_label_consistency",
+    "lexical_diversity",
 ]
 
 
