@@ -14,6 +14,8 @@ reference operator group from SURVEY.md §2 (noted per entry).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..functions import comparators as C
@@ -4447,6 +4449,60 @@ def build_catalog() -> dict[str, dict]:
         "ref": "per-source lexical diversity (Heaps-law / type-token "
         "profile) — mixture-design diagnostic: templated or dup-heavy "
         "sources surface as TTR outliers",
+    }
+
+    # --- posterior calibration curve ---------------------------------------
+    # Reliability diagram for the Bayes-rule match posterior: candidate
+    # pairs binned by floor(posterior log-odds) = floor(logit(p) + w) —
+    # linear in w, no exp/log in oracle-checked columns — vs the
+    # LSH-verified near-dup labels; empirical match rate per bin is ONE
+    # integer-ratio division. A calibrated model shows rate rising with
+    # the bin; it prices the fs_decision cutoffs in probability space.
+    _CAL_LOGIT_P = round(math.log(POSTERIOR_P / (1.0 - POSTERIOR_P)), 12)
+
+    def _calibration_spark(s: SparkSession, d: str) -> DataFrame:
+        sp = _scored_pairs_cached(s, d)
+        truth = _jaccard_edges_cached(s, d).select(
+            "id_a", "id_b", F.lit(1).alias("_t")
+        )
+        j = sp.join(truth, on=["id_a", "id_b"], how="left")
+        lo_bin = F.floor(F.lit(_CAL_LOGIT_P) + F.col("w"))
+        agg = j.select(
+            lo_bin.alias("lo_bin"),
+            F.coalesce(F.col("_t"), F.lit(0)).alias("_t"),
+        ).groupBy("lo_bin").agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("_t").cast("long").alias("n_true"),
+        )
+        return agg.select(
+            "lo_bin", "n_pairs", "n_true",
+            (
+                F.col("n_true").cast("double")
+                / F.col("n_pairs").cast("double")
+            ).alias("match_rate"),
+        )
+
+    cat["posterior_calibration"] = {
+        "spark": _calibration_spark,
+        "sql": f"""
+        WITH calp AS ({_weighted_pairs_sql()}),
+        calt AS (SELECT id_a, id_b, 1 AS _t
+                 FROM ({dedup.ngram_jaccard_pairs_via_lsh_sql(
+                     "documents", "doc_id", "text", JACCARD_MIN_PCT)})),
+        calj AS (SELECT CAST(floor({W._dlit(_CAL_LOGIT_P)} + p.w)
+                             AS BIGINT) AS lo_bin,
+                        coalesce(t._t, 0) AS _t
+                 FROM calp p LEFT JOIN calt t USING (id_a, id_b))
+        SELECT lo_bin, CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(sum(_t) AS BIGINT) AS n_true,
+               CAST(sum(_t) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+                 AS match_rate
+        FROM calj GROUP BY 1
+        """,
+        "ref": "posterior calibration / reliability diagram for "
+        "bayesrule_posterior (src/weight_functions.jl:451) against "
+        "LSH-verified labels — log-odds bins keep the oracle exp-free; "
+        "the probability-space companion of pair_pr_curve",
     }
 
     return cat

@@ -123,6 +123,7 @@ QUERIES = [
     "source_overlap_matrix",
     "embedding_label_consistency",
     "lexical_diversity",
+    "posterior_calibration",
 ]
 
 

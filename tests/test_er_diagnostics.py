@@ -329,3 +329,27 @@ def test_lexical_diversity_replica(spark):
         assert int(r["n_tokens"]) == tot[s_]
         assert int(r["n_types"]) == len(types[s_])
         assert r["type_token_ratio"] == len(types[s_]) / tot[s_]
+
+
+def test_posterior_calibration_replica(spark):
+    out = q(spark, "posterior_calibration")
+    fs = q(spark, "fs_weights")
+    truth = set(_pairkey(q(spark, "dedup_jaccard_lsh_verified")))
+    logit_p = round(math.log(0.01 / 0.99), 12)
+    exp: dict = {}
+    for (a, b), w in zip(_pairkey(fs), fs["w"]):
+        bin_ = int(math.floor(logit_p + w))
+        st = exp.setdefault(bin_, [0, 0])
+        st[0] += 1
+        st[1] += 1 if (a, b) in truth else 0
+    got = {
+        int(r["lo_bin"]): [int(r["n_pairs"]), int(r["n_true"])]
+        for _, r in out.iterrows()
+    }
+    assert got == exp
+    for _, r in out.iterrows():
+        assert r["match_rate"] == int(r["n_true"]) / int(r["n_pairs"])
+    # calibration signal: the top bin is purer than the bottom bin
+    top, bot = out["lo_bin"].max(), out["lo_bin"].min()
+    rt = out.set_index("lo_bin")["match_rate"]
+    assert rt[top] >= rt[bot]
