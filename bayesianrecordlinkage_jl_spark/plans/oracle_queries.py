@@ -452,6 +452,29 @@ def _jaccard_cc_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _UPSTREAM_MEMO[key]
 
 
+def _embcos_pairs_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized embedding-cosine LSH pairs — the third expensive shared
+    upstream (consumers: dedup_embedding_cosine, contrastive_pair_mining,
+    embedding_label_consistency). Same gate-budget rationale as
+    _jaccard_edges_cached: the sign-LSH band join + exact cosine verify
+    runs ONCE per (session, sf_dir) instead of once per catalog row."""
+    from ..operators import dedup as _dedup
+
+    def _build():
+        return _dedup.embedding_cosine_pairs(
+            load(spark, sf_dir, "embeddings"), "vec_id", "embedding",
+            dim=EMB_DIM_DEDUP, min_cosine=EMB_COS_MIN,
+            n_planes=EMB_LSH_PLANES,
+        )
+
+    if not _memo_enabled():
+        return _build()
+    key = _memo_key(spark, sf_dir, "embcos_pairs")
+    if key not in _UPSTREAM_MEMO:
+        _UPSTREAM_MEMO[key] = _build().localCheckpoint()
+    return _UPSTREAM_MEMO[key]
+
+
 def _cc_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized _cc_spark twin: components plus isolated docs labeled by
     their own id (labels identical — isolated docs never carry edges)."""
@@ -1445,10 +1468,7 @@ def build_catalog() -> dict[str, dict]:
     }
 
     cat["dedup_embedding_cosine"] = {
-        "spark": lambda s, d: dedup.embedding_cosine_pairs(
-            load(s, d, "embeddings"), "vec_id", "embedding",
-            dim=EMB_DIM_DEDUP, min_cosine=EMB_COS_MIN, n_planes=EMB_LSH_PLANES,
-        ),
+        "spark": _embcos_pairs_cached,
         "sql": dedup.embedding_cosine_pairs_sql(
             "embeddings", "vec_id", "embedding",
             dim=EMB_DIM_DEDUP, min_cosine=EMB_COS_MIN, n_planes=EMB_LSH_PLANES,
@@ -4213,11 +4233,7 @@ def build_catalog() -> dict[str, dict]:
         from ..operators.similarity import cosine
 
         jac_src = _jaccard_edges_cached(s, d).select("id_a", "id_b")
-        emb_src = dedup.embedding_cosine_pairs(
-            load(s, d, "embeddings"), "vec_id", "embedding",
-            dim=EMB_DIM_DEDUP, min_cosine=EMB_COS_MIN,
-            n_planes=EMB_LSH_PLANES,
-        ).select("id_a", "id_b")
+        emb_src = _embcos_pairs_cached(s, d).select("id_a", "id_b")
         cand = jac_src.unionByName(emb_src).distinct()
         toks = load(s, d, "documents").select(
             F.col("doc_id").alias("_id"),
@@ -4366,11 +4382,7 @@ def build_catalog() -> dict[str, dict]:
     # probe for the similarity index, priced at the candidate set — the
     # label matrix never materializes n^2.
     def _label_consistency_spark(s: SparkSession, d: str) -> DataFrame:
-        pairs = dedup.embedding_cosine_pairs(
-            load(s, d, "embeddings"), "vec_id", "embedding",
-            dim=EMB_DIM_DEDUP, min_cosine=EMB_COS_MIN,
-            n_planes=EMB_LSH_PLANES,
-        )
+        pairs = _embcos_pairs_cached(s, d)
         lab = load(s, d, "embeddings").select(
             F.col("vec_id").alias("_id"), F.col("label").alias("_l")
         )
