@@ -1775,3 +1775,166 @@ def exact_group_quantiles_sql(
     FROM sized JOIN counts USING ({gc})
     GROUP BY {gc}
     """
+
+
+# ---------------------------------------------------------------------------
+# exact-substring dedup REWRITE (Lee et al. 2022, "Deduplicating Training
+# Data Makes Language Models Better" — the removal half; duplicated_span_
+# stats above is the measurement half)
+# ---------------------------------------------------------------------------
+
+# combined (doc_id, start) order key: start < 2^20 tokens per document
+# (a 1M-token doc would need re-sharding long before this bound matters)
+_CKEY_SHIFT = 1 << 20
+
+
+def span_rewrite(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """-> (doc_id, n_tokens, n_removed, new_text): every k-word span whose
+    content hash occurs >= 2 times in the corpus (within-doc repeats count,
+    per Lee et al.'s any-second-occurrence rule) is removed from all
+    occurrences EXCEPT the global first (min (doc_id, start) — total
+    order); `new_text` is the surviving token stream joined by single
+    spaces. The rewrite operates on the tokenized stream (same lowercase/
+    punct-split normalization the span hashes use), so `new_text` of an
+    untouched document is its normalized token join, not the raw bytes.
+
+    When duplicated spans overlap, the union of their removal windows is
+    cut — so a canonical occurrence can still lose tokens to a DIFFERENT
+    overlapping duplicated span (documented one-pass behavior; an exact
+    all-but-first guarantee would need sequential suffix-array passes).
+
+    Scale shape: tokenize/shingle/md5 runs ONCE per document behind a
+    unique-key aggregate barrier and is localCheckpoint'ed (three
+    consumers: span occurrences, token rows, final row base); the span
+    aggregate is map-side combinable on the 60-bit hash; removal fan-out
+    is bounded by k tokens per duplicated occurrence; no document ever
+    joins another document — the corpus is never self-joined."""
+    hashed = (
+        _spread(df, id_col)
+        .select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            T.tokens(F.col(text_col)).alias("_toks"),
+            F.transform(
+                T.word_shingles(F.col(text_col), k), lambda s: T.phash(s)
+            ).alias("_gh"),
+        )
+        .groupBy("doc_id")
+        .agg(F.first("_toks").alias("_toks"), F.first("_gh").alias("_gh"))
+        .localCheckpoint()
+    )
+    occ = hashed.select(
+        "doc_id",
+        F.size("_toks").cast("long").alias("n_tokens"),
+        F.posexplode("_gh").alias("_p0", "gh"),
+    ).select(
+        "doc_id", "n_tokens", "gh",
+        (F.col("_p0") + 1).cast("long").alias("start"),
+    )
+    ckey = F.col("doc_id") * _CKEY_SHIFT + F.col("start")
+    grams = occ.groupBy("gh").agg(
+        F.count(F.lit(1)).alias("_cnt"), F.min(ckey).alias("_ck")
+    )
+    removed = (
+        occ.join(grams, on="gh")
+        .where(
+            (F.col("_cnt") >= 2)
+            & (ckey != F.col("_ck"))
+            & (F.col("n_tokens") >= F.col("start"))
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.col("start"),
+                    F.least(F.col("start") + (k - 1), F.col("n_tokens")),
+                )
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tok_rows = hashed.select(
+        "doc_id", F.posexplode("_toks").alias("_p0", "tok")
+    ).select("doc_id", (F.col("_p0") + 1).cast("long").alias("pos"), "tok")
+    rebuilt = (
+        tok_rows.join(removed, on=["doc_id", "pos"], how="left_anti")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("new_text"),
+        )
+    )
+    return (
+        hashed.select(
+            "doc_id", F.size("_toks").cast("long").alias("n_tokens")
+        )
+        .join(rebuilt, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            (F.col("n_tokens") - F.coalesce(F.col("_n_kept"), F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce(F.col("new_text"), F.lit("")).alias("new_text"),
+        )
+    )
+
+
+def span_rewrite_sql(
+    table: str, id_col: str, text_col: str, k: int = 8
+) -> str:
+    """Twin of span_rewrite (same hash, order key, and union-of-windows
+    removal rule; string_agg ORDER BY pos = the sorted-struct join)."""
+    grams = (
+        f"list_transform({T.word_shingles_sql(text_col, k)}, "
+        f"s -> {T.phash_sql('s')})"
+    )
+    return f"""
+    WITH srh AS MATERIALIZED (
+      SELECT CAST({id_col} AS BIGINT) AS doc_id,
+             {T.tokens_sql(text_col)} AS _toks, {grams} AS _gh
+      FROM {table}
+    ),
+    socc AS MATERIALIZED (
+      SELECT doc_id, CAST(len(_toks) AS BIGINT) AS n_tokens,
+             CAST(_gh[i] AS BIGINT) AS gh, CAST(i AS BIGINT) AS start
+      FROM srh, unnest(range(1, len(_gh) + 1)) AS u(i)
+    ),
+    sgr AS (
+      SELECT gh, count(*) AS _cnt,
+             min(doc_id * {_CKEY_SHIFT} + start) AS _ck
+      FROM socc GROUP BY gh
+    ),
+    srem AS (
+      SELECT DISTINCT doc_id, CAST(p AS BIGINT) AS pos
+      FROM (
+        SELECT o.doc_id, o.start, o.n_tokens
+        FROM socc o JOIN sgr g USING (gh)
+        WHERE g._cnt >= 2
+          AND o.doc_id * {_CKEY_SHIFT} + o.start != g._ck
+          AND o.n_tokens >= o.start
+      ), unnest(range(start, least(start + {k - 1}, n_tokens) + 1)) AS u(p)
+    ),
+    strow AS (
+      SELECT doc_id, CAST(i AS BIGINT) AS pos, _toks[i] AS tok
+      FROM srh, unnest(range(1, len(_toks) + 1)) AS u(i)
+    ),
+    srebuilt AS (
+      SELECT doc_id, count(*) AS _n_kept,
+             string_agg(tok, ' ' ORDER BY pos) AS new_text
+      FROM strow ANTI JOIN srem USING (doc_id, pos)
+      GROUP BY doc_id
+    )
+    SELECT h.doc_id, CAST(len(h._toks) AS BIGINT) AS n_tokens,
+           CAST(len(h._toks) - coalesce(r._n_kept, 0) AS BIGINT)
+             AS n_removed,
+           coalesce(r.new_text, '') AS new_text
+    FROM srh h LEFT JOIN srebuilt r USING (doc_id)
+    """

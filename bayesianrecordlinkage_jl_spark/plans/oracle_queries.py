@@ -4517,4 +4517,17 @@ def build_catalog() -> dict[str, dict]:
         "the probability-space companion of pair_pr_curve",
     }
 
+    # --- exact-substring dedup rewrite (Lee et al. 2022, removal half) -----
+    cat["dedup_span_rewrite"] = {
+        "spark": lambda s, d: corpus.span_rewrite(
+            load(s, d, "documents"), "doc_id", "text", k=SPAN_K
+        ),
+        "sql": corpus.span_rewrite_sql("documents", "doc_id", "text", k=SPAN_K),
+        "ref": "exact-substring dedup with text REWRITE: every k-word span "
+        "hash occurring >= 2x in the corpus is cut from all but its global "
+        "first occurrence, surviving tokens re-joined byte-identically in "
+        "both engines — the removal half of Lee et al. 2022 "
+        "(dup_span_stats is the measurement half)",
+    }
+
     return cat

@@ -823,3 +823,97 @@ def test_exact_group_quantiles_matches_numpy_rank(spark):
         assert got[g]["vmin"] == min(vs) and got[g]["vmax"] == max(vs)
         for p in (25, 50, 75, 90, 99):
             assert got[g][f"q{p}"] == rank_q(vs, p), (g, p)
+
+
+# ---------------------------------------------------------------------------
+# span_rewrite (exact-substring dedup rewrite)
+# ---------------------------------------------------------------------------
+
+
+def _span_rewrite_brute(texts: dict[int, str], k: int) -> dict[int, tuple]:
+    """All-but-global-first removal of duplicated k-gram spans, union of
+    windows — the documented one-pass rule."""
+    occ = []  # (gh, doc_id, start 1-based, n_tokens)
+    toks = {d: _tokens(t) for d, t in texts.items()}
+    for d in sorted(texts):
+        gs = _grams(texts[d], k)
+        for i, g in enumerate(gs, start=1):
+            occ.append((_phash(g), d, i, len(toks[d])))
+    cnt: dict[int, int] = {}
+    first: dict[int, tuple] = {}
+    for gh, d, i, _n in occ:
+        cnt[gh] = cnt.get(gh, 0) + 1
+        if gh not in first or (d, i) < first[gh]:
+            first[gh] = (d, i)
+    removed: dict[int, set] = {d: set() for d in texts}
+    for gh, d, i, n in occ:
+        if cnt[gh] >= 2 and (d, i) != first[gh] and n >= i:
+            removed[d].update(range(i, min(i + k - 1, n) + 1))
+    out = {}
+    for d in texts:
+        kept = [t for j, t in enumerate(toks[d], start=1)
+                if j not in removed[d]]
+        out[d] = (len(toks[d]), len(toks[d]) - len(kept), " ".join(kept))
+    return out
+
+
+def test_span_rewrite_matches_bruteforce(docs, spark):
+    for k in (3, 8):
+        out = (
+            corpus.span_rewrite(docs, "doc_id", "text", k=k)
+            .toPandas().set_index("doc_id").sort_index()
+        )
+        texts = {r["doc_id"]: r["text"] for _, r in docs.toPandas().iterrows()}
+        exp = _span_rewrite_brute(texts, k)
+        for d, (nt, nr, txt) in exp.items():
+            assert out.loc[d, "n_tokens"] == nt, (k, d)
+            assert out.loc[d, "n_removed"] == nr, (k, d)
+            assert out.loc[d, "new_text"] == txt, (k, d)
+
+
+def test_span_rewrite_exact_dup_keeps_first_only(spark):
+    t = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [0, 1, 2], "text": [t, t, t]})
+    )
+    out = (
+        corpus.span_rewrite(df, "doc_id", "text", k=4)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    # doc 0 is the global first occurrence of every span: untouched
+    assert out.loc[0, "new_text"] == t and out.loc[0, "n_removed"] == 0
+    # exact copies are fully cut
+    assert out.loc[1, "new_text"] == "" and out.loc[1, "n_removed"] == 6
+    assert out.loc[2, "new_text"] == ""
+
+
+def test_span_rewrite_within_doc_repeat_removed(spark):
+    # Lee et al. semantics: a WITHIN-document second occurrence is cut too
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [0],
+             "text": ["alpha beta gamma tail alpha beta gamma"]}
+        )
+    )
+    out = corpus.span_rewrite(df, "doc_id", "text", k=3).toPandas()
+    assert out.iloc[0]["new_text"] == "alpha beta gamma tail"
+    assert out.iloc[0]["n_removed"] == 3
+
+
+def test_span_rewrite_unique_corpus_is_identity(spark):
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [0, 1],
+            "text": [
+                "one two three four five six seven",
+                "eight nine ten eleven twelve thirteen",
+            ],
+        }
+    )
+    out = (
+        corpus.span_rewrite(spark.createDataFrame(pdf), "doc_id", "text", k=3)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    for d in (0, 1):
+        assert out.loc[d, "n_removed"] == 0
+        assert out.loc[d, "new_text"] == pdf.loc[d, "text"]

@@ -124,6 +124,7 @@ QUERIES = [
     "embedding_label_consistency",
     "lexical_diversity",
     "posterior_calibration",
+    "dedup_span_rewrite",
 ]
 
 
