@@ -241,3 +241,105 @@ def crawl_ts_epoch(id_col: str) -> Column:
 def crawl_ts_epoch_sql(id_col: str) -> str:
     h = phash_sql(f"'crawl:t:' || CAST({id_col} AS VARCHAR)")
     return f"CAST(1700000000 + (({h}) % {86400 * 365}) AS BIGINT)"
+
+
+# ---------------------------------------------------------------------------
+# SCD2 version history: collapse a snapshot log into validity intervals
+# ---------------------------------------------------------------------------
+
+# valid_to of the current (open) version: 9999-12-31T00:00:00Z in epoch
+# seconds — a literal shared by both engines, so the column stays NULL-free
+SCD2_OPEN_TS = 253402214400
+
+
+def scd2_intervals(
+    df: DataFrame, url_col: str, ts_col: str, fp_col: str, id_col: str
+) -> DataFrame:
+    """Snapshot log (one row per fetch: url, ts epoch, content fingerprint,
+    unique id) -> (url, version_no, fp, valid_from, valid_to, n_snaps,
+    is_current): the slowly-changing-dimension type-2 page history. Ordered
+    per url by (ts, id) — a total order, so ties are deterministic — a new
+    version starts at the first snapshot and whenever the fingerprint
+    differs from the previous snapshot's; consecutive identical re-fetches
+    collapse into one interval. valid_to is the next version's valid_from
+    (half-open [from, to)); the open current version carries the
+    SCD2_OPEN_TS sentinel instead of NULL (bit-strict cross-engine hash).
+
+    Scale shape: two windows and one aggregate, ALL partitioned by url —
+    no global sort, no self-join; per-url snapshot counts are crawl-
+    frequency bounded, so partitions stay balanced even at 10^12 rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy("ts", "sid")
+    snaps = df.select(
+        F.col(url_col).alias("url"),
+        F.col(ts_col).cast("long").alias("ts"),
+        F.col(fp_col).cast("long").alias("fp"),
+        F.col(id_col).cast("long").alias("sid"),
+    ).select(
+        "url", "ts", "fp", "sid",
+        F.when(
+            F.lag("fp").over(w).isNull() | (F.lag("fp").over(w) != F.col("fp")),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("_chg"),
+    )
+    versioned = snaps.select(
+        "url", "ts", "fp",
+        F.sum("_chg").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("version_no"),
+    )
+    runs = versioned.groupBy("url", "version_no").agg(
+        F.min("fp").alias("fp"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_snaps"),
+    )
+    wv = Window.partitionBy("url").orderBy("version_no")
+    nxt = F.lead("valid_from").over(wv)
+    return runs.select(
+        "url", "version_no", "fp", "valid_from",
+        F.coalesce(nxt, F.lit(SCD2_OPEN_TS)).cast("long").alias("valid_to"),
+        "n_snaps",
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0))
+        .cast("long").alias("is_current"),
+    )
+
+
+def scd2_intervals_sql(
+    table_expr: str, url_col: str, ts_col: str, fp_col: str, id_col: str
+) -> str:
+    """Twin of scd2_intervals (same (ts, id) total order and sentinel)."""
+    return f"""
+    WITH s2snap AS (
+      SELECT {url_col} AS url, CAST({ts_col} AS BIGINT) AS ts,
+             CAST({fp_col} AS BIGINT) AS fp, CAST({id_col} AS BIGINT) AS sid
+      FROM {table_expr}
+    ),
+    s2chg AS (
+      SELECT url, ts, fp, sid,
+             CASE WHEN lag(fp) OVER (PARTITION BY url ORDER BY ts, sid)
+                       IS DISTINCT FROM fp THEN 1 ELSE 0 END AS _chg
+      FROM s2snap
+    ),
+    s2ver AS (
+      SELECT url, ts, fp,
+             sum(_chg) OVER (PARTITION BY url ORDER BY ts, sid
+                             ROWS UNBOUNDED PRECEDING) AS version_no
+      FROM s2chg
+    ),
+    s2run AS (
+      SELECT url, CAST(version_no AS BIGINT) AS version_no,
+             min(fp) AS fp, min(ts) AS valid_from,
+             CAST(count(*) AS BIGINT) AS n_snaps
+      FROM s2ver GROUP BY url, version_no
+    )
+    SELECT url, version_no, fp, valid_from,
+           CAST(coalesce(
+             lead(valid_from) OVER (PARTITION BY url ORDER BY version_no),
+             {SCD2_OPEN_TS}) AS BIGINT) AS valid_to,
+           n_snaps,
+           CAST(CASE WHEN lead(valid_from) OVER (
+                  PARTITION BY url ORDER BY version_no) IS NULL
+                THEN 1 ELSE 0 END AS BIGINT) AS is_current
+    FROM s2run
+    """

@@ -4517,6 +4517,37 @@ def build_catalog() -> dict[str, dict]:
         "the probability-space companion of pair_pr_curve",
     }
 
+    # --- SCD2 page-version history over the synthetic crawl log ------------
+    # Content ids cycle over 3 deterministic values per snapshot, so the
+    # version collapse (consecutive identical re-fetches merge) and the
+    # change boundaries are both exercised at every SF.
+    def _scd2_spark(s, d):
+        snaps = load(s, d, "documents").select(
+            crawl.url_normalize(crawl.messy_url("doc_id")).alias("u"),
+            crawl.crawl_ts_epoch("doc_id").alias("ts"),
+            (phash(F.concat(F.lit("crawl:v:"), F.col("doc_id").cast("string"))) % 3)
+            .alias("fp"),
+            F.col("doc_id").alias("sid"),
+        )
+        return crawl.scd2_intervals(snaps, "u", "ts", "fp", "sid")
+
+    _scd2_fp_inner = "'crawl:v:' || CAST(doc_id AS VARCHAR)"
+    _scd2_fp_sql = f"({T.phash_sql(_scd2_fp_inner)} % 3)"
+    cat["scd2_page_versions"] = {
+        "spark": _scd2_spark,
+        "sql": crawl.scd2_intervals_sql(
+            f"""(SELECT
+                 {crawl.url_normalize_sql(crawl.messy_url_sql('doc_id'))} AS u,
+                 {crawl.crawl_ts_epoch_sql('doc_id')} AS ts,
+                 {_scd2_fp_sql} AS fp, doc_id AS sid FROM documents)""",
+            "u", "ts", "fp", "sid",
+        ),
+        "ref": "SCD2 page history: the crawl snapshot log collapsed into "
+        "half-open validity intervals per canonical url (consecutive "
+        "identical re-fetches merge; change boundaries open new versions; "
+        "the open version carries a shared sentinel, never NULL)",
+    }
+
     # --- exact-substring dedup rewrite (Lee et al. 2022, removal half) -----
     cat["dedup_span_rewrite"] = {
         "spark": lambda s, d: corpus.span_rewrite(

@@ -103,3 +103,61 @@ def test_latest_snapshot_struct_max_tiebreak(spark):
         "https://a.example.org/x": (200, 2),
         "https://b.example.org/y": (50, 4),
     }
+
+
+# ---------------------------------------------------------------------------
+# scd2_intervals
+# ---------------------------------------------------------------------------
+
+
+def _scd2_brute(rows):
+    """rows: (url, ts, fp, sid). Returns the SCD2 interval list."""
+    out = []
+    by_url = {}
+    for r in rows:
+        by_url.setdefault(r[0], []).append(r)
+    for url, rs in by_url.items():
+        rs.sort(key=lambda r: (r[1], r[3]))  # (ts, sid) total order
+        runs = []
+        for _, ts, fp, _sid in rs:
+            if not runs or runs[-1]["fp"] != fp:
+                runs.append({"fp": fp, "from": ts, "n": 1})
+            else:
+                runs[-1]["n"] += 1
+        for v, run in enumerate(runs, start=1):
+            nxt = runs[v]["from"] if v < len(runs) else crawl.SCD2_OPEN_TS
+            out.append((url, v, run["fp"], run["from"], nxt, run["n"],
+                        1 if v == len(runs) else 0))
+    return sorted(out)
+
+
+def test_scd2_intervals_bruteforce(spark):
+    rows = [
+        # url A: fp 1,1,2,1 -> 3 versions (middle collapse)
+        ("A", 100, 1, 1), ("A", 200, 1, 2), ("A", 300, 2, 3), ("A", 400, 1, 4),
+        # url B: single snapshot -> one open version
+        ("B", 50, 7, 5),
+        # url C: ts tie broken by sid (fp order depends on it)
+        ("C", 10, 3, 9), ("C", 10, 4, 8), ("C", 20, 4, 10),
+    ]
+    df = spark.createDataFrame(rows, "url string, ts long, fp long, sid long")
+    got = sorted(
+        tuple(r) for r in crawl.scd2_intervals(
+            df, "url", "ts", "fp", "sid"
+        ).collect()
+    )
+    assert got == _scd2_brute(rows)
+    # C's tie: sid 8 (fp 4) precedes sid 9 (fp 3) at ts 10, then fp 4 again
+    c = [g for g in got if g[0] == "C"]
+    assert [v[2] for v in c] == [4, 3, 4] and len(c) == 3
+
+
+def test_scd2_intervals_contiguous_and_open(spark):
+    rows = [("A", 100, 1, 1), ("A", 200, 2, 2), ("A", 300, 3, 3)]
+    df = spark.createDataFrame(rows, "url string, ts long, fp long, sid long")
+    out = crawl.scd2_intervals(df, "url", "ts", "fp", "sid").toPandas()
+    out = out.sort_values("version_no")
+    # half-open chain: valid_to == next valid_from; final open sentinel
+    assert list(out["valid_from"]) == [100, 200, 300]
+    assert list(out["valid_to"]) == [200, 300, crawl.SCD2_OPEN_TS]
+    assert list(out["is_current"]) == [0, 0, 1]

@@ -125,6 +125,7 @@ QUERIES = [
     "lexical_diversity",
     "posterior_calibration",
     "dedup_span_rewrite",
+    "scd2_page_versions",
 ]
 
 
