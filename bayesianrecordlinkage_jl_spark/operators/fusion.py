@@ -242,3 +242,197 @@ def group_linkage_sql(
     JOIN sz sa ON sa._g = c.group_a
     JOIN sz sb ON sb._g = c.group_b
     """
+
+
+# ---------------------------------------------------------------------------
+# truth discovery: iterative source-reliability voting (Sums / Hubs-style)
+# ---------------------------------------------------------------------------
+
+TD_SCALE = 1_000_000  # micro-unit fixed point (same convention as PageRank)
+TD_ITERS = 4
+
+
+def _td_claims(
+    df: DataFrame, entity_col: str, value_col: str, src_col: str
+) -> DataFrame:
+    return (
+        df.select(
+            F.col(entity_col).cast("long").alias("e"),
+            F.col(value_col).cast("string").alias("v"),
+            F.col(src_col).cast("string").alias("s"),
+        )
+        .distinct()
+        .localCheckpoint()  # consumed 2x per iteration + the final pass
+    )
+
+
+def _td_fixed_point(
+    claims: DataFrame, iterations: int
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """-> (nclaims(s, n_claims), nscore(e, v, sc), trust(s, t)): `iterations`
+    rounds of the Sums/Hubs recurrence in integer micro-units:
+
+      score(e,v)  = sum of trust over claiming sources        (exact sum)
+      nscore      = (score * SCALE) div max(score)            (0..SCALE)
+      trust(s)    = (sum of nscore over s's claims) div n_claims(s),
+                    then renormalized by its max to 0..SCALE
+
+    then ONE final score pass with the converged trust, so the reported
+    value scores are consistent with the reported source trust. Integer
+    div on non-negative longs == DuckDB `//`; the two scalar maxima per
+    round are exact, so every quantity is bit-portable. Bounds: trust
+    <= SCALE, so score <= n_sources * SCALE and score * SCALE stays far
+    below 2^63 for any plausible source count."""
+    nclaims = claims.groupBy("s").agg(
+        F.count(F.lit(1)).cast("long").alias("n_claims")
+    )
+    trust = nclaims.select(
+        "s", F.lit(TD_SCALE).cast("long").alias("t")
+    )
+
+    def _scores(tr: DataFrame) -> DataFrame:
+        # the round's (e,v) aggregate is the algorithm's state and is
+        # consumed twice (scalar max + normalize): materialize it, or the
+        # double-consume NESTS across rounds into a 2^iterations plan
+        sc = (
+            claims.join(tr, on="s")
+            .groupBy("e", "v")
+            .agg(F.sum("t").cast("long").alias("_sc"))
+            .localCheckpoint()
+        )
+        smax = sc.agg(F.max("_sc").alias("_m"))
+        return sc.crossJoin(F.broadcast(smax)).select(
+            "e", "v",
+            F.expr(f"(_sc * {TD_SCALE}) div _m").cast("long").alias("sc"),
+        )
+
+    for _ in range(iterations):
+        nsc = _scores(trust)
+        traw = (
+            claims.join(nsc, on=["e", "v"])
+            .groupBy("s")
+            .agg(F.sum("sc").cast("long").alias("_ts"))
+            .join(nclaims, on="s")
+            .select("s", F.expr("_ts div n_claims").cast("long").alias("_tr"))
+            .localCheckpoint()  # consumed twice: scalar max + normalize
+        )
+        tmax = traw.agg(F.max("_tr").alias("_tm"))
+        trust = traw.crossJoin(F.broadcast(tmax)).select(
+            "s", F.expr(f"(_tr * {TD_SCALE}) div _tm").cast("long").alias("t")
+        )
+    return nclaims, _scores(trust), trust
+
+
+def truth_discovery(
+    df: DataFrame,
+    entity_col: str,
+    value_col: str,
+    src_col: str,
+    iterations: int = TD_ITERS,
+) -> DataFrame:
+    """-> (entity, value, score_fp, n_values): per entity, the claimed
+    value with the highest converged support (ties: lexicographically
+    smallest value — total order), its micro-unit score, and how many
+    distinct values were claimed. Conflicting multi-source claims resolve
+    toward the values backed by RELIABLE sources, where reliability is
+    itself learned from agreement (the Sums/TruthFinder family — Yin,
+    Han & Yu, TKDE 2008 — in its simplest mutually-recursive form).
+
+    Scale shape: the fixed point touches only aggregates — claims
+    (|entities| x |values| x |sources| distinct rows, checkpointed once),
+    per-round (e,v) and (s) sums, and two 1-row scalar maxima broadcast
+    back — nothing quadratic, no driver-side loops over data."""
+    claims = _td_claims(df, entity_col, value_col, src_col)
+    _, nscore, _ = _td_fixed_point(claims, iterations)
+    win = nscore.groupBy("e").agg(
+        F.min(
+            F.struct((-F.col("sc")).alias("_ns"), F.col("v").alias("v"))
+        ).alias("_w"),
+        F.count(F.lit(1)).cast("long").alias("n_values"),
+    )
+    return win.select(
+        F.col("e").alias("entity"),
+        F.col("_w.v").alias("value"),
+        (-F.col("_w._ns")).cast("long").alias("score_fp"),
+        "n_values",
+    )
+
+
+def source_trust(
+    df: DataFrame,
+    entity_col: str,
+    value_col: str,
+    src_col: str,
+    iterations: int = TD_ITERS,
+) -> DataFrame:
+    """-> (src, trust_fp, n_claims): the converged per-source reliability
+    from the same fixed point as truth_discovery (max source = SCALE)."""
+    claims = _td_claims(df, entity_col, value_col, src_col)
+    nclaims, _, trust = _td_fixed_point(claims, iterations)
+    return trust.join(nclaims, on="s").select(
+        F.col("s").alias("src"),
+        F.col("t").cast("long").alias("trust_fp"),
+        "n_claims",
+    )
+
+
+def _td_sql_core(claims_expr: str, iterations: int) -> str:
+    """Shared CTE chain: tdc/tdn + one (tds/tdns/tdr/tdt) block per round,
+    ending with the final consistent score pass tdnsf."""
+    parts = [
+        f"tdc AS MATERIALIZED (SELECT DISTINCT e, v, s FROM {claims_expr})",
+        "tdn AS (SELECT s, CAST(count(*) AS BIGINT) AS n_claims"
+        " FROM tdc GROUP BY s)",
+        f"tdt0 AS (SELECT s, CAST({TD_SCALE} AS BIGINT) AS t FROM tdn)",
+    ]
+    # every multiply-referenced CTE is MATERIALIZED: DuckDB inlines plain
+    # CTEs, which would nest the double references into a 2^rounds plan
+    # (the SQL face of the same consume-twice trap the Spark side
+    # localCheckpoints away)
+    prev = "tdt0"
+    for i in range(1, iterations + 1):
+        parts += [
+            f"tds{i} AS MATERIALIZED (SELECT e, v, sum(t) AS sc FROM tdc"
+            f" JOIN {prev} USING (s) GROUP BY e, v)",
+            f"tdns{i} AS MATERIALIZED (SELECT e, v, (sc * {TD_SCALE})"
+            f" // (SELECT max(sc) FROM tds{i}) AS sc FROM tds{i})",
+            f"tdr{i} AS MATERIALIZED (SELECT s, (sum(sc) // max(n_claims))"
+            f" AS tr FROM tdc JOIN tdns{i} USING (e, v) JOIN tdn USING (s)"
+            f" GROUP BY s)",
+            f"tdt{i} AS MATERIALIZED (SELECT s, (tr * {TD_SCALE})"
+            f" // (SELECT max(tr) FROM tdr{i}) AS t FROM tdr{i})",
+        ]
+        prev = f"tdt{i}"
+    parts += [
+        f"tdsf AS MATERIALIZED (SELECT e, v, sum(t) AS sc FROM tdc"
+        f" JOIN {prev} USING (s) GROUP BY e, v)",
+        f"tdnsf AS (SELECT e, v, CAST((sc * {TD_SCALE})"
+        f" // (SELECT max(sc) FROM tdsf) AS BIGINT) AS sc FROM tdsf)",
+    ]
+    return ",\n    ".join(parts)
+
+
+def truth_discovery_sql(claims_expr: str, iterations: int = TD_ITERS) -> str:
+    """Twin of truth_discovery (row_number over the same total order)."""
+    return f"""
+    WITH {_td_sql_core(claims_expr, iterations)},
+    tdwin AS (
+      SELECT e, v, sc,
+             row_number() OVER (PARTITION BY e ORDER BY sc DESC, v ASC)
+               AS _r,
+             count(*) OVER (PARTITION BY e) AS _nv
+      FROM tdnsf
+    )
+    SELECT CAST(e AS BIGINT) AS entity, v AS value,
+           CAST(sc AS BIGINT) AS score_fp, CAST(_nv AS BIGINT) AS n_values
+    FROM tdwin WHERE _r = 1
+    """
+
+
+def source_trust_sql(claims_expr: str, iterations: int = TD_ITERS) -> str:
+    """Twin of source_trust (final trust CTE joined with claim counts)."""
+    return f"""
+    WITH {_td_sql_core(claims_expr, iterations)}
+    SELECT s AS src, CAST(t AS BIGINT) AS trust_fp, n_claims
+    FROM tdt{iterations} JOIN tdn USING (s)
+    """

@@ -4517,6 +4517,39 @@ def build_catalog() -> dict[str, dict]:
         "the probability-space companion of pair_pr_curve",
     }
 
+    # --- truth discovery (Sums-style source-reliability fixed point) -------
+    # Claims: each crawl snapshot's source asserts the logical page's
+    # language — sources conflict on re-crawled pages, so reliability
+    # weighting is exercised, not just majority vote.
+    def _td_claims_spark(s, d):
+        return load(s, d, "documents").select(
+            (F.col("doc_id") % crawl.N_LOGICAL).alias("ent"),
+            "lang", "source",
+        )
+
+    _TD_CLAIMS_SQL = (
+        f"(SELECT CAST(doc_id % {crawl.N_LOGICAL} AS BIGINT) AS e, "
+        "lang AS v, source AS s FROM documents)"
+    )
+    cat["truth_discovery"] = {
+        "spark": lambda s, d: fusion.truth_discovery(
+            _td_claims_spark(s, d), "ent", "lang", "source"
+        ),
+        "sql": fusion.truth_discovery_sql(_TD_CLAIMS_SQL),
+        "ref": "conflict resolution beyond record_fusion's mode rule: "
+        "per-entity winning value under ITERATIVE source-reliability "
+        "weighting (Sums/TruthFinder family, integer micro-unit fixed "
+        "point — the fusion analog of pagerank_hosts' recurrence)",
+    }
+    cat["source_trust"] = {
+        "spark": lambda s, d: fusion.source_trust(
+            _td_claims_spark(s, d), "ent", "lang", "source"
+        ),
+        "sql": fusion.source_trust_sql(_TD_CLAIMS_SQL),
+        "ref": "the converged per-source reliability from the same fixed "
+        "point (max source = SCALE; feeds curation source weighting)",
+    }
+
     # --- SCD2 page-version history over the synthetic crawl log ------------
     # Content ids cycle over 3 deterministic values per snapshot, so the
     # version collapse (consecutive identical re-fetches merge) and the

@@ -126,6 +126,8 @@ QUERIES = [
     "posterior_calibration",
     "dedup_span_rewrite",
     "scd2_page_versions",
+    "truth_discovery",
+    "source_trust",
 ]
 
 
