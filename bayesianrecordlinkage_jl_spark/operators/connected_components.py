@@ -364,6 +364,19 @@ def kwikcluster(
         .withColumn("k", F.expr(_KC_KEY_SPARK))
         .localCheckpoint()
     )
+    return _pivot_rounds(adj, act, rounds, cl_sub_start=17)
+
+
+def _pivot_rounds(
+    adj: DataFrame, act: DataFrame, rounds: int, cl_sub_start: int
+) -> DataFrame:
+    """Shared synchronous pivot-star loop: per round, an active node whose
+    key precedes every active neighbor's becomes a pivot; active nodes
+    with a pivot neighbor join their MIN-key pivot; both deactivate.
+    With a STATIC key this reproduces the sequential greedy over key
+    order exactly. `act` carries (node, k) where k is a string whose
+    19-char zero-padded node id starts at `cl_sub_start` (1-based)."""
+    cl_expr = f"CAST(substring(mpk, {cl_sub_start}, 19) AS BIGINT)"
     parts = []
     for r in range(1, rounds + 1):
         if act.count() == 0:
@@ -386,9 +399,7 @@ def kwikcluster(
             .agg(F.min("pk").alias("mpk"))
             .select(
                 F.col("src").alias("node"),
-                F.expr("CAST(substring(mpk, 17, 19) AS BIGINT)").alias(
-                    "cluster"
-                ),
+                F.expr(cl_expr).alias("cluster"),
                 F.lit(r).cast("long").alias("assigned_round"),
             )
         )
@@ -438,6 +449,15 @@ def kwikcluster_sql(edges_expr: str, rounds: int = 10) -> str:
       FROM (SELECT DISTINCT src AS node FROM adj)
     )""",
     ]
+    return "WITH " + ",\n    ".join(
+        ctes + _pivot_rounds_ctes(rounds, cl_sub_start=17)
+    ) + _pivot_rounds_final_sql(rounds)
+
+
+def _pivot_rounds_ctes(rounds: int, cl_sub_start: int) -> list[str]:
+    """Per-round CTEs of the shared pivot-star replay; expects `adj`
+    (symmetric, distinct) and `act0` (node, k) to be defined upstream."""
+    ctes: list[str] = []
     for r in range(1, rounds + 1):
         p = r - 1
         ctes.append(f"""mnb{r} AS (
@@ -452,7 +472,8 @@ def kwikcluster_sql(edges_expr: str, rounds: int = 10) -> str:
       WHERE m.mk IS NULL OR a.k < m.mk
     )""")
         ctes.append(f"""asg{r} AS (
-      SELECT s.node AS node, CAST(substr(min(p.k), 17, 19) AS BIGINT)
+      SELECT s.node AS node,
+             CAST(substr(min(p.k), {cl_sub_start}, 19) AS BIGINT)
                AS cluster,
              CAST({r} AS BIGINT) AS assigned_round
       FROM adj e JOIN act{p} s ON e.src = s.node
@@ -469,12 +490,15 @@ def kwikcluster_sql(edges_expr: str, rounds: int = 10) -> str:
       FROM act{p} a LEFT JOIN clu{r} c USING (node)
       WHERE c.node IS NULL
     )""")
+    return ctes
+
+
+def _pivot_rounds_final_sql(rounds: int) -> str:
     unions = "\n      UNION ALL ".join(
         f"SELECT node, cluster, assigned_round FROM clu{r}"
         for r in range(1, rounds + 1)
     )
-    return (
-        "WITH " + ",\n    ".join(ctes) + f"""
+    return f"""
     SELECT CAST(node AS BIGINT) AS node, CAST(cluster AS BIGINT) AS cluster,
            assigned_round
     FROM (
@@ -483,4 +507,93 @@ def kwikcluster_sql(edges_expr: str, rounds: int = 10) -> str:
         AS assigned_round FROM act{rounds}
     )
     """
+
+
+# ---------------------------------------------------------------------------
+# star clustering: degree-greedy pivot stars (Aslam, Pelekhov & Rus 2004,
+# disjoint variant) — same synchronous-rounds machinery as kwikcluster,
+# but the pivot order is (degree DESC, node ASC) instead of the hash
+# permutation: hubs become centers, so cluster representatives are the
+# best-connected members rather than hash-arbitrary ones
+# ---------------------------------------------------------------------------
+
+# MIN-ordered key: inverted degree (14 digits covers deg < 10^13), then
+# node id — lexicographic min == (max degree, then min node)
+_STAR_DEG_CAP = 10_000_000_000_000
+
+
+def star_clusters(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 10,
+) -> DataFrame:
+    """-> (node, cluster, assigned_round): disjoint star clustering of a
+    positive-edge similarity graph. Priority is STATIC full-graph degree
+    (ties: smaller node id — total order), so the synchronous rounds
+    reproduce the sequential greedy exactly: highest-degree unassigned
+    node becomes a center, its unassigned neighbors attach, repeat.
+    Versus kwikcluster (hash-ordered pivots), centers here are hubs —
+    every member is a verified neighbor of the best-connected
+    representative, the shape wanted for canonical-record election.
+
+    Same non-chaining guarantee as kwikcluster: clusters are pivot stars,
+    never transitive chains. Nodes still active after `rounds` rounds
+    exit as singletons with assigned_round = -1 (the catalog fixture pins
+    convergence); isolated nodes never appear (callers union them back).
+
+    100-TB notes: identical loop shape to kwikcluster (state only
+    shrinks, adjacency checkpointed once, node-keyed aggregates only)
+    plus ONE extra map-side degree aggregate up front."""
+    e = _canon(
+        edges.select(
+            F.col(src).cast("long").alias("src"),
+            F.col(dst).cast("long").alias("dst"),
+        )
     )
+    adj = (
+        e.unionByName(
+            e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .localCheckpoint()  # reused every round + the degree aggregate
+    )
+    act = (
+        adj.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("long").alias("_deg"))
+        .select(
+            "node",
+            F.expr(
+                f"lpad(CAST({_STAR_DEG_CAP} - _deg AS STRING), 14, '0') "
+                "|| '|' || lpad(CAST(node AS STRING), 19, '0')"
+            ).alias("k"),
+        )
+        .localCheckpoint()
+    )
+    return _pivot_rounds(adj, act, rounds, cl_sub_start=16)
+
+
+def star_clusters_sql(edges_expr: str, rounds: int = 10) -> str:
+    """Twin of star_clusters (same degree key, same chained-CTE replay)."""
+    ctes = [
+        f"""eraw AS (
+      SELECT greatest(src, dst) AS src, least(src, dst) AS dst
+      FROM (SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst
+            FROM ({edges_expr}))
+      WHERE src <> dst
+    )""",
+        """adj AS MATERIALIZED (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM eraw
+        UNION ALL SELECT dst AS src, src AS dst FROM eraw)
+    )""",
+        f"""act0 AS MATERIALIZED (
+      SELECT node,
+             lpad(CAST({_STAR_DEG_CAP} - _deg AS VARCHAR), 14, '0')
+               || '|' || lpad(CAST(node AS VARCHAR), 19, '0') AS k
+      FROM (SELECT src AS node, CAST(count(*) AS BIGINT) AS _deg
+            FROM adj GROUP BY src)
+    )""",
+    ]
+    return "WITH " + ",\n    ".join(
+        ctes + _pivot_rounds_ctes(rounds, cl_sub_start=16)
+    ) + _pivot_rounds_final_sql(rounds)

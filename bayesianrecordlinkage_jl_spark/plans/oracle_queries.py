@@ -3810,6 +3810,34 @@ def build_catalog() -> dict[str, dict]:
         "chained-CTE round replay",
     }
 
+    # Same near-dup graph under degree-greedy star clustering: centers are
+    # hubs (canonical-record election) instead of hash-arbitrary pivots.
+    def _star_spark(s, d):
+        from ..operators.connected_components import star_clusters
+
+        edges = _jaccard_edges_cached(s, d).select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+        )
+        return star_clusters(edges, rounds=10)
+
+    from ..operators.connected_components import star_clusters_sql
+
+    cat["star_clusters_links"] = {
+        "spark": _star_spark,
+        "sql": star_clusters_sql(
+            "SELECT id_a AS src, id_b AS dst FROM ("
+            + dedup.ngram_jaccard_pairs_via_lsh_sql(
+                "documents", "doc_id", "text", JACCARD_MIN_PCT
+            )
+            + ")",
+            rounds=10,
+        ),
+        "ref": "star clustering (Aslam-Pelekhov-Rus 2004, disjoint "
+        "variant): degree-greedy pivot stars — hub centers for "
+        "canonical-record election; static (degree, id) priority makes "
+        "the synchronous rounds replay the sequential greedy exactly",
+    }
+
     def _relabel_spark(s, d):
         pred, truth = _cm_pred_truth(s, d)
         return incremental.stable_relabel(truth, pred)

@@ -200,6 +200,14 @@ def main() -> None:
         "comparison_vectors_dl",
         "u_probability_estimates",
         "blocking_rule_coverage",
+        "kwikcluster_links",
+        "canopy_clusters",
+        "stable_relabel",
+        "pair_pr_curve",
+        "dedup_span_rewrite",
+        "scd2_page_versions",
+        "truth_discovery",
+        "star_clusters_links",
     ):
         extra_queries[name], _ = timed_reps(name)
     extras["extra_queries"] = extra_queries

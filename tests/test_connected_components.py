@@ -220,3 +220,101 @@ def test_kwikcluster_preconvergence_and_early_exit(spark):
         1000, 1001, key=lambda v: __import__("hashlib").md5(
             f"kc|{v}".encode()).hexdigest()[:15] + "|" + str(v).zfill(19)
     )}
+
+
+# --- star clustering (degree-greedy pivots) --------------------------------------
+
+
+def _brute_star(edges, rounds=10):
+    """Python replica of star_clusters' synchronous rounds (static
+    (degree DESC, node ASC) priority; cluster id at key offset 15)."""
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for a, b in edges:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    key = {
+        v: str(10_000_000_000_000 - len(adj[v])).zfill(14)
+        + "|" + str(v).zfill(19)
+        for v in adj
+    }
+    active = set(adj)
+    out = {}
+    for r in range(1, rounds + 1):
+        if not active:
+            break
+        piv = {
+            v for v in active
+            if all(key[v] < key[u] for u in adj[v] if u in active)
+        }
+        asg = {}
+        for u in active - piv:
+            pnb = [key[p] for p in adj[u] if p in active and p in piv]
+            if pnb:
+                asg[u] = int(min(pnb)[15:])
+        for v in piv:
+            out[v] = (v, r)
+        for u, c in asg.items():
+            out[u] = (c, r)
+        active -= piv | set(asg)
+    for v in active:
+        out[v] = (v, -1)
+    return out
+
+
+def _star_rows(spark, edges, rounds=10):
+    from bayesianrecordlinkage_jl_spark.operators.connected_components import (
+        star_clusters,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    return {
+        r["node"]: (r["cluster"], r["assigned_round"])
+        for r in star_clusters(df, rounds=rounds).collect()
+    }
+
+
+def test_star_clusters_matches_replica_and_is_star_valid(spark):
+    rng = random.Random(23)
+    edges = sorted({
+        (min(a, b), max(a, b))
+        for a, b in ((rng.randrange(60), rng.randrange(60)) for _ in range(120))
+        if a != b
+    })
+    got = _star_rows(spark, edges)
+    assert got == _brute_star(edges)
+    nbr = {}
+    for a, b in edges:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    centers = {v for v, (c, r) in got.items() if c == v and r != -1}
+    for v, (c, _r) in got.items():
+        if v != c:
+            assert c in nbr[v]  # member is a VERIFIED neighbor of its hub
+    for a, b in edges:
+        assert not (a in centers and b in centers)
+    assert all(r != -1 for _, r in got.values())
+
+
+def test_star_clusters_elects_the_hub(spark):
+    # hub has the LARGEST id — hash order (kwikcluster) would almost
+    # surely not pick it, degree order must
+    edges = [(9, i) for i in range(5)]
+    got = _star_rows(spark, edges)
+    assert got[9] == (9, 1)
+    assert all(got[i] == (9, 1) for i in range(5))
+    # two hubs sharing a satellite: both centers, satellite joins the
+    # higher-degree one (hub 20, degree 4 > hub 30, degree 3)
+    edges = [(20, 1), (20, 2), (20, 3), (20, 99), (30, 4), (30, 5), (30, 99)]
+    got = _star_rows(spark, edges)
+    assert got == _brute_star(edges)
+    assert got[99][0] == 20 and got[20][0] == 20 and got[30][0] == 30
+
+
+def test_star_clusters_does_not_chain_transitively(spark):
+    edges = [(i, i + 1) for i in range(30)]
+    got = _star_rows(spark, edges)
+    assert got == _brute_star(edges)
+    assert len({c for c, _ in got.values()}) >= 11

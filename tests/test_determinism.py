@@ -128,6 +128,7 @@ QUERIES = [
     "scd2_page_versions",
     "truth_discovery",
     "source_trust",
+    "star_clusters_links",
 ]
 
 
