@@ -593,6 +593,18 @@ SELECT node, min(comp) AS component FROM walk GROUP BY node
 """
 
 
+PROG_BUDGET = 400  # progressive-ER comparison budget (pairs resolved)
+
+
+def _progressive_budget_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-PROG_BUDGET scored pairs in (w DESC, id_a, id_b) total order —
+    compiles to TakeOrderedAndProject (plan-pinned), never a global sort."""
+    sp = _scored_pairs_cached(spark, sf_dir)
+    return sp.orderBy(
+        F.col("w").desc(), F.col("id_a"), F.col("id_b")
+    ).limit(PROG_BUDGET)
+
+
 def _cc_from_scored(
     spark: SparkSession, sf_dir: str, wp: DataFrame
 ) -> DataFrame:
@@ -4543,6 +4555,93 @@ def build_catalog() -> dict[str, dict]:
         "bayesrule_posterior (src/weight_functions.jl:451) against "
         "LSH-verified labels — log-odds bins keep the oracle exp-free; "
         "the probability-space companion of pair_pr_curve",
+    }
+
+    # --- entity-level version timeline (near-dup clusters x SCD2) ----------
+    # The ER composition of scd2_page_versions: snapshots grouped by the
+    # ENTITY (near-dup cluster) they resolve to, so mirrored/re-crawled
+    # copies of one logical document share a single version history;
+    # versions are distinct content fetches (full 60-bit text hash), so
+    # exact re-fetches collapse and every near-dup edit opens a version.
+    def _ent_timeline_spark(s, d):
+        cc = _jaccard_cc_cached(s, d)
+        docs = load(s, d, "documents")
+        snaps = docs.join(cc, docs["doc_id"] == cc["node"]).select(
+            F.col("component").alias("ent"),
+            crawl.crawl_ts_epoch("doc_id").alias("ts"),
+            phash(F.col("text")).alias("fp"),
+            F.col("doc_id").alias("sid"),
+        )
+        out = crawl.scd2_intervals(snaps, "ent", "ts", "fp", "sid")
+        return out.select(
+            F.col("url").cast("long").alias("entity"),
+            "version_no", "fp", "valid_from", "valid_to", "n_snaps",
+            "is_current",
+        )
+
+    _ENT_SNAPS_SQL = f"""(
+      SELECT cc.component AS u, {crawl.crawl_ts_epoch_sql('d.doc_id')} AS ts,
+             {T.phash_sql('d.text')} AS fp, d.doc_id AS sid
+      FROM ({_CC_SQL_TEMPLATE.format(
+          edges="SELECT id_a, id_b FROM ("
+          + dedup.ngram_jaccard_pairs_via_lsh_sql(
+              "documents", "doc_id", "text", JACCARD_MIN_PCT)
+          + ")")}) cc
+      JOIN documents d ON cc.node = d.doc_id
+    )"""
+    cat["entity_version_timeline"] = {
+        "spark": _ent_timeline_spark,
+        "sql": f"""
+        SELECT CAST(url AS BIGINT) AS entity, version_no, fp, valid_from,
+               valid_to, n_snaps, is_current
+        FROM ({crawl.scd2_intervals_sql(_ENT_SNAPS_SQL, 'u', 'ts', 'fp', 'sid')})
+        """,
+        "ref": "entity version timeline: SCD2 intervals keyed by the "
+        "near-dup CLUSTER instead of the url — one history per logical "
+        "document across mirrors/re-crawls (composition of "
+        "scd2_intervals over the memoized near-dup CC upstream)",
+    }
+
+    # --- progressive (budget-capped) entity resolution ----------------------
+    # Pay-as-you-go ER (Whang, Marmaros & Garcia-Molina, TKDE 2013): spend
+    # the comparison budget on the HIGHEST-weight candidates first and
+    # report the entities resolvable within it. The budget cut is a global
+    # top-K in (w DESC, id_a, id_b) total order — TakeOrderedAndProject,
+    # never a full-sort window (the fs_review_queue invariant) — then
+    # transitive closure over just those pairs.
+    def _progressive_spark(s, d):
+        from ..operators.connected_components import connected_components
+
+        top = _progressive_budget_cut(s, d)
+        return connected_components(
+            top.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        )
+
+    cat["progressive_er_clusters"] = {
+        "spark": _progressive_spark,
+        "sql": f"""
+        WITH RECURSIVE pbedges AS MATERIALIZED (
+          SELECT id_a, id_b FROM ({_weighted_pairs_sql()})
+          ORDER BY w DESC, id_a, id_b LIMIT {PROG_BUDGET}
+        ),
+        pbnodes AS (SELECT DISTINCT n AS node FROM (
+          SELECT id_a AS n FROM pbedges
+          UNION ALL SELECT id_b AS n FROM pbedges)),
+        pbbi AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM pbedges
+               UNION SELECT id_b AS a, id_a AS b FROM pbedges),
+        pbwalk(node, comp) AS (
+          SELECT node, node FROM pbnodes
+          UNION
+          SELECT pbbi.b, pbwalk.comp FROM pbwalk
+          JOIN pbbi ON pbbi.a = pbwalk.node
+          WHERE pbwalk.comp < pbbi.b
+        )
+        SELECT node, min(comp) AS component FROM pbwalk GROUP BY node
+        """,
+        "ref": "progressive / pay-as-you-go ER (Whang et al. 2013): "
+        "entities resolvable within a fixed comparison budget spent "
+        "best-first — global top-K cut (TakeOrderedAndProject, "
+        "plan-pinned shape) + CC over the budgeted pairs only",
     }
 
     # --- truth discovery (Sums-style source-reliability fixed point) -------

@@ -129,6 +129,8 @@ QUERIES = [
     "truth_discovery",
     "source_trust",
     "star_clusters_links",
+    "entity_version_timeline",
+    "progressive_er_clusters",
 ]
 
 

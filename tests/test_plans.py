@@ -199,3 +199,15 @@ def test_monge_elkan_jw_evaluates_once_behind_checkpoint(spark):
     plan = _plan(monge_elkan_pairs(df, "doc_id", "text"))
     assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_progressive_er_budget_cut_is_take_ordered(spark):
+    """The progressive-ER budget cut must compile to
+    TakeOrderedAndProject (per-partition K-heaps), not a global sort —
+    the candidate set is millions of pairs at scale and only
+    PROG_BUDGET survive into the closure."""
+    df = oq._progressive_budget_cut(spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    head = plan.split("TakeOrderedAndProject")[-1]
+    assert "Sort " not in head, head[:400]
