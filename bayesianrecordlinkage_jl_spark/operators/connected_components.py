@@ -597,3 +597,201 @@ def star_clusters_sql(edges_expr: str, rounds: int = 10) -> str:
     return "WITH " + ",\n    ".join(
         ctes + _pivot_rounds_ctes(rounds, cl_sub_start=16)
     ) + _pivot_rounds_final_sql(rounds)
+
+
+# ---------------------------------------------------------------------------
+# Boruvka maximum spanning forest: the exact single-linkage backbone.
+# threshold_sensitivity re-runs CC per threshold over the FULL edge set;
+# the MSF is the |V|-1-edge summary that answers every threshold cut at
+# once (single-linkage clusters at ANY t = CC over forest edges with
+# w >= t), so dendrogram-style analyses touch |V| edges, not |E|.
+# ---------------------------------------------------------------------------
+
+
+def max_spanning_forest(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    w: str = "w",
+    rounds: int = 8,
+) -> DataFrame:
+    """edges(src, dst, w BIGINT) -> (src, dst, w, merge_round): the
+    maximum spanning forest by synchronous Boruvka rounds. Priorities are
+    the STRICT total order (w DESC, src ASC, dst ASC) — (src,dst) is
+    unique after the max-w multi-edge collapse — so per-component best
+    edges are deterministic, the selection graph is acyclic apart from
+    mutual picks of the SAME edge (deduped), and the result is a true
+    maximum spanning forest of the integer weights (the lexicographic
+    perturbation argument). Weights must be BIGINT (the repo's
+    quantize-to-integer convention) so cross-engine compare is exact.
+
+    Per round every component's best incident edge joins the forest and
+    components contract (CC over the selected component graph), so the
+    component count at least halves: `rounds` = 8 completes any forest
+    whose trees need <= 2^8 Boruvka merges; unconverged rounds would
+    leave the forest partial (the catalog fixture pins convergence —
+    the final round selects nothing).
+
+    100-TB notes: the weighted edge list is canonicalized + max-collapsed
+    once and localCheckpoint'ed (consumed 2x per round: label join +
+    nothing else — incidence/best/selection all derive from that join);
+    per round the shuffles are edge-keyed label joins and a component-
+    keyed struct-MAX (map-side combined); the contraction CC runs on the
+    SELECTED edges only (<= #components rows, halving each round) —
+    the full edge set is never sorted, windowed, or self-joined."""
+    e = (
+        edges.select(
+            F.least(F.col(src), F.col(dst)).cast("long").alias("a"),
+            F.greatest(F.col(src), F.col(dst)).cast("long").alias("b"),
+            F.col(w).cast("long").alias("w"),
+        )
+        .where(F.col("a") != F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.max("w").alias("w"))
+        .localCheckpoint()
+    )
+    lbl = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    parts: list[DataFrame] = []
+    for r in range(1, rounds + 1):
+        ce = (
+            e.join(
+                lbl.select(F.col("node").alias("a"), F.col("comp").alias("ca")),
+                on="a",
+            )
+            .join(
+                lbl.select(F.col("node").alias("b"), F.col("comp").alias("cb")),
+                on="b",
+            )
+            .where(F.col("ca") != F.col("cb"))
+            .localCheckpoint()  # consumed by the emptiness probe + both
+            # incidence directions
+        )
+        if ce.count() == 0:
+            break
+        inc = ce.select(
+            F.col("ca").alias("c"), "a", "b", "w", "ca", "cb"
+        ).unionByName(
+            ce.select(F.col("cb").alias("c"), "a", "b", "w", "ca", "cb")
+        )
+        best = inc.groupBy("c").agg(
+            F.max(
+                F.struct(
+                    F.col("w"),
+                    (-F.col("a")).alias("_na"),
+                    (-F.col("b")).alias("_nb"),
+                    F.col("a"),
+                    F.col("b"),
+                    F.col("ca"),
+                    F.col("cb"),
+                )
+            ).alias("_e")
+        )
+        sel = (
+            best.select(
+                F.col("_e.a").alias("a"),
+                F.col("_e.b").alias("b"),
+                F.col("_e.w").alias("w"),
+                F.least("_e.ca", "_e.cb").alias("x"),
+                F.greatest("_e.ca", "_e.cb").alias("y"),
+            )
+            .distinct()
+            .localCheckpoint()  # consumed by output + the contraction CC
+        )
+        parts.append(
+            sel.select(
+                F.col("a").alias("src"), F.col("b").alias("dst"), "w",
+                F.lit(r).cast("long").alias("merge_round"),
+            )
+        )
+        cmap = connected_components(
+            sel.select(F.col("x").alias("src"), F.col("y").alias("dst"))
+        ).select(F.col("node").alias("_oldc"), F.col("component").alias("_newc"))
+        lbl = (
+            lbl.join(cmap, lbl["comp"] == cmap["_oldc"], "left")
+            .select(
+                "node", F.coalesce("_newc", F.col("comp")).alias("comp")
+            )
+            .localCheckpoint()
+        )
+    if not parts:
+        schema = "src long, dst long, w long, merge_round long"
+        return edges.sparkSession.createDataFrame([], schema)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def max_spanning_forest_sql(edges_expr: str, rounds: int = 8) -> str:
+    """Twin of max_spanning_forest: chained recursive-CTE blocks (the
+    capped-CC pattern — DISTINCT over UNION ALL inside WITH RECURSIVE,
+    one recursive contraction walk per round over the selected edges)."""
+    ctes = [
+        f"""msfe AS MATERIALIZED (
+      SELECT a, b, max(w) AS w FROM (
+        SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+               CAST(w AS BIGINT) AS w
+        FROM ({edges_expr})
+        WHERE src <> dst)
+      GROUP BY a, b
+    )""",
+        """lbl_0 AS MATERIALIZED (
+      SELECT node, node AS comp FROM (SELECT DISTINCT n AS node FROM (
+        SELECT a AS n FROM msfe UNION ALL SELECT b AS n FROM msfe))
+    )""",
+    ]
+    for r in range(1, rounds + 1):
+        p = r - 1
+        ctes.append(f"""ce_{r} AS MATERIALIZED (
+      SELECT e.a, e.b, e.w, la.comp AS ca, lb.comp AS cb
+      FROM msfe e JOIN lbl_{p} la ON e.a = la.node
+                  JOIN lbl_{p} lb ON e.b = lb.node
+      WHERE la.comp <> lb.comp
+    )""")
+        ctes.append(f"""best_{r} AS MATERIALIZED (
+      SELECT c, a, b, w, ca, cb FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY c ORDER BY w DESC, a ASC, b ASC) AS _r
+        FROM (SELECT ca AS c, a, b, w, ca, cb FROM ce_{r}
+              UNION ALL SELECT cb AS c, a, b, w, ca, cb FROM ce_{r})
+      ) WHERE _r = 1
+    )""")
+        ctes.append(f"""sel_{r} AS MATERIALIZED (
+      SELECT DISTINCT a, b, w, least(ca, cb) AS x, greatest(ca, cb) AS y
+      FROM best_{r}
+    )""")
+        ctes.append(f"""selbi_{r} AS MATERIALIZED (
+      SELECT x AS p, y AS q FROM sel_{r}
+      UNION ALL SELECT y AS p, x AS q FROM sel_{r}
+    )""")
+        ctes.append(f"""cwalk_{r}(node, comp) AS (
+      SELECT p, p FROM (SELECT DISTINCT p FROM selbi_{r})
+      UNION
+      SELECT s.q, cw.comp FROM cwalk_{r} cw JOIN selbi_{r} s ON s.p = cw.node
+      WHERE cw.comp < s.q
+    )""")
+        ctes.append(f"""cmap_{r} AS MATERIALIZED (
+      SELECT node AS oldc, min(comp) AS newc FROM cwalk_{r} GROUP BY node
+    )""")
+        ctes.append(f"""lbl_{r} AS MATERIALIZED (
+      SELECT l.node, coalesce(m.newc, l.comp) AS comp
+      FROM lbl_{p} l LEFT JOIN cmap_{r} m ON l.comp = m.oldc
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT a AS src, b AS dst, w, CAST({r} AS BIGINT) AS merge_round"
+        f" FROM sel_{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH RECURSIVE " + ",\n    ".join(ctes) + f"""
+    SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst,
+           CAST(w AS BIGINT) AS w, merge_round
+    FROM ({unions})
+    """
+    )

@@ -4644,6 +4644,38 @@ def build_catalog() -> dict[str, dict]:
         "plan-pinned shape) + CC over the budgeted pairs only",
     }
 
+    # --- maximum spanning forest (exact single-linkage backbone) -----------
+    # Over the near-dup graph with w = jaccard in integer centi-percent
+    # (floor(jac_pct*100+0.5) of the bit-identical shared double).
+    def _msf_spark(s, d):
+        from ..operators.connected_components import max_spanning_forest
+
+        edges = _jaccard_edges_cached(s, d).select(
+            F.col("id_a").alias("src"), F.col("id_b").alias("dst"),
+            F.floor(F.col("jac_pct") * 100.0 + 0.5).cast("long").alias("w"),
+        )
+        return max_spanning_forest(edges, rounds=6)
+
+    from ..operators.connected_components import max_spanning_forest_sql
+
+    cat["msf_edges"] = {
+        "spark": _msf_spark,
+        "sql": max_spanning_forest_sql(
+            "SELECT id_a AS src, id_b AS dst, "
+            "CAST(floor(jac_pct * 100.0 + 0.5) AS BIGINT) AS w FROM ("
+            + dedup.ngram_jaccard_pairs_via_lsh_sql(
+                "documents", "doc_id", "text", JACCARD_MIN_PCT
+            )
+            + ")",
+            rounds=6,
+        ),
+        "ref": "Boruvka maximum spanning forest — the exact single-"
+        "linkage summary: clusters at ANY threshold = CC over forest "
+        "edges with w >= t (|V| edges instead of re-running CC over |E| "
+        "per threshold, cf. threshold_sensitivity); strict (w DESC, src, "
+        "dst) priorities, per-round chained recursive-CTE contraction",
+    }
+
     # --- truth discovery (Sums-style source-reliability fixed point) -------
     # Claims: each crawl snapshot's source asserts the logical page's
     # language — sources conflict on re-crawled pages, so reliability

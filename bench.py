@@ -222,6 +222,7 @@ def main() -> None:
         "star_clusters_links",
         "entity_version_timeline",
         "progressive_er_clusters",
+        "msf_edges",
     ):
         extra_queries[name], _ = timed_reps(name)
     extras["extra_queries"] = extra_queries

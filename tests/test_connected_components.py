@@ -318,3 +318,173 @@ def test_star_clusters_does_not_chain_transitively(spark):
     got = _star_rows(spark, edges)
     assert got == _brute_star(edges)
     assert len({c for c, _ in got.values()}) >= 11
+
+
+# --- maximum spanning forest (Boruvka) --------------------------------------------
+
+
+def _brute_boruvka(edges, rounds=8):
+    """Python replica of the synchronous rounds. edges: (a, b, w) with
+    a < b after canonicalization; returns {(a, b): (w, round)}."""
+    from collections import defaultdict
+
+    ew = {}
+    for s, d, w in edges:
+        a, b = min(s, d), max(s, d)
+        if a != b:
+            ew[(a, b)] = max(ew.get((a, b), w), w)
+    comp = {v: v for ab in ew for v in ab}
+    out = {}
+    for r in range(1, rounds + 1):
+        ce = [
+            (a, b, w, comp[a], comp[b])
+            for (a, b), w in ew.items()
+            if comp[a] != comp[b]
+        ]
+        if not ce:
+            break
+        best = {}
+        for a, b, w, ca, cb in ce:
+            for c in (ca, cb):
+                k = (-w, a, b)
+                if c not in best or k < best[c][0]:
+                    best[c] = (k, (a, b, w, ca, cb))
+        sel = {}
+        for _k, (a, b, w, ca, cb) in best.values():
+            sel[(a, b)] = (w, ca, cb)
+        for (a, b), (w, _ca, _cb) in sel.items():
+            out[(a, b)] = (w, r)
+        # contract: CC over selected component pairs, min label
+        adj = defaultdict(set)
+        for (_a, _b), (_w, ca, cb) in sel.items():
+            adj[ca].add(cb)
+            adj[cb].add(ca)
+        newc = {}
+        for start in adj:
+            if start in newc:
+                continue
+            stack, seen = [start], {start}
+            while stack:
+                u = stack.pop()
+                for v in adj[u]:
+                    if v not in seen:
+                        seen.add(v)
+                        stack.append(v)
+            root = min(seen)
+            for u in seen:
+                newc[u] = root
+        comp = {v: newc.get(c, c) for v, c in comp.items()}
+    return out
+
+
+def _kruskal_weight(edges):
+    ew = {}
+    for s, d, w in edges:
+        a, b = min(s, d), max(s, d)
+        if a != b:
+            ew[(a, b)] = max(ew.get((a, b), w), w)
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    total = 0
+    for (a, b), w in sorted(ew.items(), key=lambda kv: (-kv[1], kv[0])):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[ra] = rb
+            total += w
+    return total
+
+
+def _msf_rows(spark, edges, rounds=8):
+    from bayesianrecordlinkage_jl_spark.operators.connected_components import (
+        max_spanning_forest,
+    )
+
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    return {
+        (r["src"], r["dst"]): (r["w"], r["merge_round"])
+        for r in max_spanning_forest(df, rounds=rounds).collect()
+    }
+
+
+def test_msf_matches_replica_and_is_max_forest(spark):
+    rng = random.Random(31)
+    edges = sorted({
+        (min(a, b), max(a, b))
+        for a, b in ((rng.randrange(40), rng.randrange(40)) for _ in range(90))
+        if a != b
+    })
+    wedges = [(a, b, rng.randrange(1, 15)) for a, b in edges]  # many w ties
+    got = _msf_rows(spark, wedges)
+    assert got == _brute_boruvka(wedges)
+    # forest: |edges| = |nodes| - |components|
+    nodes = {v for a, b, _ in wedges for v in (a, b)}
+    cc = connected_components(
+        spark.createDataFrame(wedges, "src long, dst long, w long")
+    )
+    n_comp = cc.select("component").distinct().count()
+    assert len(got) == len(nodes) - n_comp
+    # forest spans the same components as the full graph
+    fcc = connected_components(
+        spark.createDataFrame(
+            [(a, b) for a, b in got], "src long, dst long"
+        )
+    )
+    assert fcc.select("component").distinct().count() == n_comp
+    # maximum: total weight equals Kruskal's (all MSFs tie on total w)
+    assert sum(w for w, _ in got.values()) == _kruskal_weight(wedges)
+
+
+def test_msf_multi_edge_collapse_and_empty(spark):
+    # parallel edges keep the max weight; reversed orientation canonicalizes
+    wedges = [(2, 1, 5), (1, 2, 9), (2, 3, 9), (3, 2, 1)]
+    got = _msf_rows(spark, wedges)
+    assert got == {(1, 2): (9, 1), (2, 3): (9, 1)}
+    # self-loop-only input -> empty forest with the contract schema
+    df = spark.createDataFrame([(7, 7, 3)], "src long, dst long, w long")
+    from bayesianrecordlinkage_jl_spark.operators.connected_components import (
+        max_spanning_forest,
+    )
+
+    out = max_spanning_forest(df)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "src", "dst", "w", "merge_round"
+    ]
+
+
+def test_msf_single_linkage_cut_equals_full_cc(spark):
+    # the MSF property the catalog sells: CC over forest edges with
+    # w >= t == CC over ALL edges with w >= t, for every t
+    rng = random.Random(41)
+    edges = sorted({
+        (min(a, b), max(a, b))
+        for a, b in ((rng.randrange(30), rng.randrange(30)) for _ in range(70))
+        if a != b
+    })
+    wedges = [(a, b, rng.randrange(1, 10)) for a, b in edges]
+    forest = _msf_rows(spark, wedges)
+
+    def _cc_sets(pairs):
+        if not pairs:
+            return set()
+        cc = connected_components(
+            spark.createDataFrame(pairs, "src long, dst long")
+        ).collect()
+        bycomp = {}
+        for r in cc:
+            bycomp.setdefault(r["component"], set()).add(r["node"])
+        return {frozenset(v) for v in bycomp.values()}
+
+    for t in range(1, 11):
+        full = _cc_sets([(a, b) for a, b, w in wedges if w >= t])
+        cut = _cc_sets(
+            [(a, b) for (a, b), (w, _r) in forest.items() if w >= t]
+        )
+        assert full == cut, t

@@ -131,6 +131,7 @@ QUERIES = [
     "star_clusters_links",
     "entity_version_timeline",
     "progressive_er_clusters",
+    "msf_edges",
 ]
 
 
