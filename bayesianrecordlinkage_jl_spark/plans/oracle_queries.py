@@ -4676,6 +4676,65 @@ def build_catalog() -> dict[str, dict]:
         "dst) priorities, per-round chained recursive-CTE contraction",
     }
 
+    # --- single-linkage dendrogram profile from the MSF ---------------------
+    # The forest property prices the whole threshold sweep at |V| rows:
+    # clusters(t) over the graph's nodes = n_nodes - #forest edges with
+    # w >= t, so one cumulative count over the (<= |V|-1)-row forest
+    # replaces a per-threshold CC over |E| (threshold_sensitivity's cost).
+    def _slp_spark(s, d):
+        from pyspark.sql import Window as _W
+
+        forest = cat["msf_edges"]["spark"](s, d)
+        ed = _jaccard_edges_cached(s, d)
+        n_nodes = (
+            ed.select(F.col("id_a").alias("n"))
+            .unionByName(ed.select(F.col("id_b").alias("n")))
+            .distinct()
+            .count()
+        )
+        per_w = forest.groupBy("w").agg(
+            F.count(F.lit(1)).cast("long").alias("n_merges_at_w")
+        )
+        cum = F.sum("n_merges_at_w").over(
+            _W.orderBy(F.col("w").desc())
+            .rangeBetween(_W.unboundedPreceding, 0)
+        )
+        return per_w.select(
+            F.col("w").alias("threshold"),
+            "n_merges_at_w",
+            cum.cast("long").alias("n_merges"),
+            (F.lit(n_nodes) - cum).cast("long").alias("n_clusters"),
+        )
+
+    _SLP_NODES_SQL = (
+        "SELECT count(DISTINCT n) FROM ("
+        "SELECT id_a AS n FROM ("
+        + dedup.ngram_jaccard_pairs_via_lsh_sql(
+            "documents", "doc_id", "text", JACCARD_MIN_PCT)
+        + ") UNION ALL SELECT id_b AS n FROM ("
+        + dedup.ngram_jaccard_pairs_via_lsh_sql(
+            "documents", "doc_id", "text", JACCARD_MIN_PCT)
+        + "))"
+    )
+    cat["single_linkage_profile"] = {
+        "spark": _slp_spark,
+        "sql": f"""
+        WITH slpf AS MATERIALIZED ({cat['msf_edges']['sql']})
+        SELECT w AS threshold,
+               CAST(count(*) AS BIGINT) AS n_merges_at_w,
+               CAST(sum(count(*)) OVER (ORDER BY w DESC
+                 RANGE UNBOUNDED PRECEDING) AS BIGINT) AS n_merges,
+               CAST(({_SLP_NODES_SQL})
+                 - sum(count(*)) OVER (ORDER BY w DESC
+                     RANGE UNBOUNDED PRECEDING) AS BIGINT) AS n_clusters
+        FROM slpf GROUP BY w
+        """,
+        "ref": "single-linkage dendrogram profile: clusters-at-every-"
+        "threshold from the MSF in one |V|-row pass (clusters(t) = "
+        "n_nodes - forest merges with w >= t) — the cheap exact "
+        "replacement for threshold_sensitivity's per-threshold CC",
+    }
+
     # --- truth discovery (Sums-style source-reliability fixed point) -------
     # Claims: each crawl snapshot's source asserts the logical page's
     # language — sources conflict on re-crawled pages, so reliability

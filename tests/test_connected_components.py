@@ -488,3 +488,35 @@ def test_msf_single_linkage_cut_equals_full_cc(spark):
             [(a, b) for (a, b), (w, _r) in forest.items() if w >= t]
         )
         assert full == cut, t
+
+
+def test_single_linkage_profile_consistent_with_cc(spark):
+    """The catalog's dendrogram profile must equal a direct per-threshold
+    CC count over the full near-dup graph at sf0.001 (the forest
+    property, checked against the independent implementation)."""
+    from bayesianrecordlinkage_jl_spark.plans import oracle_queries as oq
+
+    sf = "/root/testdata/sf0.001"
+    cat = oq.build_catalog()
+    prof = {
+        r["threshold"]: r["n_clusters"]
+        for r in cat["single_linkage_profile"]["spark"](spark, sf).collect()
+    }
+    edges = oq._jaccard_edges_cached(spark, sf).select(
+        "id_a", "id_b",
+        (F.floor(F.col("jac_pct") * 100.0 + 0.5)).cast("long").alias("w"),
+    ).collect()
+    nodes = {r["id_a"] for r in edges} | {r["id_b"] for r in edges}
+    # a CC job per threshold is the expensive independent check — sample
+    # the sweep (ends + every 7th) to keep the suite inside its budget
+    ts = sorted(prof)
+    for t in {ts[0], ts[-1], *ts[::7]}:
+        sub = [(r["id_a"], r["id_b"]) for r in edges if r["w"] >= t]
+        cc = connected_components(
+            spark.createDataFrame(sub, "src long, dst long")
+        )
+        n_linked = cc.select("node").count()
+        n_comp = cc.select("component").distinct().count()
+        # clusters over the GRAPH's node universe: linked components plus
+        # nodes isolated at this threshold as singletons
+        assert prof[t] == n_comp + (len(nodes) - n_linked), t

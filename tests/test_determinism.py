@@ -132,6 +132,7 @@ QUERIES = [
     "entity_version_timeline",
     "progressive_er_clusters",
     "msf_edges",
+    "single_linkage_profile",
 ]
 
 
