@@ -263,3 +263,79 @@ def flag_contaminated(
         F.transform(T.word_shingles(F.col(text_col), k), lambda s: T.phash(s)),
     ).select("url", "warc_ts", F.explode("_gh").alias("gh"))
     return spans.join(span_index, on="gh").select("url", "warc_ts", "gh")
+
+
+def track_page_versions(
+    stream: DataFrame,
+    watermark: str = "1 hour",
+    state_timeout_ms: int = 24 * 3600 * 1000,
+) -> DataFrame:
+    """Streaming SCD2 (the incremental twin of crawl.scd2_intervals): one
+    applyInPandasWithState group per canonical url carrying
+    (last_fp, version_no); every arriving snapshot whose fingerprint
+    differs from the last-seen one OPENS a version and emits a
+    version-open event (url, version_no, fp, valid_from) — identical
+    re-fetches are absorbed into state and emit nothing. Append-mode
+    events are exactly the batch operator's (version_no, fp, valid_from)
+    triples when snapshots arrive in (warc_ts, fp) order (the in-batch
+    sort; cross-batch order is arrival order, the streaming contract).
+
+    State expires via processing-time timeout to bound the store — after
+    a horizon lapse the next fetch reopens a version, and the batch
+    SCD2 pass reconciles (the dedup_on_fingerprint tiered design).
+
+    Input must carry (url, warc_ts, fp).
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    out_schema = (
+        "url string, version_no long, fp long, valid_from timestamp"
+    )
+    state_schema = "last_fp long, version_no long"
+
+    return (
+        stream.withWatermark("warc_ts", watermark)
+        .groupBy("url")
+        .applyInPandasWithState(
+            _version_reducer(state_timeout_ms),
+            outputStructType=out_schema,
+            stateStructType=state_schema,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )
+
+
+def _version_reducer(state_timeout_ms: int):
+    """applyInPandasWithState handler for track_page_versions —
+    module-level factory so the timeout path is unit-testable."""
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        if state.hasTimedOut:
+            state.remove()
+            return iter(())
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["warc_ts", "fp"], ignore_index=True)
+        if state.exists:
+            last_fp, ver = state.get
+        else:
+            last_fp, ver = None, 0
+        events = []
+        for r in rows.itertuples(index=False):
+            fp = int(r.fp)
+            if last_fp is None or fp != last_fp:
+                ver += 1
+                last_fp = fp
+                events.append((key[0], ver, fp, r.warc_ts))
+        state.update((int(last_fp), int(ver)))
+        state.setTimeoutDuration(state_timeout_ms)
+        if not events:
+            return iter(())
+        return iter(
+            [pd.DataFrame(
+                events, columns=["url", "version_no", "fp", "valid_from"]
+            )]
+        )
+
+    return fn

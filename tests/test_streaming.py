@@ -8,6 +8,7 @@ import tempfile
 import pytest
 from pyspark.sql import functions as F
 
+from bayesianrecordlinkage_jl_spark.functions import text as T
 from bayesianrecordlinkage_jl_spark.sources.pages import generate_pages
 from bayesianrecordlinkage_jl_spark.streaming import ingest
 
@@ -219,3 +220,107 @@ def test_stream_static_decontamination(spark, stream_dirs):
         .collect()
     }
     assert stream_ids == batch_ids
+
+
+def test_version_reducer_unit_and_timeout():
+    """Handler-level: version opens on first sight and on every fp
+    change; identical re-fetches are absorbed; timeout removes state."""
+    import pandas as pd
+
+    from bayesianrecordlinkage_jl_spark.streaming.ingest import (
+        _version_reducer,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists, self.hasTimedOut, self._v = False, False, None
+            self.removed, self.timeout_ms = False, None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v, self.exists = v, True
+
+        def remove(self):
+            self.removed = True
+
+        def setTimeoutDuration(self, ms):
+            self.timeout_ms = ms
+
+    fn = _version_reducer(1000)
+    st = FakeState()
+    ts = pd.Timestamp("2026-01-01")
+    batch = pd.DataFrame(
+        {"url": ["u"] * 4, "warc_ts": [ts, ts + pd.Timedelta("1h"),
+                                       ts + pd.Timedelta("2h"),
+                                       ts + pd.Timedelta("3h")],
+         "fp": [5, 5, 7, 7]}
+    )
+    out = list(fn(("u",), iter([batch]), st))
+    ev = out[0]
+    assert list(ev["version_no"]) == [1, 2]
+    assert list(ev["fp"]) == [5, 7]
+    assert st.get == (7, 2)
+    # identical re-fetch in a later batch: absorbed, no event
+    batch2 = pd.DataFrame(
+        {"url": ["u"], "warc_ts": [ts + pd.Timedelta("4h")], "fp": [7]}
+    )
+    assert list(fn(("u",), iter([batch2]), st)) == []
+    assert st.get == (7, 2)
+    # change in a later batch: one event, version 3
+    batch3 = pd.DataFrame(
+        {"url": ["u"], "warc_ts": [ts + pd.Timedelta("5h")], "fp": [9]}
+    )
+    ev3 = list(fn(("u",), iter([batch3]), st))[0]
+    assert list(ev3["version_no"]) == [3]
+    # timeout invocation expires state and emits nothing
+    st.hasTimedOut = True
+    assert list(fn(("u",), iter(()), st)) == []
+    assert st.removed
+
+
+def test_streaming_scd2_matches_batch_twin(spark, stream_dirs):
+    """availableNow end-to-end: the streamed version-open events equal
+    the batch scd2_intervals (version_no, fp, valid_from) triples —
+    the re-crawled duplicate drop collapses in BOTH paths."""
+    from bayesianrecordlinkage_jl_spark.operators import crawl
+
+    stream = ingest.read_page_stream(spark, stream_dirs["in"]).select(
+        "url", "warc_ts", T.phash(F.col("text")).alias("fp")
+    )
+    q = (
+        ingest.track_page_versions(stream)
+        .writeStream.format("memory")
+        .queryName("page_versions")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["url"], r["version_no"], r["fp"], r["valid_from"])
+        for r in spark.sql("SELECT * FROM page_versions").collect()
+    }
+    # same explicit LTZ schema as the stream read — never an NTZ cast
+    snaps = (
+        spark.read.schema(ingest.PAGES_SCHEMA)
+        .parquet(stream_dirs["in"])
+        .select(
+            "url",
+            F.unix_micros(F.col("warc_ts")).alias("ts"),
+            T.phash(F.col("text")).alias("fp"),
+        )
+    )
+    # batch twin: fp doubles as the same-ts tiebreak the stream sort uses
+    batch = {
+        (r["url"], r["version_no"], r["fp"], r["valid_from"])
+        for r in crawl.scd2_intervals(
+            snaps, "url", "ts", "fp", "fp"
+        ).select(
+            "url", "version_no", "fp",
+            F.timestamp_micros(F.col("valid_from")).alias("valid_from"),
+        ).collect()
+    }
+    assert got and got == batch
