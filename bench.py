@@ -158,9 +158,12 @@ def main() -> None:
         timings[name], timings_min[name] = timed_reps(name)
 
     # round-2/3 additions, timed outside the headline total so BENCH_r{N}
-    # totals stay comparable across rounds
+    # totals stay comparable across rounds. SPARK_GRAFT_EXTRAS=0 skips
+    # them (scaling_bench sets it: the N-vs-4N metric reads only the
+    # headline total and the throughput job, and the extras would take
+    # tens of minutes at local[2])
     extra_queries: dict[str, float] = {}
-    for name in (
+    for name in () if os.environ.get("SPARK_GRAFT_EXTRAS", "1") == "0" else (
         "comparison_vectors_jw",
         "dedup_jaccard_lsh_verified",
         "embedding_topk_ivf",

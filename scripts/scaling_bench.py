@@ -40,6 +40,9 @@ def run_level(cpus: int, sf_dir: str) -> dict:
         # the sf1 tier (round 4) is a 32-core scale check, not part of the
         # N-vs-4N protocol — at local[2] it alone would run for hours
         SPARK_GRAFT_SF1="0",
+        # extras don't feed the scaling metric (headline total +
+        # throughput job only) and would add tens of minutes at local[2]
+        SPARK_GRAFT_EXTRAS="0",
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
