@@ -2180,6 +2180,54 @@ def build_catalog() -> dict[str, dict]:
         "ref": "brute-force cosine top-k (ANN baseline)",
     }
 
+    # --- bitext candidate mining: cross-lingual ANN --------------------------
+    # Parallel-corpus mining (the LASER/CCMatrix shape): English queries
+    # against the NON-English corpus only — the lang constraint rides the
+    # equi-join with documents, and the ANN machinery is unchanged.
+    BITEXT_QUERY_MAX_ID = 30
+
+    def _bitext_spark(s, d):
+        emb = load(s, d, "embeddings")
+        langs = load(s, d, "documents").select(
+            F.col("doc_id").alias("vec_id"), "lang"
+        )
+        je = emb.join(langs, on="vec_id")
+        corpus_side = je.where(F.col("lang") != "en").select(
+            "vec_id", "embedding"
+        )
+        queries = je.where(
+            (F.col("lang") == "en") & (F.col("vec_id") < BITEXT_QUERY_MAX_ID)
+        ).select("vec_id", "embedding")
+        return similarity.brute_force_topk(
+            corpus_side, "vec_id", "embedding", queries, k=TOPK
+        )
+
+    _BITEXT_COS = similarity.cosine_sql("q._q", "c._v")
+    cat["bitext_topk"] = {
+        "spark": _bitext_spark,
+        "sql": f"""
+        WITH bxe AS (SELECT e.vec_id, e.embedding, d.lang
+                     FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id),
+        corpus AS (SELECT vec_id AS item_id, embedding AS _v
+                   FROM bxe WHERE lang != 'en'),
+        q AS (SELECT vec_id AS query_id, embedding AS _q
+              FROM bxe WHERE lang = 'en' AND vec_id < {BITEXT_QUERY_MAX_ID}),
+        scored AS (
+          SELECT q.query_id, c.item_id, {_BITEXT_COS} AS sim
+          FROM corpus c CROSS JOIN q WHERE c.item_id != q.query_id
+        )
+        SELECT query_id, item_id, sim, rank FROM (
+          SELECT *, CAST(row_number() OVER (
+            PARTITION BY query_id ORDER BY sim DESC, item_id ASC) AS INT)
+            AS rank
+          FROM scored
+        ) WHERE rank <= {TOPK}
+        """,
+        "ref": "bitext / parallel-corpus candidate mining (LASER-CCMatrix "
+        "shape): cross-lingual cosine top-k — en queries vs the non-en "
+        "corpus via a lang equi-join on the shared ANN machinery",
+    }
+
     # --- size-capped clustering: runs over the n-gram-Jaccard near-dup
     # graph (dense enough that the cap actually forces threshold raises at
     # sf>=0.01) with round parameters whose termination bound is static, so

@@ -637,3 +637,37 @@ def test_containment_catches_quote_inclusion(spark):
     assert (r["id_a"], r["id_b"]) == (1, 2)
     # the excerpt is fully contained; the long side is not
     assert r["cont_b_pct"] == 100 and r["cont_a_pct"] < 60
+
+
+def test_bitext_topk_cross_lingual_replica(spark):
+    """Catalog bitext query: results never pair en with en, and the
+    per-query ranking matches a numpy cosine replica exactly."""
+    import numpy as np
+
+    from bayesianrecordlinkage_jl_spark.plans import oracle_queries as oq
+
+    sf = "/root/testdata/sf0.001"
+    cat = oq.build_catalog()
+    got = cat["bitext_topk"]["spark"](spark, sf).toPandas()
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").toPandas()
+    lang = (
+        spark.read.parquet(f"{sf}/documents.parquet")
+        .select("doc_id", "lang").toPandas().set_index("doc_id")["lang"]
+    )
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for _, r in emb.iterrows()}
+    non_en = [i for i in vecs if lang.get(i) != "en"]
+    assert set(got["item_id"]) <= set(non_en)  # queries only hit non-en
+    q_ids = [i for i in vecs if lang.get(i) == "en" and i < 30]
+    assert set(got["query_id"]) == set(q_ids)
+    for q in q_ids:
+        def cos(a, b):
+            na, nb = np.linalg.norm(a), np.linalg.norm(b)
+            return float(a @ b / (na * nb)) if na and nb else 0.0
+
+        sims = sorted(
+            ((cos(vecs[q], vecs[c]), c) for c in non_en if c != q),
+            key=lambda t: (-t[0], t[1]),
+        )[:5]
+        mine = got[got["query_id"] == q].sort_values("rank")
+        assert list(mine["item_id"]) == [c for _s, c in sims], q

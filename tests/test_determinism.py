@@ -133,6 +133,7 @@ QUERIES = [
     "progressive_er_clusters",
     "msf_edges",
     "single_linkage_profile",
+    "bitext_topk",
 ]
 
 
