@@ -917,3 +917,42 @@ def test_span_rewrite_unique_corpus_is_identity(spark):
     for d in (0, 1):
         assert out.loc[d, "n_removed"] == 0
         assert out.loc[d, "new_text"] == pdf.loc[d, "text"]
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(
+            st.text(alphabet="ab x", min_size=0, max_size=24),
+            min_size=1, max_size=6,
+        )
+    )
+    def test_span_rewrite_sql_twin_property(texts):
+        """Property: the DuckDB twin equals the python replica on
+        arbitrary tiny corpora (duplicate-heavy alphabet). Spark<->DuckDB
+        parity is covered by the catalog sweep; this pins the SEMANTICS
+        of the shared rule at high example count without a Spark job."""
+        import duckdb
+
+        from bayesianrecordlinkage_jl_spark.operators.corpus import (
+            span_rewrite_sql,
+        )
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE sr_docs (doc_id BIGINT, text VARCHAR)")
+        for i, t in enumerate(texts):
+            con.execute("INSERT INTO sr_docs VALUES (?, ?)", [i, t])
+        out = con.execute(
+            span_rewrite_sql("sr_docs", "doc_id", "text", k=2)
+        ).df().set_index("doc_id").sort_index()
+        exp = _span_rewrite_brute(dict(enumerate(texts)), k=2)
+        for d, (nt, nr, txt) in exp.items():
+            assert int(out.loc[d, "n_tokens"]) == nt
+            assert int(out.loc[d, "n_removed"]) == nr
+            assert out.loc[d, "new_text"] == txt
+
+except ImportError:  # pragma: no cover
+    pass

@@ -161,3 +161,46 @@ def test_scd2_intervals_contiguous_and_open(spark):
     assert list(out["valid_from"]) == [100, 200, 300]
     assert list(out["valid_to"]) == [200, 300, crawl.SCD2_OPEN_TS]
     assert list(out["is_current"]) == [0, 0, 1]
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=80, deadline=None)
+    @given(
+        st.lists(
+            st.tuples(
+                st.sampled_from(["A", "B", "C"]),      # url
+                st.integers(min_value=0, max_value=5),  # ts (ties likely)
+                st.integers(min_value=0, max_value=2),  # fp
+            ),
+            min_size=1, max_size=14, unique=True,
+        )
+    )
+    def test_scd2_sql_twin_property(raw):
+        """Property: the DuckDB twin equals the python replica on random
+        snapshot logs with heavy ts ties (sid = insertion index keeps the
+        (ts, sid) order total)."""
+        import duckdb
+
+        rows = [(u, ts, fp, i) for i, (u, ts, fp) in enumerate(raw)]
+        con = duckdb.connect()
+        con.execute(
+            "CREATE TABLE s2 (url VARCHAR, ts BIGINT, fp BIGINT, sid BIGINT)"
+        )
+        for r in rows:
+            con.execute("INSERT INTO s2 VALUES (?, ?, ?, ?)", list(r))
+        out = con.execute(
+            crawl.scd2_intervals_sql("s2", "url", "ts", "fp", "sid")
+        ).df()
+        got = sorted(
+            (r["url"], int(r["version_no"]), int(r["fp"]),
+             int(r["valid_from"]), int(r["valid_to"]), int(r["n_snaps"]),
+             int(r["is_current"]))
+            for _, r in out.iterrows()
+        )
+        assert got == _scd2_brute(rows)
+
+except ImportError:  # pragma: no cover
+    pass
