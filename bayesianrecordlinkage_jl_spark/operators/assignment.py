@@ -307,6 +307,117 @@ def one_to_one(
     return fast.unionByName(solved.select(*fast.columns))
 
 
+def greedy_max_capped(pairs: pd.DataFrame, cap_b: int) -> pd.DataFrame:
+    """Greedy capacitated matching: each id_a at most once, each id_b at
+    most cap_b times. Pairs taken in the total order (w desc, id_a, id_b).
+    cap_b=1 degenerates to greedy_max exactly."""
+    df = pairs.sort_values(
+        ["w", "id_a", "id_b"], ascending=[False, True, True]
+    ).reset_index(drop=True)
+    used_a: set = set()
+    cnt_b: dict = {}
+    keep = []
+    for row in df.itertuples(index=False):
+        if row.id_a not in used_a and cnt_b.get(row.id_b, 0) < cap_b:
+            used_a.add(row.id_a)
+            cnt_b[row.id_b] = cnt_b.get(row.id_b, 0) + 1
+            keep.append(row)
+    return pd.DataFrame(keep, columns=df.columns) if keep else df.iloc[0:0]
+
+
+def _solve_block_capped(
+    pdf: pd.DataFrame, cap_b: int, exact_max_pairs: int, solver=hungarian_max
+) -> pd.DataFrame:
+    """Per-block capacitated solve via the standard reduction: duplicate
+    each right node into cap_b copies and run the one-to-one solver on the
+    expanded dense matrix. Expansion happens HERE, in block-local memory —
+    the shuffled pair set is never multiplied by cap_b."""
+    pdf = pdf[pdf["w"] > 0]
+    if len(pdf) <= 1:
+        return pdf[["id_a", "id_b", "w", "block_id"]]
+    if len(pdf) * cap_b > exact_max_pairs:
+        return greedy_max_capped(pdf[["id_a", "id_b", "w", "block_id"]], cap_b)
+    na = pdf["id_a"].nunique()
+    bs = sorted(pdf["id_b"].unique())
+    ra = {v: i for i, v in enumerate(sorted(pdf["id_a"].unique()))}
+    # column j*cap_b + r = r-th copy of bs[j]; ties between copies are
+    # broken toward r=0 by the solver's column order, harmless either way
+    wmat = np.zeros((na, len(bs) * cap_b))
+    rb = {v: j for j, v in enumerate(bs)}
+    for row in pdf.itertuples(index=False):
+        for r in range(cap_b):
+            wmat[ra[row.id_a], rb[row.id_b] * cap_b + r] = row.w
+    inv_a = {i: v for v, i in ra.items()}
+    block_id = pdf["block_id"].iloc[0]
+    rows = [
+        {
+            "id_a": inv_a[i],
+            "id_b": bs[j // cap_b],
+            "w": wmat[i, j],
+            "block_id": block_id,
+        }
+        for i, j in solver(wmat)
+    ]
+    return pd.DataFrame(
+        rows, columns=["id_a", "id_b", "w", "block_id"]
+    ).sort_values(["id_a", "id_b"], ignore_index=True)
+
+
+def one_to_many(
+    pairs: DataFrame,
+    cap_b: int = 2,
+    method: str = "hungarian",
+    exact_max_pairs: int = 10_000,
+) -> DataFrame:
+    """Capacitated per-block matching (b-matching, right capacity cap_b):
+    each id_a links at most once, each id_b absorbs up to cap_b id_a's.
+    Generalizes one_to_one (cap_b=1 is identical); models directory-style
+    linkage where one canonical entity may absorb several page versions.
+
+    Reference anchor: the max_C_cluster_* decomposition of
+    /root/reference/src/maximization_functions.jl:203-244, generalized by
+    the standard duplicate-right-nodes reduction (solved per block, so the
+    expansion never hits the shuffle).
+
+    pairs: (id_a, id_b, w, block_id) with block_id partitioning the
+    positive-weight graph — per-block solutions union to a valid global
+    capacitated matching for the same reason as one_to_one.
+
+    method="greedy" is exactly replayable in SQL (capped greedy over the
+    (w desc, id_a, id_b) order); method="hungarian"/"auction" are optimal
+    and equal greedy wherever the per-block optimum is unique (certified
+    per fixture, same convention as one_to_one's oracle).
+    """
+    if cap_b < 1:
+        raise ValueError("cap_b must be >= 1")
+    p = pairs.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("w").cast("double"),
+        F.col("block_id").cast("long"),
+    ).where(F.col("w") > 0)
+
+    if method == "greedy":
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            return greedy_max_capped(
+                pdf[pdf["w"] > 0][["id_a", "id_b", "w", "block_id"]], cap_b
+            )
+    elif method == "hungarian":
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _solve_block_capped(pdf, cap_b, exact_max_pairs)
+    elif method == "auction":
+        def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+            return _solve_block_capped(
+                pdf, cap_b, exact_max_pairs, solver=auction_max
+            )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+
+    return p.repartition("block_id").groupBy("block_id").applyInPandas(
+        fn, schema=MATCH_SCHEMA
+    )
+
+
 _PRICED_SCHEMA = (
     "id_a long, id_b long, w double, block_id long, price double, "
     "is_price boolean"

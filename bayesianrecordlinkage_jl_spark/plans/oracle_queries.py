@@ -2444,6 +2444,74 @@ def build_catalog() -> dict[str, dict]:
         "update=true price recycling)",
     }
 
+    # --- capacitated one-to-many (right capacity 2): each page links at
+    # most once, each canonical target absorbs up to 2 pages. Spark side
+    # solves per block via the duplicate-right-nodes Hungarian reduction
+    # (expansion in block-local memory, never in the shuffle); the oracle
+    # replays the CAPPED global greedy (take pairs in (w desc, id_a, id_b)
+    # order, accept while id_a unused and id_b under cap) as a recursive
+    # CTE. Valid for the same three reasons as _o2o_greedy_sql, with the
+    # greedy==Hungarian certificate extended to cap_b=2 in
+    # tests/test_assignment.py::test_one_to_many_greedy_hungarian_certificate.
+    O2M_CAP = 2
+
+    def _one_to_many_links(s: SparkSession, d: str) -> DataFrame:
+        from ..operators import assignment
+
+        wp = _scored_pairs_cached(s, d).where(F.col("w") > EDGE_THRESHOLD)
+        comps = _cc_pos_cached(s, d)
+        blocked = wp.join(
+            comps.withColumnRenamed("node", "id_a"), on="id_a"
+        ).withColumnRenamed("component", "block_id")
+        return assignment.one_to_many(
+            blocked.select("id_a", "id_b", "w", "block_id"),
+            cap_b=O2M_CAP,
+            method="hungarian",
+        )
+
+    _o2m_greedy_sql = f"""
+        WITH RECURSIVE wp AS MATERIALIZED (
+          SELECT id_a, id_b, w FROM ({_weighted_pairs_sql()})
+          WHERE w > {EDGE_THRESHOLD!r}e0
+        ),
+        bi AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM wp
+                            UNION ALL SELECT id_b AS a, id_a AS b FROM wp),
+        walk(node, comp) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM bi)
+          UNION
+          SELECT bi.b, w.comp FROM walk w JOIN bi ON bi.a = w.node
+          WHERE w.comp < bi.b
+        ),
+        cc AS MATERIALIZED (SELECT node, min(comp) AS component
+                            FROM walk GROUP BY node),
+        cand AS (SELECT list(struct_pack(ia := id_a, ib := id_b, w := w)
+                             ORDER BY w DESC, id_a, id_b) AS rem FROM wp),
+        g AS (
+          SELECT 0 AS n,
+                 CAST([] AS STRUCT(ia BIGINT, ib BIGINT, w DOUBLE)[]) AS chosen,
+                 (SELECT rem FROM cand) AS rem
+          UNION ALL
+          SELECT n + 1, list_append(chosen, rem[1]),
+                 list_filter(rem[2:], p -> p['ia'] != (rem[1])['ia']
+                     AND len(list_filter(list_append(chosen, rem[1]),
+                                         c -> c['ib'] = p['ib'])) < {O2M_CAP})
+          FROM g WHERE len(rem) > 0
+        ),
+        lk AS (SELECT u['ia'] AS id_a, u['ib'] AS id_b, u['w'] AS w
+               FROM (SELECT unnest(chosen) AS u
+                     FROM (SELECT chosen FROM g ORDER BY n DESC LIMIT 1)))
+        SELECT lk.id_a, lk.id_b, lk.w, cc.component AS block_id
+        FROM lk JOIN cc ON cc.node = lk.id_a
+        """
+
+    cat["one_to_many_links"] = {
+        "spark": _one_to_many_links,
+        "sql": _o2m_greedy_sql,
+        "ref": "src/maximization_functions.jl:203-244 (max_C_cluster_* "
+        "decomposition, generalized to right-capacity b-matching via the "
+        "duplicate-right-nodes reduction)",
+    }
+
     # --- cost normalization (SURVEY 2.2 compute_costs_shrunk) ---
     cat["shrunk_costs"] = {
         "spark": lambda s, d: _scored_pairs_cached(s, d)

@@ -310,3 +310,132 @@ def test_mutual_best_property_random_tables(spark):
 
         want = best_side(pdf, "id_a", "id_b") & best_side(pdf, "id_b", "id_a")
         assert set(zip(got["id_a"], got["id_b"])) == want, (trial, rows)
+
+
+# --- capacitated one-to-many (right capacity cap_b) ------------------------
+
+
+def _brute_force_capped(w: np.ndarray, cap: int) -> float:
+    """Max-weight b-matching by enumeration: each row picks one column (or
+    none), each column taken at most cap times, only w>0 picks allowed."""
+    n, m = w.shape
+    best = 0.0
+    choices = [
+        [None] + [c for c in range(m) if w[r, c] > 0] for r in range(n)
+    ]
+    for pick in itertools.product(*choices):
+        used = [c for c in pick if c is not None]
+        if any(used.count(c) > cap for c in set(used)):
+            continue
+        best = max(best, sum(w[r, c] for r, c in enumerate(pick) if c is not None))
+    return best
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_solve_block_capped_matches_brute_force(seed):
+    """_solve_block_capped (duplicate-right-nodes Hungarian reduction) is
+    exactly optimal vs enumeration, and respects both constraints."""
+    rng = np.random.default_rng(100 + seed)
+    n, m = rng.integers(1, 5, size=2)
+    cap = int(rng.integers(1, 4))
+    w = rng.uniform(-1, 3, size=(n, m)).round(3)
+    rows = [
+        {"id_a": r, "id_b": 100 + c, "w": float(w[r, c]), "block_id": 1}
+        for r in range(n)
+        for c in range(m)
+        if w[r, c] != 0
+    ]
+    pdf = pd.DataFrame(rows, columns=["id_a", "id_b", "w", "block_id"])
+    out = A._solve_block_capped(pdf, cap_b=cap, exact_max_pairs=10_000)
+    assert (out["w"] > 0).all()
+    assert out["id_a"].is_unique
+    assert (out.groupby("id_b").size() <= cap).all()
+    assert out["w"].sum() == pytest.approx(_brute_force_capped(w, cap), abs=1e-9)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_greedy_capped_cap1_equals_greedy(seed):
+    rng = np.random.default_rng(200 + seed)
+    n = int(rng.integers(1, 25))
+    pdf = pd.DataFrame(
+        {
+            "id_a": rng.integers(0, 8, size=n),
+            "id_b": 100 + rng.integers(0, 8, size=n),
+            "w": rng.choice([1.0, 2.0, 3.0], size=n),
+            "block_id": 1,
+        }
+    ).drop_duplicates(["id_a", "id_b"])
+    got = A.greedy_max_capped(pdf, cap_b=1)
+    want = A.greedy_max(pdf)
+    assert got.values.tolist() == want.values.tolist()
+
+
+def test_one_to_many_capacity_binds(spark):
+    """A hot right node absorbs exactly cap_b links (the top-cap_b a's by
+    weight), and the displaced a's fall back to their runner-up target."""
+    rows = [
+        (1, 10, 9.0, 1),
+        (2, 10, 8.0, 1),
+        (3, 10, 7.0, 1),
+        (3, 20, 1.0, 1),
+        (4, 10, 6.0, 1),
+    ]
+    df = spark.createDataFrame(rows, "id_a long, id_b long, w double, block_id long")
+    for method in ("greedy", "hungarian", "auction"):
+        out = (
+            A.one_to_many(df, cap_b=2, method=method)
+            .toPandas()
+            .sort_values(["id_a", "id_b"], ignore_index=True)
+        )
+        assert list(zip(out["id_a"], out["id_b"])) == [(1, 10), (2, 10), (3, 20)]
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_one_to_many_cap1_equals_one_to_one(spark, seed):
+    """cap_b=1 degenerates to the one-to-one solver link-for-link (untied
+    random weights, so the optimum is unique a.s.)."""
+    rng = np.random.default_rng(300 + seed)
+    n = int(rng.integers(4, 30))
+    pdf = pd.DataFrame(
+        {
+            "id_a": rng.integers(0, 10, size=n),
+            "id_b": 100 + rng.integers(0, 10, size=n),
+            "w": rng.uniform(0.1, 5.0, size=n).round(6),
+            "block_id": 1,
+        }
+    ).drop_duplicates(["id_a", "id_b"])
+    df = spark.createDataFrame(pdf)
+    key = lambda d: sorted(zip(d["id_a"], d["id_b"]))
+    got = A.one_to_many(df, cap_b=1, method="hungarian").toPandas()
+    want = A.one_to_one(df, method="hungarian", mutual_fast_path=False).toPandas()
+    assert key(got) == key(want)
+
+
+@pytest.mark.parametrize("sf", ["sf0.001", "sf0.01"])
+def test_one_to_many_greedy_hungarian_certificate(spark, sf):
+    """Certificate backing the one_to_many_links DuckDB oracle (capped
+    greedy replay): on the gate fixtures the capacitated greedy picks the
+    IDENTICAL link set as the Hungarian duplicate-right-nodes run. Same
+    convention as the one_to_one certificate — if a fixture change breaks
+    this, demote the oracle, don't weaken the test."""
+    from bayesianrecordlinkage_jl_spark.plans import oracle_queries as oq
+    from pyspark.sql import functions as F
+    from bayesianrecordlinkage_jl_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    d = f"/root/testdata/{sf}"
+    hung = oq.build_catalog()["one_to_many_links"]["spark"](spark, d).toPandas()
+
+    wp = oq._scored_pairs_spark(spark, d).where(F.col("w") > oq.EDGE_THRESHOLD)
+    comps = connected_components(
+        wp.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    )
+    blocked = (
+        wp.join(comps.withColumnRenamed("node", "id_a"), on="id_a")
+        .withColumnRenamed("component", "block_id")
+        .select("id_a", "id_b", "w", "block_id")
+    )
+    greedy = A.one_to_many(blocked, cap_b=2, method="greedy").toPandas()
+    key = lambda df: sorted(zip(df["id_a"], df["id_b"], df["w"], df["block_id"]))
+    assert key(hung) == key(greedy)
