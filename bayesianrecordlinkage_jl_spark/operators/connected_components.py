@@ -240,6 +240,135 @@ def size_capped_components(
     return out
 
 
+def cannot_link_components(
+    weighted_edges: DataFrame,
+    cannot_link: DataFrame,
+    threshold: float = 0.0,
+    incr: float = 0.01,
+    max_rounds: int = 50,
+) -> DataFrame:
+    """Constraint-aware cluster repair: connected components under
+    cannot-link constraints, resolved by threshold raising.
+
+    Same iterative skeleton as size_capped_components (the reference's
+    iterative_bipartite_cluster2 shape,
+    /root/reference/src/clustering_functions.jl:390-489) with the
+    oversize predicate replaced by a constraint-violation predicate: a
+    component is DIRTY while it contains both endpoints of any cannot-link
+    pair. Clean components emit immediately; dirty ones are re-clustered at
+    progressively higher similarity thresholds until every constraint pair
+    separates or the block is unsplittable (no edge would drop at the next
+    threshold — returned flagged `violated = true`, mirroring the
+    reference's warn branch for unsplittable hot blocks).
+
+    This models negative rules in web-scale ER (distinct canonical URLs,
+    conflicting registrant countries, editorial do-not-merge lists):
+    rather than deleting constraint edges — which does NOT guarantee
+    separation when other paths exist — the repair raises the evidence bar
+    inside the offending cluster only, so the rest of the graph's
+    clustering is untouched and each round's work shrinks to the dirty
+    node set.
+
+    weighted_edges: (src, dst, w). cannot_link: (id_a, id_b) pairs that
+    must not share a component (canonicalized + deduped here; self-pairs
+    dropped — they are unsatisfiable and meaningless).
+    Returns (node, component, violated).
+
+    incr granularity contract (same as size_capped_components): a raise
+    that would drop NO active edge declares the block unsplittable and
+    flushes it flagged — pick incr fine enough that each raise crosses at
+    least one remaining edge weight, or accept the flag as "no progress at
+    this schedule".
+    """
+    e = weighted_edges.select(
+        F.col("src").cast("long"), F.col("dst").cast("long"), F.col("w")
+    ).localCheckpoint()
+    kl = (
+        cannot_link.select(
+            F.greatest(F.col("id_a").cast("long"), F.col("id_b").cast("long")).alias("id_a"),
+            F.least(F.col("id_a").cast("long"), F.col("id_b").cast("long")).alias("id_b"),
+        )
+        .where(F.col("id_a") != F.col("id_b"))
+        .distinct()
+        .localCheckpoint()  # consumed once per round
+    )
+    done_parts: list[DataFrame] = []
+    cur_t = threshold
+    active = e
+
+    def _flush_violated(edges_df: DataFrame, t: float) -> DataFrame:
+        """Remaining dirty components, flagged violated=true (incl. nodes
+        isolated at threshold t) — t must be the threshold the violation
+        check was MEASURED at (same invariant as size_capped's flush)."""
+        nodes = (
+            edges_df.select(F.col("src").alias("node"))
+            .union(edges_df.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        return components_with_isolated(
+            edges_df.where(F.col("w") > t), nodes
+        ).select("node", "component", F.lit(True).alias("violated"))
+
+    measured_t = cur_t
+    for _ in range(max_rounds):
+        measured_t = cur_t
+        cc = connected_components(active.where(F.col("w") > cur_t))
+        nodes_active = (
+            active.select(F.col("src").alias("node"))
+            .union(active.select(F.col("dst").alias("node")))
+            .distinct()
+        )
+        # singletons can never hold a distinct-node constraint pair: clean
+        isolated = nodes_active.join(cc, on="node", how="left_anti").select(
+            "node",
+            F.col("node").alias("component"),
+            F.lit(False).alias("violated"),
+        )
+        done_parts.append(isolated.localCheckpoint())
+        dirty = (
+            kl.join(
+                cc.select(F.col("node").alias("id_a"), "component"), on="id_a"
+            )
+            .join(
+                cc.select(
+                    F.col("node").alias("id_b"),
+                    F.col("component").alias("component_b"),
+                ),
+                on="id_b",
+            )
+            .where(F.col("component") == F.col("component_b"))
+            .select("component")
+            .distinct()
+        )
+        ok = cc.join(dirty, on="component", how="left_anti").select(
+            "node", "component", F.lit(False).alias("violated")
+        )
+        done_parts.append(ok.localCheckpoint())
+        over = cc.join(dirty, on="component", how="left_semi").select("node")
+        if over.limit(1).count() == 0:
+            break
+        active = (
+            active.join(
+                over.withColumnRenamed("node", "src"), on="src", how="left_semi"
+            )
+            .join(over.withColumnRenamed("node", "dst"), on="dst", how="left_semi")
+            .localCheckpoint()
+        )
+        new_t = cur_t + incr
+        # unsplittable: raising the threshold would drop no edge
+        if active.where((F.col("w") > cur_t) & (F.col("w") <= new_t)).limit(1).count() == 0 and \
+           active.where(F.col("w") <= cur_t).limit(1).count() == 0:
+            done_parts.append(_flush_violated(active, cur_t))
+            break
+        cur_t = new_t
+    else:
+        done_parts.append(_flush_violated(active, measured_t))
+    out = done_parts[0]
+    for p in done_parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def threshold_sensitivity(
     weighted_edges: DataFrame, thresholds: list[float]
 ) -> list[dict]:

@@ -408,6 +408,25 @@ def _cc_pos_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _UPSTREAM_MEMO[key]
 
 
+def _jp_exact_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized EXACT n-gram-Jaccard pair graph (the blocked full-verify
+    form, not the LSH-candidate form) — shared by size_capped_components
+    and constrained_components, whose iterative loops otherwise each
+    rebuild the tokenize+self-join upstream."""
+    def _build():
+        return dedup.ngram_jaccard_pairs(
+            load(spark, sf_dir, "documents"), "doc_id", "text",
+            ["lang", "source"], JACCARD_MIN_PCT,
+        )
+
+    if not _memo_enabled():
+        return _build()
+    key = _memo_key(spark, sf_dir, "jp_exact")
+    if key not in _UPSTREAM_MEMO:
+        _UPSTREAM_MEMO[key] = _build().localCheckpoint()
+    return _UPSTREAM_MEMO[key]
+
+
 def _jaccard_edges_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Memoized LSH-verified near-dup pairs (the shared edge source for
     dedup_jaccard_lsh_verified, blocking_quality, cluster metrics,
@@ -764,6 +783,138 @@ def _capped_cc_sql() -> str:
     {final}
     SELECT CAST(node AS BIGINT) AS node,
            CAST(component AS BIGINT) AS component, capped
+    FROM ({union})
+    """
+
+
+# -- cannot-link constrained components oracle (cluster repair) -------------
+#
+# Same unrolled-recursive-CTE structure as _capped_cc_sql, with the oversize
+# predicate replaced by a constraint-violation predicate: a component stays
+# active while it contains both endpoints of a cannot-link pair. Constraints
+# are a deterministic phash-selected subset of the n-gram-Jaccard pair graph
+# itself (every constraint starts violated at the base threshold, so the
+# repair loop is actually exercised); termination bound identical (at t=100
+# every edge drops, so no constraint can remain violated).
+CL_CC_MOD = 7  # jp pairs with phash('cl',...) % 7 == 0 become constraints
+
+
+def _constrained_cc_round_sql(r: int, t: float, t_next: float) -> str:
+    """CTE block for one threshold round of the cannot-link repair (active
+    set ca_{r} -> ca_{r+1}); live/halt gating identical to
+    _capped_cc_round_sql."""
+    return f"""
+    ce_{r} AS MATERIALIZED (SELECT id_a, id_b FROM ca_{r} WHERE w > {t!r}e0),
+    can_{r} AS (SELECT DISTINCT node FROM (
+      SELECT id_a AS node FROM ca_{r} UNION ALL SELECT id_b FROM ca_{r})),
+    cbi_{r} AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM ce_{r}
+                             UNION ALL SELECT id_b AS a, id_a AS b FROM ce_{r}),
+    cwalk_{r}(node, comp) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM cbi_{r})
+      UNION
+      SELECT bi.b, w.comp FROM cwalk_{r} w JOIN cbi_{r} bi ON bi.a = w.node
+      WHERE w.comp < bi.b
+    ),
+    ccc_{r} AS MATERIALIZED (SELECT node, min(comp) AS component
+                             FROM cwalk_{r} GROUP BY node),
+    ciso_{r} AS (
+      SELECT node, node AS component, FALSE AS violated FROM can_{r}
+      WHERE node NOT IN (SELECT node FROM ccc_{r})
+        AND (SELECT l FROM clive_{r})
+    ),
+    cdirty_{r} AS (
+      SELECT DISTINCT pa.component
+      FROM kl JOIN ccc_{r} pa ON pa.node = kl.id_a
+              JOIN ccc_{r} pb ON pb.node = kl.id_b
+                             AND pb.component = pa.component),
+    cok_{r} AS (
+      SELECT cc.node, cc.component, FALSE AS violated
+      FROM ccc_{r} cc
+      WHERE cc.component NOT IN (SELECT component FROM cdirty_{r})
+        AND (SELECT l FROM clive_{r})
+    ),
+    cover_{r} AS (SELECT cc.node FROM ccc_{r} cc
+                  WHERE cc.component IN (SELECT component FROM cdirty_{r})),
+    ca_{r + 1} AS MATERIALIZED (
+      SELECT a.* FROM ca_{r} a
+      WHERE a.id_a IN (SELECT node FROM cover_{r})
+        AND a.id_b IN (SELECT node FROM cover_{r})
+    ),
+    chalt_{r} AS (SELECT EXISTS (SELECT 1 FROM ca_{r + 1})
+                    AND NOT EXISTS (SELECT 1 FROM ca_{r + 1}
+                                    WHERE w <= {t_next!r}e0) AS h),
+    cfe_{r} AS (SELECT id_a, id_b FROM ca_{r + 1} WHERE w > {t!r}e0),
+    cfbi_{r} AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM cfe_{r}
+                              UNION ALL SELECT id_b AS a, id_a AS b FROM cfe_{r}),
+    cfwalk_{r}(node, comp) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM cfbi_{r})
+      UNION
+      SELECT bi.b, w.comp FROM cfwalk_{r} w JOIN cfbi_{r} bi ON bi.a = w.node
+      WHERE w.comp < bi.b
+    ),
+    cfcc_{r} AS (SELECT node, min(comp) AS component
+                 FROM cfwalk_{r} GROUP BY node),
+    cflush_{r} AS (
+      SELECT n.node, coalesce(f.component, n.node) AS component, TRUE AS violated
+      FROM (SELECT DISTINCT node FROM (SELECT id_a AS node FROM ca_{r + 1}
+            UNION ALL SELECT id_b FROM ca_{r + 1})) n
+      LEFT JOIN cfcc_{r} f ON f.node = n.node
+      WHERE (SELECT h FROM chalt_{r}) AND (SELECT l FROM clive_{r})
+    ),
+    clive_{r + 1} AS (SELECT (SELECT l FROM clive_{r})
+                        AND NOT (SELECT h FROM chalt_{r}) AS l),
+    """
+
+
+def _constrained_cc_sql() -> str:
+    """Static unrolled oracle for cannot_link_components over the
+    n-gram-Jaccard graph with phash-selected constraint pairs. Emits
+    (node, component, violated)."""
+    pairs = dedup.ngram_jaccard_pairs_sql(
+        "documents", "doc_id", "text", ["lang", "source"], JACCARD_MIN_PCT
+    )
+    klh = T.phash_sql("concat_ws(':', 'cl', id_a, id_b)")
+    rounds = []
+    emits = []
+    for r in range(CAPPED_CC_ROUNDS):
+        t = CAPPED_CC_T0 + r * CAPPED_CC_INCR
+        rounds.append(_constrained_cc_round_sql(r, t, t + CAPPED_CC_INCR))
+        emits += [f"SELECT * FROM ciso_{r}", f"SELECT * FROM cok_{r}",
+                  f"SELECT * FROM cflush_{r}"]
+    k = CAPPED_CC_ROUNDS
+    t_last = CAPPED_CC_T0 + (k - 1) * CAPPED_CC_INCR
+    final = f"""
+    cxe AS (SELECT id_a, id_b FROM ca_{k} WHERE w > {t_last!r}e0),
+    cxbi AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM cxe
+                          UNION ALL SELECT id_b AS a, id_a AS b FROM cxe),
+    cxwalk(node, comp) AS (
+      SELECT a, a FROM (SELECT DISTINCT a FROM cxbi)
+      UNION
+      SELECT bi.b, w.comp FROM cxwalk w JOIN cxbi bi ON bi.a = w.node
+      WHERE w.comp < bi.b
+    ),
+    cxcc AS (SELECT node, min(comp) AS component FROM cxwalk GROUP BY node),
+    cxflush AS (
+      SELECT n.node, coalesce(f.component, n.node) AS component, TRUE AS violated
+      FROM (SELECT DISTINCT node FROM (SELECT id_a AS node FROM ca_{k}
+            UNION ALL SELECT id_b FROM ca_{k})) n
+      LEFT JOIN cxcc f ON f.node = n.node
+      WHERE (SELECT l FROM clive_{k})
+    )
+    """
+    emits.append("SELECT * FROM cxflush")
+    body = "".join(rounds)
+    union = "\n    UNION ALL ".join(emits)
+    return f"""
+    WITH RECURSIVE jp AS MATERIALIZED ({pairs}),
+    kl AS MATERIALIZED (SELECT id_a, id_b FROM jp
+                        WHERE {klh} % {CL_CC_MOD} = 0),
+    ca_0 AS MATERIALIZED (SELECT id_a, id_b, jac_pct AS w FROM jp),
+    clive_0 AS (SELECT TRUE AS l),
+    {body}
+    {final}
+    SELECT CAST(node AS BIGINT) AS node,
+           CAST(component AS BIGINT) AS component, violated
     FROM ({union})
     """
 
@@ -1444,9 +1595,7 @@ def build_catalog() -> dict[str, dict]:
         "ref": "hash-groupBy exact dedup",
     }
     cat["dedup_ngram_jaccard"] = {
-        "spark": lambda s, d: dedup.ngram_jaccard_pairs(
-            load(s, d, "documents"), "doc_id", "text", ["lang", "source"], JACCARD_MIN_PCT
-        ),
+        "spark": _jp_exact_cached,
         "sql": dedup.ngram_jaccard_pairs_sql(
             "documents", "doc_id", "text", ["lang", "source"], JACCARD_MIN_PCT
         ),
@@ -2235,10 +2384,7 @@ def build_catalog() -> dict[str, dict]:
     def _capped_cc(s: SparkSession, d: str) -> DataFrame:
         from ..operators.connected_components import size_capped_components
 
-        p = dedup.ngram_jaccard_pairs(
-            load(s, d, "documents"), "doc_id", "text", ["lang", "source"],
-            JACCARD_MIN_PCT,
-        )
+        p = _jp_exact_cached(s, d)
         wedges = p.select(
             F.col("id_a").alias("src"),
             F.col("id_b").alias("dst"),
@@ -2256,6 +2402,40 @@ def build_catalog() -> dict[str, dict]:
         "spark": _capped_cc,
         "sql": _capped_cc_sql(),
         "ref": "src/clustering_functions.jl:390-489 (iterative_bipartite_cluster2)",
+    }
+
+    # --- cannot-link constrained clustering (cluster repair): same graph
+    # and threshold schedule, with a deterministic phash-selected subset of
+    # the pair graph as the cannot-link set, so every constraint starts
+    # violated and the repair rounds actually fire ---
+    def _constrained_cc(s: SparkSession, d: str) -> DataFrame:
+        from ..operators.connected_components import cannot_link_components
+
+        p = _jp_exact_cached(s, d)
+        wedges = p.select(
+            F.col("id_a").alias("src"),
+            F.col("id_b").alias("dst"),
+            F.col("jac_pct").alias("w"),
+        )
+        kl = p.where(
+            phash(F.concat_ws(":", F.lit("cl"), F.col("id_a"), F.col("id_b")))
+            % CL_CC_MOD
+            == 0
+        ).select("id_a", "id_b")
+        return cannot_link_components(
+            wedges,
+            kl,
+            threshold=CAPPED_CC_T0,
+            incr=CAPPED_CC_INCR,
+            max_rounds=CAPPED_CC_ROUNDS,
+        )
+
+    cat["constrained_components"] = {
+        "spark": _constrained_cc,
+        "sql": _constrained_cc_sql(),
+        "ref": "src/clustering_functions.jl:390-489 (iterative_bipartite_"
+        "cluster2 skeleton, oversize predicate replaced by cannot-link "
+        "violation — negative-rule cluster repair)",
     }
 
     def _one_to_one_links(s: SparkSession, d: str) -> DataFrame:

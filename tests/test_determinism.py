@@ -133,6 +133,8 @@ QUERIES = [
     "progressive_er_clusters",
     "msf_edges",
     "single_linkage_profile",
+    "one_to_many_links",
+    "constrained_components",
     "bitext_topk",
 ]
 

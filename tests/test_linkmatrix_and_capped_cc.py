@@ -156,3 +156,177 @@ def test_size_capped_exhaustion_flushes_at_measured_threshold(spark):
     # {2,3,4,5} stays ONE capped component (measured state at t=.01)
     assert comp[2] == comp[3] == comp[4] == comp[5]
     assert capped[2] and capped[3] and capped[4] and capped[5]
+
+
+# --- cannot-link constrained components (cluster repair) --------------------
+
+
+def _replica_cannot_link(edges, constraints, t0, incr, max_rounds):
+    """Pure-Python replica of cannot_link_components: same round structure,
+    union-find CC with min-id labels. edges: [(u,v,w)], constraints:
+    iterable of (a,b). Returns set of (node, component, violated)."""
+
+    def cc_of(es, nodes):
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for u, v in es:
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        groups = {}
+        for n in nodes:
+            groups.setdefault(find(n), []).append(n)
+        return {n: min(g) for g in groups.values() for n in g}
+
+    cons = {frozenset((a, b)) for a, b in constraints if a != b}
+    out = []
+
+    def flush(active, t):
+        nodes = sorted({u for u, v, w in active} | {v for u, v, w in active})
+        es = [(u, v) for u, v, w in active if w > t]
+        comp = cc_of(es, nodes)
+        for n in nodes:
+            out.append((n, comp[n], True))
+
+    active = list(edges)
+    t = t0
+    measured = t
+    for r in range(max_rounds):
+        measured = t
+        nodes_active = sorted(
+            {u for u, v, w in active} | {v for u, v, w in active}
+        )
+        es = [(u, v) for u, v, w in active if w > t]
+        eb = {x for e in es for x in e}
+        comp = cc_of(es, nodes_active)
+        for n in nodes_active:
+            if n not in eb:
+                out.append((n, n, False))
+        dirty = {
+            comp[a]
+            for c in cons
+            for a, b in [tuple(sorted(c))]
+            if a in eb and b in eb and comp[a] == comp[b]
+        }
+        for n in eb:
+            if comp[n] not in dirty:
+                out.append((n, comp[n], False))
+        over = {n for n in eb if comp[n] in dirty}
+        if not over:
+            return set(out)
+        active = [(u, v, w) for u, v, w in active if u in over and v in over]
+        nt = t + incr
+        if not any(t < w <= nt for u, v, w in active) and not any(
+            w <= t for u, v, w in active
+        ):
+            flush(active, t)
+            return set(out)
+        t = nt
+    flush(active, measured)
+    return set(out)
+
+
+def _clc(spark, rows, cons, **kw):
+    from bayesianrecordlinkage_jl_spark.operators.connected_components import (
+        cannot_link_components,
+    )
+
+    e = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["src", "dst", "w"]),
+        "src long, dst long, w double",
+    )
+    k = spark.createDataFrame(
+        pd.DataFrame(cons, columns=["id_a", "id_b"]),
+        "id_a long, id_b long",
+    )
+    return cannot_link_components(e, k, **kw).toPandas()
+
+
+def test_cannot_link_splits_on_raised_threshold(spark):
+    """Constraint (1,3) inside a cluster held together by w=.5 edges:
+    raising the bar to .6 keeps the strong (1,2) edge, separates 3."""
+    rows = [(1, 2, 0.9), (2, 3, 0.5), (1, 3, 0.5), (8, 9, 0.7)]
+    out = _clc(spark, rows, [(1, 3)], threshold=0.45, incr=0.15, max_rounds=10)
+    got = dict(zip(out["node"], out["component"]))
+    assert got[1] == got[2] and got[3] != got[1]
+    assert got[8] == got[9]  # untouched clean component
+    assert not out["violated"].any()
+    assert len(out) == 5
+
+
+def test_cannot_link_flags_unsplittable_clique(spark):
+    """Equal-weight triangle with an internal constraint cannot separate:
+    flushed flagged violated=true, nothing lost."""
+    rows = [(1, 2, 0.9), (2, 3, 0.9), (1, 3, 0.9)]
+    out = _clc(spark, rows, [(1, 3)], threshold=0.0, incr=0.3, max_rounds=10)
+    assert set(out["node"]) == {1, 2, 3}
+    assert out["violated"].all()
+    assert out["component"].nunique() == 1
+
+
+def test_cannot_link_empty_constraints_is_plain_cc(spark):
+    rows = [(1, 2, 0.9), (2, 3, 0.5), (8, 9, 0.7)]
+    out = _clc(spark, rows, [], threshold=0.0, incr=1.0, max_rounds=5)
+    got = dict(zip(out["node"], out["component"]))
+    assert got[1] == got[2] == got[3] and got[8] == got[9]
+    assert not out["violated"].any()
+
+
+def test_cannot_link_self_and_duplicate_constraints_ignored(spark):
+    rows = [(1, 2, 0.9)]
+    out = _clc(
+        spark, rows, [(1, 1), (2, 2)], threshold=0.0, incr=1.0, max_rounds=5
+    )
+    got = dict(zip(out["node"], out["component"]))
+    assert got[1] == got[2] and not out["violated"].any()
+
+
+def test_cannot_link_round_exhaustion_flushes_measured(spark):
+    """max_rounds=1 with a still-violated component: flush at the measured
+    threshold, every node present exactly once, flagged."""
+    rows = [(1, 2, 0.5), (2, 3, 0.9)]
+    out = _clc(spark, rows, [(1, 3)], threshold=0.0, incr=0.4, max_rounds=1)
+    assert set(out["node"]) == {1, 2, 3}
+    assert len(out) == 3
+    assert out["violated"].all()
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_cannot_link_matches_python_replica(spark, seed):
+    """Randomized graphs + random constraint sets vs the pure-Python
+    replica of the round loop (exact tuple-set equality)."""
+    rng = np.random.default_rng(7000 + seed)
+    n_nodes = int(rng.integers(5, 12))
+    n_edges = int(rng.integers(4, 20))
+    rows = []
+    seen = set()
+    for _ in range(n_edges):
+        u, v = rng.integers(0, n_nodes, size=2)
+        if u == v:
+            continue
+        u, v = int(min(u, v)), int(max(u, v))
+        if (u, v) in seen:
+            continue
+        seen.add((u, v))
+        rows.append((u, v, float(rng.choice([0.2, 0.4, 0.6, 0.8, 1.0]))))
+    if not rows:
+        rows = [(0, 1, 0.4)]
+    n_cons = int(rng.integers(1, 5))
+    cons = []
+    for _ in range(n_cons):
+        a, b = rng.integers(0, n_nodes, size=2)
+        cons.append((int(a), int(b)))
+    kw = dict(threshold=0.1, incr=0.2, max_rounds=8)
+    got = _clc(spark, rows, cons, **kw)
+    got_set = {
+        (int(r.node), int(r.component), bool(r.violated))
+        for r in got.itertuples(index=False)
+    }
+    want = _replica_cannot_link(rows, cons, 0.1, 0.2, 8)
+    assert got_set == want, (rows, cons)
