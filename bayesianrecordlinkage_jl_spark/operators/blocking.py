@@ -896,3 +896,72 @@ def canopy_clusters_sql(
     )
     """
     )
+
+
+def select_blocking_rules(
+    rule_masks: DataFrame, positives: DataFrame, bits: list[int]
+) -> DataFrame:
+    """Blocking-rule learning by greedy weighted set cover (the selection
+    step behind Splink/Zingg-style "choose your blocking rules" tooling,
+    over the same union-of-rules mask table as the coverage histogram).
+
+    rule_masks: (id_a, id_b, rule_mask int) — one row per candidate pair,
+    rule_mask = OR of the bits of every rule that generates the pair
+    (id_a < id_b canonical). positives: (id_a, id_b) ground-truth matched
+    pairs, same canonical order. bits: the rule bit values in play.
+
+    Greedy: at each step pick the rule with the largest MARGINAL count of
+    uncovered true pairs; ties broken by lower total candidate count
+    (cheaper rule), then lower bit. Stops when no rule adds coverage.
+    Returns (step, rule_bit, marginal_true_pairs, cumulative_true_pairs,
+    rule_cost_pairs) — all integers, bit-strict across engines.
+
+    Scale shape: everything distributed reduces to two tiny aggregates —
+    a <=2^R-row histogram of rule_mask over the true pairs and an R-row
+    cost table — and the greedy itself runs driver-side over those rows
+    (R is single-digit in practice; the pair tables are never collected).
+    """
+    spark = rule_masks.sparkSession
+    pm = positives.join(rule_masks, on=["id_a", "id_b"], how="left").select(
+        F.coalesce(F.col("rule_mask"), F.lit(0)).alias("mask")
+    )
+    hist = {
+        int(r["mask"]): int(r["n"])
+        for r in pm.groupBy("mask").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    # rule cost = total candidate pairs the rule generates (mask bit set)
+    cost_rows = (
+        rule_masks.select("rule_mask")
+        .groupBy("rule_mask")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    )
+    costs = {
+        b: sum(int(r["n"]) for r in cost_rows if int(r["rule_mask"]) & b)
+        for b in bits
+    }
+    out = []
+    chosen = 0
+    cum = 0
+    for step in range(1, len(bits) + 1):
+        cands = []
+        for b in sorted(bits):
+            if b & chosen:
+                continue
+            gain = sum(
+                n for m, n in hist.items() if (m & b) and not (m & chosen)
+            )
+            cands.append((-gain, costs[b], b))
+        if not cands:
+            break
+        neg_gain, cost, bit = min(cands)
+        if neg_gain == 0:
+            break
+        cum += -neg_gain
+        out.append((step, bit, -neg_gain, cum, cost))
+        chosen |= bit
+    schema = (
+        "step long, rule_bit long, marginal_true_pairs long, "
+        "cumulative_true_pairs long, rule_cost_pairs long"
+    )
+    return spark.createDataFrame(out, schema)

@@ -1060,26 +1060,39 @@ def build_catalog() -> dict[str, dict]:
     # sorted-neighborhood), same constants as their standalone entries.
     # One union + per-rule dedup + a pair-keyed bit-sum — linear in the
     # candidate sets, nothing quadratic.
+    def _rule_masks_spark(s: SparkSession, d: str) -> DataFrame:
+        """(id_a < id_b, rule_mask) over the three rule families — shared
+        by the coverage histogram and the greedy rule-selection query
+        (memoized: the three candidate generators run once per session)."""
+        def _build() -> DataFrame:
+            r1 = _pairs_spark(s, d).select("id_a", "id_b").withColumn(
+                "_bit", F.lit(1)
+            )
+            r2 = dedup.minhash_lsh_pairs(
+                load(s, d, "documents"), "doc_id", "text"
+            ).select("id_a", "id_b").withColumn("_bit", F.lit(2))
+            r3 = blocking.sorted_neighborhood_pairs(
+                load(s, d, "documents"), "doc_id", _snm_key_spark(),
+                window=SNM_WINDOW, bucket_len=4,
+            ).select("id_a", "id_b").withColumn("_bit", F.lit(4))
+            u = r1.unionByName(r2).unionByName(r3).select(
+                F.least("id_a", "id_b").alias("id_a"),
+                F.greatest("id_a", "id_b").alias("id_b"),
+                "_bit",
+            ).distinct()
+            return u.groupBy("id_a", "id_b").agg(
+                F.sum("_bit").cast("int").alias("rule_mask")
+            )
+
+        if not _memo_enabled():
+            return _build()
+        key = _memo_key(s, d, "rule_masks")
+        if key not in _UPSTREAM_MEMO:
+            _UPSTREAM_MEMO[key] = _build().localCheckpoint()
+        return _UPSTREAM_MEMO[key]
+
     def _rule_coverage_spark(s: SparkSession, d: str) -> DataFrame:
-        r1 = _pairs_spark(s, d).select("id_a", "id_b").withColumn(
-            "_bit", F.lit(1)
-        )
-        r2 = dedup.minhash_lsh_pairs(
-            load(s, d, "documents"), "doc_id", "text"
-        ).select("id_a", "id_b").withColumn("_bit", F.lit(2))
-        r3 = blocking.sorted_neighborhood_pairs(
-            load(s, d, "documents"), "doc_id", _snm_key_spark(),
-            window=SNM_WINDOW, bucket_len=4,
-        ).select("id_a", "id_b").withColumn("_bit", F.lit(4))
-        u = r1.unionByName(r2).unionByName(r3).select(
-            F.least("id_a", "id_b").alias("id_a"),
-            F.greatest("id_a", "id_b").alias("id_b"),
-            "_bit",
-        ).distinct()
-        masks = u.groupBy("id_a", "id_b").agg(
-            F.sum("_bit").cast("int").alias("rule_mask")
-        )
-        return masks.groupBy("rule_mask").agg(
+        return _rule_masks_spark(s, d).groupBy("rule_mask").agg(
             F.count(F.lit(1)).alias("n_pairs")
         )
 
@@ -1105,6 +1118,97 @@ def build_catalog() -> dict[str, dict]:
         "ref": "blocking-rule union coverage histogram (Splink blocking-"
         "rule analysis; Papadakis blocking surveys) — which rule families "
         "contribute which candidates, uniquely vs jointly",
+    }
+
+    # --- blocking-rule learning: greedy weighted set cover over the same
+    # rule-mask table, with the LSH-verified near-dup pairs as ground
+    # truth. Distributed work reduces to the <=2^R-row positive-mask
+    # histogram + R-row cost table; the greedy is replayed in SQL as three
+    # statically-unrolled argmax steps (gain DESC, cost ASC, bit ASC). ---
+    def _rule_selection_spark(s: SparkSession, d: str) -> DataFrame:
+        pos = _jaccard_edges_cached(s, d).select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+        )
+        return blocking.select_blocking_rules(
+            _rule_masks_spark(s, d), pos, [1, 2, 4]
+        )
+
+    def _rule_selection_sql() -> str:
+        steps = []
+        emits = []
+        for i in (1, 2, 3):
+            prev_mask = (
+                "0" if i == 1
+                else f"(SELECT coalesce((SELECT rule_bit FROM st_{i-1}), 0) "
+                     f"| ch_{i-1}.m FROM ch_{i-1})"
+            )
+            steps.append(f"""
+            ch_{i} AS (SELECT {prev_mask} AS m),
+            pk_{i} AS (
+              SELECT c.bit,
+                     coalesce((SELECT sum(h.n) FROM bshist h
+                               WHERE (h.mask & c.bit) != 0
+                                 AND (h.mask & (SELECT m FROM ch_{i})) = 0),
+                              0) AS gain,
+                     c.cost
+              FROM bscosts c
+              WHERE (c.bit & (SELECT m FROM ch_{i})) = 0
+              ORDER BY gain DESC, c.cost ASC, c.bit ASC LIMIT 1
+            ),
+            st_{i} AS (
+              SELECT {i} AS step, bit AS rule_bit, gain AS marginal,
+                     cost FROM pk_{i} WHERE gain > 0
+            ),""")
+            emits.append(f"SELECT * FROM st_{i}")
+        body = "".join(steps)
+        union = " UNION ALL ".join(emits)
+        lsh = dedup.ngram_jaccard_pairs_via_lsh_sql(
+            "documents", "doc_id", "text", JACCARD_MIN_PCT
+        )
+        return f"""
+        WITH rc1 AS (SELECT id_a, id_b, 1 AS _bit FROM ({_PAIRS_SQL})),
+        rc2 AS (SELECT id_a, id_b, 2 AS _bit
+                FROM ({dedup.minhash_lsh_pairs_sql(
+                    "documents", "doc_id", "text")})),
+        rc3 AS (SELECT id_a, id_b, 4 AS _bit
+                FROM ({blocking.sorted_neighborhood_pairs_sql(
+                    "documents", "doc_id", _SNM_KEY_SQL, SNM_WINDOW)})),
+        rcu AS (SELECT DISTINCT least(id_a, id_b) AS id_a,
+                       greatest(id_a, id_b) AS id_b, _bit
+                FROM (SELECT * FROM rc1 UNION ALL SELECT * FROM rc2
+                      UNION ALL SELECT * FROM rc3)),
+        rcm AS MATERIALIZED (
+            SELECT id_a, id_b, CAST(sum(_bit) AS INT) AS rule_mask
+            FROM rcu GROUP BY 1, 2),
+        bspos AS (SELECT least(id_a, id_b) AS id_a,
+                         greatest(id_a, id_b) AS id_b FROM ({lsh})),
+        bshist AS (SELECT coalesce(m.rule_mask, 0) AS mask,
+                          count(*) AS n
+                   FROM bspos p LEFT JOIN rcm m
+                     ON m.id_a = p.id_a AND m.id_b = p.id_b
+                   GROUP BY 1),
+        bscosts AS (SELECT b.bit,
+                           (SELECT count(*) FROM rcm
+                            WHERE (rule_mask & b.bit) != 0) AS cost
+                    FROM (VALUES (1), (2), (4)) b(bit)),
+        {body}
+        dummy_tail AS (SELECT 1)
+        SELECT CAST(step AS BIGINT) AS step,
+               CAST(rule_bit AS BIGINT) AS rule_bit,
+               CAST(marginal AS BIGINT) AS marginal_true_pairs,
+               CAST(sum(marginal) OVER (ORDER BY step) AS BIGINT)
+                 AS cumulative_true_pairs,
+               CAST(cost AS BIGINT) AS rule_cost_pairs
+        FROM ({union})
+        """
+
+    cat["blocking_rule_selection"] = {
+        "spark": _rule_selection_spark,
+        "sql": _rule_selection_sql(),
+        "ref": "blocking-rule learning (Splink blocking-rule chooser / "
+        "Bilenko-Kamath-Mooney 2006 adaptive blocking): greedy weighted "
+        "set cover of true pairs by rule families",
     }
 
     # --- meta-blocking: token blocking + CBS weights + WEP pruning ---

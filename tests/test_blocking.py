@@ -246,3 +246,96 @@ def test_canopy_two_entity_bridge_lands_in_both(spark):
     assert got == _brute_canopy(rows, 30, 60)
     canopies_of_3 = {c for c, n, _, _ in got if n == 3 and c != 3}
     assert len(canopies_of_3) == 2
+
+
+# --- blocking-rule learning (greedy weighted set cover) ---------------------
+
+
+def _replica_select(mask_rows, pos_rows, bits):
+    """Pure-Python replica of select_blocking_rules' greedy."""
+    masks = {(a, b): m for a, b, m in mask_rows}
+    hist = {}
+    for p in pos_rows:
+        m = masks.get(p, 0)
+        hist[m] = hist.get(m, 0) + 1
+    costs = {
+        b: sum(1 for m in masks.values() if m & b) for b in bits
+    }
+    out, chosen, cum = [], 0, 0
+    for step in range(1, len(bits) + 1):
+        cands = []
+        for b in sorted(bits):
+            if b & chosen:
+                continue
+            gain = sum(n for m, n in hist.items() if (m & b) and not (m & chosen))
+            cands.append((-gain, costs[b], b))
+        if not cands:
+            break
+        ng, cost, bit = min(cands)
+        if ng == 0:
+            break
+        cum += -ng
+        out.append((step, bit, -ng, cum, cost))
+        chosen |= bit
+    return out
+
+
+def _run_select(spark, mask_rows, pos_rows, bits):
+    masks = spark.createDataFrame(
+        mask_rows, "id_a long, id_b long, rule_mask int"
+    )
+    pos = spark.createDataFrame(pos_rows, "id_a long, id_b long")
+    out = blocking.select_blocking_rules(masks, pos, bits).toPandas()
+    return [tuple(int(x) for x in r) for r in out.itertuples(index=False)]
+
+
+def test_select_blocking_rules_known_answer(spark):
+    """Rule 1 covers 3 positives (cost 4), rule 2 covers 2 (cost 2), rule 4
+    covers the same 2 as rule 2 plus nothing new. Greedy: pick 1 (gain 3),
+    then 2 (gain 2, cheaper than 4 at equal gain), then stop (4 adds 0)."""
+    mask_rows = [
+        (1, 2, 1), (1, 3, 1), (1, 4, 1), (1, 5, 1),  # rule 1 pairs
+        (2, 3, 2 | 4), (2, 4, 2 | 4),                # rules 2+4 overlap
+    ]
+    pos_rows = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (9, 10)]
+    got = _run_select(spark, mask_rows, pos_rows, [1, 2, 4])
+    assert got == [(1, 1, 3, 3, 4), (2, 2, 2, 5, 2)]
+
+
+def test_select_blocking_rules_no_coverage_is_empty(spark):
+    got = _run_select(spark, [(1, 2, 1)], [(5, 6)], [1, 2, 4])
+    assert got == []
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_select_blocking_rules_matches_replica(spark, seed):
+    import numpy as np
+
+    rng = np.random.default_rng(8800 + seed)
+    bits = [1, 2, 4, 8][: int(rng.integers(2, 5))]
+    mask_rows = []
+    seen = set()
+    for _ in range(int(rng.integers(5, 40))):
+        a, b = sorted(rng.integers(0, 15, size=2))
+        if a == b or (a, b) in seen:
+            continue
+        seen.add((a, b))
+        m = int(rng.integers(1, 2 ** len(bits)))
+        mask_rows.append((int(a), int(b), m))
+    pos_rows = []
+    pseen = set()
+    for _ in range(int(rng.integers(3, 25))):
+        a, b = sorted(rng.integers(0, 15, size=2))
+        if a == b or (a, b) in pseen:
+            continue
+        pseen.add((a, b))
+        pos_rows.append((int(a), int(b)))
+    if not mask_rows or not pos_rows:
+        return
+    got = _run_select(spark, mask_rows, pos_rows, bits)
+    want = _replica_select(
+        [(a, b, m) for a, b, m in mask_rows],
+        [(a, b) for a, b in pos_rows],
+        bits,
+    )
+    assert got == want, (mask_rows, pos_rows, bits)

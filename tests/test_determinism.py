@@ -135,6 +135,7 @@ QUERIES = [
     "single_linkage_profile",
     "one_to_many_links",
     "constrained_components",
+    "blocking_rule_selection",
     "bitext_topk",
 ]
 
