@@ -345,3 +345,62 @@ def pii_redact_sql(c: str) -> str:
         f"regexp_replace(regexp_replace({c}, '{PII_EMAIL_RE}', '<EMAIL>', 'g'), "
         f"'{PII_PHONE_RE}', '<PHONE>', 'g')"
     )
+
+
+# ---------------------------------------------------------------------------
+# phonetic key (simplified American Soundex, engine-portable variant)
+# ---------------------------------------------------------------------------
+
+# Letter -> digit map (A..Z): the standard Soundex groups with H and W
+# coded 0 like vowels.  This is the documented "simplified Soundex"
+# variant: H/W act as separators (exactly like vowels) instead of the
+# full rule's transparent letters — chosen because it is expressible as
+# pure translate/regexp string algebra identical in Spark and DuckDB
+# (the full H/W rule needs backreferences, which DuckDB's RE2 lacks).
+# Both emitters implement THIS definition, so cross-engine parity is
+# exact by construction.
+SOUNDEX_MAP = "01230120022455012623010202"
+
+
+def _phonetic_sql(c: str, g: str) -> str:
+    """Shared construction for both engines; `g` is the global-replace
+    flag suffix (DuckDB regexp_replace replaces only the first match
+    without the 'g' flag; Spark always replaces all and takes no flag).
+
+    Steps (classic Soundex pipeline):
+      u   = letters only, uppercased
+      d   = per-letter digits via SOUNDEX_MAP
+      c1  = adjacent duplicate digits collapsed (one regexp per digit —
+            RE2-safe, no backreferences)
+      key = first letter ++ first 3 digits of c1 after dropping the
+            first letter's own digit and all 0s, right-padded with '0'.
+    Strings with no letters key to '000' (one shared bucket; the salt
+    cap bounds it like any other hot key). NULL input -> NULL."""
+    u = f"regexp_replace(upper({c}), '[^A-Z]', ''{g})"
+    d = f"translate({u}, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ', '{SOUNDEX_MAP}')"
+    for dig in "0123456":
+        d = f"regexp_replace({d}, '{dig}{dig}+', '{dig}'{g})"
+    rest = f"translate(substr({d}, 2), '0', '')"
+    return f"concat(left({u}, 1), rpad(substr({rest}, 1, 3), 3, '0'))"
+
+
+def phonetic_key(c: Column | str) -> Column:
+    """Simplified-Soundex phonetic code (see _phonetic_sql) as a pure
+    Catalyst expression — the classic record-linkage blocking key for
+    misspelling-tolerant name/word grouping (soundex(surname)-style
+    blocking; Fellegi-Sunter practice since Newcombe 1959). Accepts a
+    column NAME (compiled via the shared SQL construction) or an
+    arbitrary Column (same tree built with F functions)."""
+    if isinstance(c, str):
+        return F.expr(_phonetic_sql(c, ""))
+    u = F.regexp_replace(F.upper(c), "[^A-Z]", "")
+    d = F.translate(u, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", SOUNDEX_MAP)
+    for dig in "0123456":
+        d = F.regexp_replace(d, f"{dig}{dig}+", dig)
+    rest = F.translate(d.substr(F.lit(2), F.length(d)), "0", "")
+    return F.concat(u.substr(1, 1), F.rpad(rest.substr(1, 3), 3, "0"))
+
+
+def phonetic_key_sql(c: str) -> str:
+    """DuckDB twin (same construction, 'g' replace flag)."""
+    return _phonetic_sql(c, ", 'g'")

@@ -965,3 +965,75 @@ def select_blocking_rules(
         "cumulative_true_pairs long, rule_cost_pairs long"
     )
     return spark.createDataFrame(out, schema)
+
+
+def phonetic_blocking_pairs(
+    df: DataFrame,
+    id_col: str,
+    name: Column,
+    block_cols: list[str] | None = None,
+    max_bucket_rows: int | None = 1000,
+) -> DataFrame:
+    """Phonetic blocking: candidate pairs sharing (block_cols...,
+    simplified-Soundex key of `name`) — the classic misspelling-tolerant
+    blocking family (soundex(surname) x region since Newcombe 1959;
+    the reference takes such index lists as user input,
+    /root/reference/src/comparisonsummary.jl:326-410).
+
+    -> (id_a, id_b, block_key) with id_a < id_b, one row per pair (a
+    pair meets in exactly one composite key, so no dedup pass is
+    needed). Scale shape: the phonetic key is a pure Catalyst string
+    expression evaluated once per RECORD (never per pair); the
+    self-join is an equi-join on the composite key; hot keys (phonetic
+    codes are a small alphabet — skew is structural, e.g. '000' for
+    letterless names) are salt-split via salt_buckets, trading bounded
+    recall for bounded executor memory, mirrored by the window form in
+    the SQL twin."""
+    bcols = list(block_cols or [])
+    keyed = df.select(
+        F.col(id_col).alias("_id"),
+        F.concat_ws(
+            "|", *[F.col(c).cast("string") for c in bcols],
+            T.phonetic_key(name),
+        ).alias("block_key"),
+    )
+    keyed = salt_buckets(keyed, "block_key", "_id", max_bucket_rows)
+    a = keyed.select(
+        F.col("_id").alias("id_a"), "block_key", "_bsalt"
+    )
+    b = keyed.select(
+        F.col("_id").alias("id_b"), "block_key", "_bsalt"
+    )
+    return (
+        a.join(b, on=["block_key", "_bsalt"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "block_key")
+    )
+
+
+def phonetic_blocking_pairs_sql(
+    table: str,
+    id_col: str,
+    name_sql: str,
+    block_cols: list[str] | None = None,
+    max_bucket_rows: int | None = 1000,
+) -> str:
+    """DuckDB twin of phonetic_blocking_pairs (window-form salt)."""
+    bcols = list(block_cols or [])
+    parts = [f"CAST({c} AS VARCHAR)" for c in bcols]
+    parts.append(T.phonetic_key_sql(name_sql))
+    key = "concat_ws('|', " + ", ".join(parts) + ")"
+    salt = salt_buckets_sql("block_key", "_id", max_bucket_rows)
+    return f"""
+    SELECT a.id_a, b.id_b, a.block_key
+    FROM (
+      SELECT _id AS id_a, block_key, {salt} AS _bsalt
+      FROM (SELECT CAST({id_col} AS BIGINT) AS _id, {key} AS block_key
+            FROM {table})
+    ) a JOIN (
+      SELECT _id AS id_b, block_key, {salt} AS _bsalt
+      FROM (SELECT CAST({id_col} AS BIGINT) AS _id, {key} AS block_key
+            FROM {table})
+    ) b ON a.block_key = b.block_key AND a._bsalt = b._bsalt
+       AND a.id_a < b.id_b
+    """

@@ -1052,6 +1052,30 @@ def build_catalog() -> dict[str, dict]:
         "upstream; README.md:160-183",
     }
 
+    # --- phonetic blocking (simplified Soundex; Newcombe 1959) ------------
+    # Misspelling-tolerant key family: records sharing (lang, source,
+    # phonetic code of the first text token) become candidates. The key is
+    # one Catalyst string expression per RECORD; pairs meet in exactly one
+    # composite key (no dedup pass); hot codes are salt-split in both
+    # emitters (the phonetic alphabet is tiny, so skew is structural).
+    _PHON_NAME_SQL = "regexp_extract(text, '^[^ ]+', 0)"
+
+    cat["phonetic_blocking_pairs"] = {
+        "spark": lambda s, d: blocking.phonetic_blocking_pairs(
+            load(s, d, "documents"),
+            "doc_id",
+            F.regexp_extract(F.col("text"), "^[^ ]+", 0),
+            ["lang", "source"],
+        ),
+        "sql": blocking.phonetic_blocking_pairs_sql(
+            "documents", "doc_id", _PHON_NAME_SQL, ["lang", "source"]
+        ),
+        "ref": "phonetic (Soundex) blocking — the original record-linkage "
+        "blocking key (Newcombe et al. 1959; Fellegi-Sunter practice); "
+        "reference takes such index lists as input, "
+        "src/comparisonsummary.jl:326-410",
+    }
+
     # --- blocking-rule coverage (Splink-style rule analysis) --------------
     # Production blocking is a UNION of rules; choosing them needs the
     # overlap histogram: how many candidate pairs each rule contributes

@@ -136,6 +136,7 @@ QUERIES = [
     "one_to_many_links",
     "constrained_components",
     "blocking_rule_selection",
+    "phonetic_blocking_pairs",
     "bitext_topk",
 ]
 
