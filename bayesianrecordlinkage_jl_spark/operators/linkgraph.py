@@ -632,7 +632,7 @@ def salsa_hosts_sql(
                    FROM nodes)""",
     ]
     for it in range(1, iterations + 1):
-        ctes.append(f"""a{it} AS (
+        ctes.append(f"""a{it} AS MATERIALIZED (
           SELECT n.host,
                  CAST(COALESCE(c.s, 0) AS BIGINT) AS auth_fp
           FROM nodes n LEFT JOIN (
@@ -642,7 +642,7 @@ def salsa_hosts_sql(
             JOIN h{it - 1} h ON e.src_host = h.host
             JOIN outw o ON e.src_host = o.src_host
             GROUP BY e.dst_host) c ON n.host = c.host)""")
-        ctes.append(f"""h{it} AS (
+        ctes.append(f"""h{it} AS MATERIALIZED (
           SELECT n.host,
                  CAST(COALESCE(c.s, 0) AS BIGINT) AS hub_fp
           FROM nodes n LEFT JOIN (
@@ -1008,7 +1008,7 @@ def kcore_hosts_sql(
     ]
     for it in range(1, rounds + 1):
         prev = f"a{it - 1}"
-        ctes.append(f"""a{it} AS (
+        ctes.append(f"""a{it} AS MATERIALIZED (
           SELECT e.src_host AS host
           FROM und e
           SEMI JOIN {prev} x ON e.src_host = x.host
@@ -1021,3 +1021,141 @@ def kcore_hosts_sql(
     SEMI JOIN a{rounds} x ON e.src_host = x.host
     SEMI JOIN a{rounds} y ON e.dst_host = y.host
     GROUP BY e.src_host"""
+
+
+# --- HITS hubs & authorities (Kleinberg 1999) -------------------------------
+
+HITS_ITERS = 4
+
+
+def hits_hosts(edges: DataFrame, iterations: int = HITS_ITERS) -> DataFrame:
+    """edges(src_host, dst_host, n_links) -> (host, hub_fp, auth_fp).
+
+    Fixed-point integer HITS (Kleinberg 1999, the link-weighted form):
+
+      h0(x)     = RANK_SCALE
+      araw(y)   = sum over edges (x->y) of h(x) * w          (longs)
+      a(y)      = araw(y) div (1 + max(araw) div RANK_SCALE)
+      hraw(x)   = sum over edges (x->y) of a(y) * w
+      h(x)      = hraw(x) div (1 + max(hraw) div RANK_SCALE)
+
+    Integer sums/max are partitioning-invariant, so the result is
+    bit-strict across engines and shuffle layouts (same discipline as
+    pagerank_hosts; divergence from the textbook L2 normalization is
+    documented — max-normalization preserves the ranking fixpoint the
+    same way power iteration does, and needs no sqrt).
+
+    Scale shape: edges are localCheckpoint'ed once (consumed 2x per
+    iteration); each iteration shuffles |hosts| score rows keyed by the
+    join host — never the corpus; the max is a 1-row aggregate joined
+    back by broadcast. Hosts with no in-links carry auth 0, no
+    out-links hub 0 (left joins + coalesce)."""
+    edges = edges.localCheckpoint()
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint()  # consumed 2x per iteration + final join
+    )
+    hubs = nodes.withColumn("h", F.lit(RANK_SCALE).cast("long"))
+    auths = None
+    for _ in range(iterations):
+        araw = (
+            edges.join(hubs, edges["src_host"] == hubs["host"])
+            .select(
+                F.col("dst_host").alias("host"),
+                (F.col("h") * F.col("n_links")).cast("long").alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").cast("long").alias("araw"))
+            .localCheckpoint()  # consumed 2x: max agg + normalize join
+        )
+        amax = araw.agg(F.max("araw").alias("_mx"))
+        auths = (
+            nodes.join(araw, "host", "left")
+            .crossJoin(F.broadcast(amax))
+            .select(
+                "host",
+                F.expr(
+                    f"coalesce(araw, CAST(0 AS BIGINT)) div "
+                    f"(1 + _mx div {RANK_SCALE})"
+                ).cast("long").alias("a"),
+            )
+        )
+        hraw = (
+            edges.join(auths, edges["dst_host"] == auths["host"])
+            .select(
+                F.col("src_host").alias("host"),
+                (F.col("a") * F.col("n_links")).cast("long").alias("c"),
+            )
+            .groupBy("host")
+            .agg(F.sum("c").cast("long").alias("hraw"))
+            .localCheckpoint()  # consumed 2x: max agg + normalize join
+        )
+        hmax = hraw.agg(F.max("hraw").alias("_mx"))
+        hubs = (
+            nodes.join(hraw, "host", "left")
+            .crossJoin(F.broadcast(hmax))
+            .select(
+                "host",
+                F.expr(
+                    f"coalesce(hraw, CAST(0 AS BIGINT)) div "
+                    f"(1 + _mx div {RANK_SCALE})"
+                ).cast("long").alias("h"),
+            )
+        )
+    return (
+        nodes.join(hubs, "host", "left")
+        .join(auths.withColumnRenamed("a", "auth_fp"), "host", "left")
+        .select(
+            "host",
+            F.coalesce(F.col("h"), F.lit(0)).cast("long").alias("hub_fp"),
+            F.coalesce(F.col("auth_fp"), F.lit(0)).cast("long").alias("auth_fp"),
+        )
+    )
+
+
+def hits_hosts_sql(
+    table: str, id_col: str, text_col: str, iterations: int = HITS_ITERS
+) -> str:
+    """Chained-CTE DuckDB twin (h0 -> a1 -> h1 -> ...), same integer
+    recurrence; the max is a scalar subquery."""
+    ctes = [
+        f"edges AS MATERIALIZED ({host_link_graph_sql(table, id_col, text_col)})",
+        """nodes AS MATERIALIZED (
+          SELECT DISTINCT host FROM (
+            SELECT src_host AS host FROM edges
+            UNION ALL SELECT dst_host AS host FROM edges))""",
+        f"h0 AS MATERIALIZED (SELECT host, CAST({RANK_SCALE} AS BIGINT) AS h FROM nodes)",
+    ]
+    for it in range(1, iterations + 1):
+        prev = f"h{it - 1}"
+        ctes.append(f"""ar{it} AS MATERIALIZED (
+          SELECT e.dst_host AS host,
+                 CAST(sum(r.h * e.n_links) AS BIGINT) AS araw
+          FROM edges e JOIN {prev} r ON e.src_host = r.host
+          GROUP BY e.dst_host)""")
+        ctes.append(f"""a{it} AS MATERIALIZED (
+          SELECT n.host,
+                 CAST(COALESCE(c.araw, 0) //
+                      (1 + (SELECT max(araw) FROM ar{it}) // {RANK_SCALE})
+                      AS BIGINT) AS a
+          FROM nodes n LEFT JOIN ar{it} c ON n.host = c.host)""")
+        ctes.append(f"""hr{it} AS MATERIALIZED (
+          SELECT e.src_host AS host,
+                 CAST(sum(r.a * e.n_links) AS BIGINT) AS hraw
+          FROM edges e JOIN a{it} r ON e.dst_host = r.host
+          GROUP BY e.src_host)""")
+        ctes.append(f"""h{it} AS MATERIALIZED (
+          SELECT n.host,
+                 CAST(COALESCE(c.hraw, 0) //
+                      (1 + (SELECT max(hraw) FROM hr{it}) // {RANK_SCALE})
+                      AS BIGINT) AS h
+          FROM nodes n LEFT JOIN hr{it} c ON n.host = c.host)""")
+    body = ",\n    ".join(ctes)
+    return f"""WITH {body}
+    SELECT n.host, CAST(COALESCE(h.h, 0) AS BIGINT) AS hub_fp,
+           CAST(COALESCE(a.a, 0) AS BIGINT) AS auth_fp
+    FROM nodes n
+    LEFT JOIN h{iterations} h ON n.host = h.host
+    LEFT JOIN a{iterations} a ON n.host = a.host"""

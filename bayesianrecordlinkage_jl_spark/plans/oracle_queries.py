@@ -2201,6 +2201,15 @@ def build_catalog() -> dict[str, dict]:
         "(iterative-join family beyond the reference's CC; chained-CTE "
         "oracle, dangling mass dropped by documented design)",
     }
+    cat["hits_hosts"] = {
+        "spark": lambda s, d: linkgraph.hits_hosts(
+            linkgraph.host_link_graph(load(s, d, "documents"), "doc_id", "text")
+        ),
+        "sql": linkgraph.hits_hosts_sql("documents", "doc_id", "text"),
+        "ref": "fixed-point integer HITS hubs/authorities (Kleinberg 1999) "
+        "over the host graph — max-normalized power iteration, chained-CTE "
+        "oracle; completes the PageRank/TrustRank/SALSA authority family",
+    }
     cat["lpa_communities"] = {
         "spark": lambda s, d: linkgraph.lpa_communities(
             linkgraph.host_link_graph(load(s, d, "documents"), "doc_id", "text")

@@ -137,6 +137,7 @@ QUERIES = [
     "constrained_components",
     "blocking_rule_selection",
     "phonetic_blocking_pairs",
+    "hits_hosts",
     "bitext_topk",
 ]
 

@@ -474,3 +474,76 @@ def test_kcore_matches_full_peel_and_converges(spark, docs_pdf):
     }
     assert got == want == more
     assert got  # non-degenerate: the fixture has a real core
+
+
+# --- HITS hubs & authorities ------------------------------------------------
+
+
+def _replica_hits(edges: dict, iterations: int) -> dict:
+    """Pure-Python fixed-point HITS replica (same integer recurrence)."""
+    hosts = sorted({h for e in edges for h in e})
+    h = {x: LG.RANK_SCALE for x in hosts}
+    a = {x: 0 for x in hosts}
+    for _ in range(iterations):
+        araw = {x: 0 for x in hosts}
+        for (s, d), w in edges.items():
+            araw[d] += h[s] * w
+        mx = max(araw.values())
+        a = {x: v // (1 + mx // LG.RANK_SCALE) for x, v in araw.items()}
+        hraw = {x: 0 for x in hosts}
+        for (s, d), w in edges.items():
+            hraw[s] += a[d] * w
+        mx = max(hraw.values())
+        h = {x: v // (1 + mx // LG.RANK_SCALE) for x, v in hraw.items()}
+    return {x: (h[x], a[x]) for x in hosts}
+
+
+def test_hits_matches_replica(spark, docs_pdf):
+    edges: dict = {}
+    for doc_id, _pos, src, href in _expected_links(docs_pdf):
+        dst = href.split("https://")[1].split("/")[0]
+        edges[(src, dst)] = edges.get((src, dst), 0) + 1
+    exp = _replica_hits(edges, LG.HITS_ITERS)
+    graph = LG.host_link_graph(
+        spark.read.parquet(f"{SF}/documents.parquet"), "doc_id", "text"
+    )
+    got = {
+        r["host"]: (r["hub_fp"], r["auth_fp"])
+        for r in LG.hits_hosts(graph).collect()
+    }
+    assert got == exp
+    # the skew-hot host must be the top authority
+    assert max(exp, key=lambda x: exp[x][1]) == "host0.example.org"
+
+
+def test_hits_star_graph_units(spark):
+    """Star: spokes point at the hub. Hub = pure authority (hub score 0),
+    spokes = pure hubs (authority 0)."""
+    edges = spark.createDataFrame(
+        [(f"s{i}", "center", 1) for i in range(4)],
+        "src_host string, dst_host string, n_links long",
+    )
+    got = {
+        r["host"]: (r["hub_fp"], r["auth_fp"])
+        for r in LG.hits_hosts(edges).collect()
+    }
+    assert got["center"][0] == 0 and got["center"][1] > 0
+    for i in range(4):
+        hub, auth = got[f"s{i}"]
+        assert auth == 0 and hub > 0
+    # symmetric spokes carry identical scores
+    assert len({got[f"s{i}"] for i in range(4)}) == 1
+
+
+def test_hits_weighted_preference(spark):
+    """Two authorities, one receiving double edge weight -> higher auth."""
+    edges = spark.createDataFrame(
+        [("h1", "x", 2), ("h1", "y", 1), ("h2", "x", 2), ("h2", "y", 1)],
+        "src_host string, dst_host string, n_links long",
+    )
+    got = {
+        r["host"]: (r["hub_fp"], r["auth_fp"])
+        for r in LG.hits_hosts(edges).collect()
+    }
+    assert got["x"][1] > got["y"][1]
+    assert got["h1"] == got["h2"]
