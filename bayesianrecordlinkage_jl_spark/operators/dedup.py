@@ -741,3 +741,177 @@ def semdedup_sql(
     SELECT s.item_id, s.cid, (d.item_id IS NULL) AS keep
     FROM sd_assign s LEFT JOIN sd_drops d ON s.item_id = d.item_id
     """
+
+
+# ---------------------------------------------------------------------------
+# content-defined chunking (CDC) — rolling-window boundary dedup
+# ---------------------------------------------------------------------------
+
+CDC_WINDOW = 16   # rolling window width (chars)
+CDC_DIV = 64      # boundary when window-hash % CDC_DIV == 0 (~64-char chunks)
+
+
+def _cdc_bounds(text_sql: str, eng: str, window: int, div: int) -> str:
+    """Boundary-position array as an engine SQL expression.
+
+    Basic content-defined chunking (the rsync/LBFS rolling-boundary idea,
+    Muthitacharoen et al. 2001): position i (1-based, i >= window) is a
+    boundary iff the 60-bit portable hash of the width-`window` substring
+    ENDING at i is divisible by `div`; chunks span (prev boundary, i].
+    The documented variant has no min/max chunk clamps — those need
+    sequential state neither engine expresses relationally; expected
+    chunk length is `div` chars and boundaries are content-LOCAL, so an
+    edit only re-chunks its neighborhood (the CDC property that makes
+    chunk-hash dedup robust to insertions, unlike fixed-width blocks).
+
+    eng='spark': length/sequence/filter; eng='duck': len/range/
+    list_filter (range is end-exclusive). Hash = the portable md5-prefix
+    phash, identical in both. Documents shorter than `window` get no
+    boundaries (one whole-document chunk downstream)."""
+    if eng == "spark":
+        ln, flt = "length", "filter"
+        seq = f"sequence(CAST({window} AS BIGINT), CAST({ln}({text_sql}) AS BIGINT))"
+        ph = "CAST(conv(substring(md5({x}), 1, 15), 16, 10) AS BIGINT)"
+        empty = "CAST(array() AS ARRAY<BIGINT>)"
+    else:
+        ln, flt = "len", "list_filter"
+        seq = f"range(CAST({window} AS BIGINT), CAST({ln}({text_sql}) + 1 AS BIGINT))"
+        ph = "CAST(('0x' || substr(md5({x}), 1, 15)) AS BIGINT)"
+        empty = "CAST([] AS BIGINT[])"
+    win = f"substr({text_sql}, CAST(i - {window - 1} AS INT), {window})"
+    wh = ph.format(x=win)
+    return (
+        f"CASE WHEN {ln}({text_sql}) >= {window} "
+        f"THEN {flt}({seq}, i -> {wh} % {div} = 0) "
+        f"ELSE {empty} END"
+    )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = CDC_WINDOW,
+    div: int = CDC_DIV,
+) -> DataFrame:
+    """-> (doc_id, chunk_idx int, chunk_start, chunk_len, chunk_hash):
+    content-defined chunks of every document (see _cdc_bounds). Empty
+    documents emit no chunks; a boundary landing exactly at len(text)
+    would create an empty trailing chunk, which is filtered (s > e)
+    BEFORE chunk numbering in both engines.
+
+    Scale shape: the boundary array is computed ONCE per document in a
+    single projection (array expressions — no per-position explode /
+    window / join round trip); cost is O(total chars) portable hashes,
+    the inherent price of rolling-boundary detection, embarrassingly
+    parallel with no shuffle until a consumer aggregates chunk hashes."""
+    bounds = _cdc_bounds("_t", "spark", window, div)
+    spans = (
+        "filter(zip_with("
+        "concat(array(CAST(1 AS BIGINT)), transform(_b, b -> b + 1)), "
+        "concat(_b, array(CAST(length(_t) AS BIGINT))), "
+        "(s, e) -> named_struct('s', s, 'e', e)), p -> p.s <= p.e)"
+    )
+    # hash-once discipline (CLAUDE.md): the boundary array is referenced
+    # twice by the span construction (starts and ends); without a barrier
+    # Catalyst's CollapseProject would inline the rolling-hash pass into
+    # both references. The unique-key aggregate (first() on doc_id — the
+    # repo's comparator barrier pattern) pins exactly one evaluation.
+    d = (
+        df.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("_t"),
+        )
+        .where(F.length("_t") > 0)
+        .withColumn("_b", F.expr(bounds))
+        .groupBy("doc_id")
+        .agg(F.first("_t").alias("_t"), F.first("_b").alias("_b"))
+        .withColumn("_spans", F.expr(spans))
+    )
+    return d.select(
+        "doc_id",
+        F.posexplode("_spans").alias("chunk_idx", "_sp"),
+        "_t",
+    ).select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("_sp.s").cast("long").alias("chunk_start"),
+        (F.col("_sp.e") - F.col("_sp.s") + 1).cast("long").alias("chunk_len"),
+        T.phash(
+            F.expr(
+                "substr(_t, CAST(_sp.s AS INT), CAST(_sp.e - _sp.s + 1 AS INT))"
+            )
+        ).alias("chunk_hash"),
+    )
+
+
+def cdc_chunks_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    window: int = CDC_WINDOW,
+    div: int = CDC_DIV,
+) -> str:
+    """DuckDB twin of cdc_chunks. chunk_idx renumbers via a doc-
+    partitioned row_number AFTER the empty-span filter, matching the
+    Spark side's filter-then-posexplode order; ties are impossible
+    (i is unique per doc)."""
+    bounds = _cdc_bounds("_t", "duck", window, div)
+    ph = T.phash_sql("substr(_t, CAST(s AS INT), CAST(e - s + 1 AS INT))")
+    return f"""
+    SELECT doc_id,
+           CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+                AS INT) AS chunk_idx,
+           CAST(s AS BIGINT) AS chunk_start,
+           CAST(e - s + 1 AS BIGINT) AS chunk_len,
+           {ph} AS chunk_hash
+    FROM (
+      SELECT doc_id, _t, i,
+             CASE WHEN i = 1 THEN 1 ELSE _b[i - 1] + 1 END AS s,
+             CASE WHEN i = len(_b) + 1 THEN len(_t) ELSE _b[i] END AS e
+      FROM (
+        SELECT CAST({id_col} AS BIGINT) AS doc_id, {text_col} AS _t,
+               {bounds} AS _b
+        FROM {table} WHERE len({text_col}) > 0
+      ), unnest(range(1, len(_b) + 2)) AS u(i)
+    ) WHERE s <= e
+    """
+
+
+def cdc_chunk_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = CDC_WINDOW,
+    div: int = CDC_DIV,
+) -> DataFrame:
+    """-> (chunk_hash, chunk_len, n_occ, n_docs) for chunks occurring
+    more than once corpus-wide — chunk-level exact dedup over
+    content-defined boundaries (the storage/dedup-ratio measurement
+    pass, robust to insert/delete edits that shift byte offsets). One
+    map-side-combined aggregate over cdc_chunks; nothing quadratic."""
+    ch = cdc_chunks(df, id_col, text_col, window, div)
+    return (
+        ch.groupBy("chunk_hash", "chunk_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_occ"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+        )
+        .where(F.col("n_occ") > 1)
+    )
+
+
+def cdc_chunk_dedup_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    window: int = CDC_WINDOW,
+    div: int = CDC_DIV,
+) -> str:
+    return f"""
+    SELECT chunk_hash, chunk_len, CAST(count(*) AS BIGINT) AS n_occ,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+    FROM ({cdc_chunks_sql(table, id_col, text_col, window, div)})
+    GROUP BY chunk_hash, chunk_len
+    HAVING count(*) > 1
+    """

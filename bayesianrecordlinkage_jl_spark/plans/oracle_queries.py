@@ -1756,6 +1756,17 @@ def build_catalog() -> dict[str, dict]:
         "ref": "SimHash near-dup (banded Hamming)",
     }
 
+    cat["cdc_chunk_dedup"] = {
+        "spark": lambda s, d: dedup.cdc_chunk_dedup(
+            load(s, d, "documents"), "doc_id", "text"
+        ),
+        "sql": dedup.cdc_chunk_dedup_sql("documents", "doc_id", "text"),
+        "ref": "content-defined chunking dedup (rsync/LBFS rolling "
+        "boundaries, Muthitacharoen et al. 2001): chunk-level exact dedup "
+        "robust to insert/delete offset shifts; boundary array computed "
+        "once per doc behind the hash-once barrier",
+    }
+
     cat["dedup_embedding_cosine"] = {
         "spark": _embcos_pairs_cached,
         "sql": dedup.embedding_cosine_pairs_sql(

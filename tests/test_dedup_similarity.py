@@ -671,3 +671,103 @@ def test_bitext_topk_cross_lingual_replica(spark):
         )[:5]
         mine = got[got["query_id"] == q].sort_values("rank")
         assert list(mine["item_id"]) == [c for _s, c in sims], q
+
+
+# --- content-defined chunking (CDC) -----------------------------------------
+
+
+def _cdc_replica(text: str, window: int = 16, div: int = 64):
+    """Pure-Python CDC replica (same phash boundary rule)."""
+    import hashlib
+
+    def ph(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    if not text:
+        return []
+    bounds = [
+        i
+        for i in range(window, len(text) + 1)
+        if ph(text[i - window : i]) % div == 0
+    ]
+    starts = [1] + [b + 1 for b in bounds]
+    ends = bounds + [len(text)]
+    out = []
+    idx = 0
+    for s, e in zip(starts, ends):
+        if s > e:
+            continue
+        chunk = text[s - 1 : e]
+        out.append((idx, s, e - s + 1, ph(chunk)))
+        idx += 1
+    return out
+
+
+def _cdc_rand_text(seed: int, n_words: int = 160) -> str:
+    """Seeded word-salad with enough window diversity to produce real
+    CDC boundaries (a short-period repeated phrase can have NO window
+    hitting the 1/64 boundary condition — degenerate single chunks)."""
+    import random
+
+    rng = random.Random(seed)
+    words = [
+        "".join(rng.choice("abcdefghijklmnopqrstuvwxyz") for _ in range(rng.randrange(2, 9)))
+        for _ in range(n_words)
+    ]
+    return " ".join(words)
+
+
+def test_cdc_chunks_match_replica(spark):
+    base = _cdc_rand_text(7)
+    assert len(_cdc_replica(base)) > 5  # fixture really exercises boundaries
+    rows = [
+        (0, base),
+        (1, base),                       # exact dup of 0
+        (2, "xyz " + base),              # shifted -> tail chunks shared
+        (3, "short"),                    # below window: one whole chunk
+        (4, ""),                         # empty: no chunks
+        (5, "a" * 16),                   # exactly window length
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {}
+    for r in dedup.cdc_chunks(df, "doc_id", "text").collect():
+        got.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["chunk_start"], r["chunk_len"], r["chunk_hash"])
+        )
+    for doc_id, text in rows:
+        want = _cdc_replica(text)
+        assert sorted(got.get(doc_id, [])) == want, doc_id
+    # reconstruction: chunks tile the document exactly
+    for doc_id, text in rows:
+        if not text:
+            continue
+        spans = sorted(got[doc_id], key=lambda c: c[1])
+        assert spans[0][1] == 1
+        assert sum(c[2] for c in spans) == len(text)
+
+
+def test_cdc_insertion_locality(spark):
+    """The CDC property: a prefix insertion leaves the chunk-hash
+    multiset largely intact (only the edit neighborhood re-chunks),
+    whereas fixed-width blocks would shift every boundary."""
+    base = _cdc_rand_text(11, n_words=400)
+    a = _cdc_replica(base)
+    assert len(a) > 8
+    b = _cdc_replica("INSERTED! " + base)
+    ha = [c[3] for c in a]
+    hb = [c[3] for c in b]
+    shared = len(set(ha) & set(hb))
+    assert shared >= max(1, len(ha) - 3)
+
+
+def test_cdc_chunk_dedup_counts(spark):
+    base = _cdc_rand_text(23)
+    rows = [(0, base), (1, base), (2, "unique text here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dedup.cdc_chunk_dedup(df, "doc_id", "text").collect()
+    per_doc = _cdc_replica(base)
+    # every chunk of the duplicated doc appears in >= 2 docs
+    want_hashes = {c[3] for c in per_doc}
+    assert {r["chunk_hash"] for r in got} == want_hashes
+    for r in got:
+        assert r["n_occ"] >= 2 and r["n_docs"] == 2

@@ -138,6 +138,7 @@ QUERIES = [
     "blocking_rule_selection",
     "phonetic_blocking_pairs",
     "hits_hosts",
+    "cdc_chunk_dedup",
     "bitext_topk",
 ]
 
