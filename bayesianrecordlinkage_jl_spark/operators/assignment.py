@@ -562,3 +562,145 @@ def assert_one_to_one(matches: DataFrame) -> bool:
     dup_a = matches.groupBy("id_a").count().where("count > 1").limit(1).count()
     dup_b = matches.groupBy("id_b").count().where("count > 1").limit(1).count()
     return dup_a == 0 and dup_b == 0
+
+
+# ---------------------------------------------------------------------------
+# Gale-Shapley stable matching (asymmetric per-side preferences)
+# ---------------------------------------------------------------------------
+
+STABLE_SCHEMA = "id_a long, id_b long, w_a double, w_b double, block_id long"
+
+
+def gale_shapley(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Proposer-optimal stable matching on one block (pure pandas/python).
+
+    pdf: (id_a, id_b, w_a, w_b, block_id) — only listed pairs are
+    acceptable. a-side preference: (w_a desc, id_b asc); b-side:
+    (w_b desc, id_a asc). Strict total orders => the a-optimal stable
+    matching is unique and any proposal schedule reaches it
+    (Gale-Shapley 1962; McVitie-Wilson 1971 order-independence).
+    Returns the matched subset of pdf's rows."""
+    cols = ["id_a", "id_b", "w_a", "w_b", "block_id"]
+    if len(pdf) == 0:
+        return pdf[cols]
+    prefs: dict = {}
+    for r in pdf.sort_values(
+        ["id_a", "w_a", "id_b"], ascending=[True, False, True]
+    ).itertuples(index=False):
+        prefs.setdefault(r.id_a, []).append(r.id_b)
+    brank: dict = {}
+    for b, grp in pdf.sort_values(
+        ["id_b", "w_b", "id_a"], ascending=[True, False, True]
+    ).groupby("id_b", sort=False):
+        for rank, a in enumerate(grp["id_a"]):
+            brank[(b, a)] = rank
+    nxt = {a: 0 for a in prefs}
+    hold: dict = {}  # b -> a
+    free = sorted(prefs)
+    while free:
+        a = free.pop()
+        while nxt[a] < len(prefs[a]):
+            b = prefs[a][nxt[a]]
+            cur = hold.get(b)
+            if cur is None:
+                hold[b] = a
+                break
+            if brank[(b, a)] < brank[(b, cur)]:
+                hold[b] = a
+                nxt[cur] += 1
+                free.append(cur)
+                break
+            nxt[a] += 1
+    matched = pd.DataFrame(
+        [(a, b) for b, a in hold.items()], columns=["id_a", "id_b"]
+    )
+    if len(matched) == 0:
+        return pdf.iloc[0:0][cols]
+    return pdf.merge(matched, on=["id_a", "id_b"])[cols]
+
+
+def stable_links(pairs: DataFrame) -> DataFrame:
+    """Per-block Gale-Shapley stable one-to-one matching with ASYMMETRIC
+    per-side scores — the matching semantics for two-directory alignment
+    where each side ranks counterparts by its OWN similarity signal
+    (e.g. forward vs backward retrieval margins). With a single shared
+    score both sides' preferences coincide and the unique stable matching
+    degenerates to greedy_max; the operator exists exactly for the
+    asymmetric case greedy/Hungarian cannot express: it returns the
+    a-optimal STABLE matching (no blocking pair), not a weight optimum.
+
+    pairs: (id_a, id_b, w_a, w_b, block_id); block_id must partition the
+    pair graph (connected components), so per-block stability composes to
+    global stability — a blocking pair would have to be a listed pair,
+    and every listed pair is inside one block.
+
+    Scale shape: same as one_to_one — blocks are disjoint, solved in
+    parallel via applyInPandas (Arrow batches); GS is O(sum deg) per
+    block with dict state; the shuffle moves each pair row once."""
+    p = pairs.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("w_a").cast("double"),
+        F.col("w_b").cast("double"),
+        F.col("block_id").cast("long"),
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        return gale_shapley(pdf)
+
+    return p.repartition("block_id").groupBy("block_id").applyInPandas(
+        fn, schema=STABLE_SCHEMA
+    )
+
+
+def stable_links_sql(pairs_sql: str, max_rounds: int = 10_000) -> str:
+    """DuckDB twin: ROUND-BASED Gale-Shapley replay as a recursive CTE.
+
+    Each round every proposer with a live preference (held rows stand as
+    proposals to their current b; free rows propose to pref[a][idx])
+    competes per b on the b-side rank; per-b winners (row_number = 1 over
+    (b, brank)) stay/become held, losers advance idx. McVitie-Wilson
+    order-independence makes this parallel schedule reach the same
+    a-optimal stable matching as the Spark side's sequential loop. The
+    recursive term reads the state exactly ONCE (DuckDB's single-
+    reference rule) — winners AND the stop condition are window
+    functions over that one scan: when no free proposer with remaining
+    preferences exists the round emits nothing and recursion ends, so
+    the max-iteration state is the stable one. Exhausted proposers drop
+    out of the state via the pref join. max_rounds is a defensive cap
+    only (every emitted round makes progress)."""
+    return f"""
+    WITH RECURSIVE
+    sm_pairs AS MATERIALIZED (
+      SELECT id_a, id_b, w_a, w_b FROM ({pairs_sql})
+    ),
+    sm_prefs AS MATERIALIZED (
+      SELECT id_a, id_b, w_a, w_b,
+             CAST(row_number() OVER (PARTITION BY id_a
+                    ORDER BY w_a DESC, id_b ASC) - 1 AS BIGINT) AS pos,
+             CAST(row_number() OVER (PARTITION BY id_b
+                    ORDER BY w_b DESC, id_a ASC) AS BIGINT) AS brank
+      FROM sm_pairs
+    ),
+    sm_st(it, a, idx, held) AS (
+      SELECT 0, id_a, CAST(0 AS BIGINT), false
+      FROM (SELECT DISTINCT id_a FROM sm_pairs)
+      UNION ALL
+      SELECT it + 1, a,
+             CASE WHEN rn = 1 THEN idx ELSE idx + 1 END,
+             rn = 1
+      FROM (
+        SELECT s.it, s.a, s.idx, s.held,
+               row_number() OVER (PARTITION BY p.id_b
+                                  ORDER BY p.brank ASC) AS rn,
+               count(CASE WHEN NOT s.held THEN 1 END) OVER () AS n_free
+        FROM sm_st s
+        JOIN sm_prefs p ON p.id_a = s.a AND p.pos = s.idx
+      ) c
+      WHERE n_free > 0 AND it < {max_rounds}
+    )
+    SELECT p.id_a, p.id_b, p.w_a, p.w_b
+    FROM (SELECT a, idx FROM sm_st
+          WHERE held AND it = (SELECT max(it) FROM sm_st)) f
+    JOIN sm_prefs p ON p.id_a = f.a AND p.pos = f.idx
+    """

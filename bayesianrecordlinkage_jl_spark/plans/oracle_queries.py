@@ -2840,6 +2840,99 @@ def build_catalog() -> dict[str, dict]:
         "duplicate-right-nodes reduction)",
     }
 
+    # --- Gale-Shapley stable matching (asymmetric per-side scores) --------
+    # A third one-to-one semantics beside optimal (hungarian/auction) and
+    # greedy: the a-optimal STABLE matching when each side ranks by its
+    # OWN signal — a-side by the FS log-weight, b-side by exact token-
+    # Jaccard (integer micro). With a shared score GS degenerates to
+    # greedy; the asymmetric case is what it exists for. Comparators run
+    # once per pair behind the same barrier as the scoring path.
+    def _stable_pairs_spark(s: SparkSession, d: str) -> DataFrame:
+        raw = _raw_measures(_pairs_spark(s, d))
+        agg = raw.groupBy("id_a", "id_b").agg(
+            *[F.first(c).alias(c) for c in _RAW_COLS]
+        )
+        b = _bin_exprs()
+        scored = agg.select(
+            "id_a", "id_b", *[b[g].alias(g) for g in GCOLS], "_i", "_nab"
+        )
+        return (
+            scored.withColumn(
+                "w_a", W.fs_weight([(F.col(g), k) for g, k in FIELD_KINDS])
+            )
+            .withColumn(
+                "w_b",
+                F.expr(
+                    "CAST(CASE WHEN _nab - _i > 0 THEN "
+                    "(_i * 1000000) div (_nab - _i) ELSE 0 END AS DOUBLE)"
+                ),
+            )
+            .where(F.col("w_a") > 0)
+            .select("id_a", "id_b", "w_a", "w_b")
+        )
+
+    def _stable_links_spark(s: SparkSession, d: str) -> DataFrame:
+        from ..operators.assignment import stable_links
+
+        p = _stable_pairs_spark(s, d)
+        cc = _cc_pos_cached(s, d).select(
+            F.col("node").alias("id_a"), F.col("component").alias("block_id")
+        )
+        blocked = p.join(cc, on="id_a")
+        return stable_links(blocked).select("id_a", "id_b", "w_a", "w_b")
+
+    def _stable_pairs_sql() -> str:
+        # per-doc token/prefix materialization (tokenize once per DOC, not
+        # per pair — the same scale discipline as the Spark side; measured
+        # 3.5x on the sf0.1 oracle vs naive per-pair tokenization),
+        # then ONE list_intersect per pair with u = na + nb - i arithmetic.
+        g1 = C.lev_ord_sql("a.t64", "b.t64")
+        g3 = C.num_band_ord_sql("a.n_chars", "b.n_chars", NCHAR_CUTS)
+        return f"""
+        WITH smdoc AS MATERIALIZED (
+          SELECT doc_id, lang, source, n_chars,
+                 substr(text, 1, {LEV_PREFIX}) AS t64,
+                 list_distinct(string_split(text, ' ')) AS toks,
+                 (text IS NULL) AS tnull
+          FROM documents
+        ),
+        smraw AS MATERIALIZED (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 {g1} AS g1, {g3} AS g3,
+                 (a.tnull OR b.tnull) AS anynull,
+                 len(list_intersect(a.toks, b.toks)) AS _i,
+                 len(a.toks) + len(b.toks) AS _nab
+          FROM smdoc a JOIN smdoc b
+            ON a.lang = b.lang AND a.source = b.source
+           AND a.doc_id < b.doc_id
+        ),
+        smg AS (
+          SELECT id_a, id_b, g1, g3, _i, _u,
+                 CAST(CASE WHEN anynull THEN 0
+                      WHEN _u = 0 THEN 1
+                      WHEN _i * 10 >= _u * 9 THEN 1
+                      WHEN _i * 10 >= _u * 6 THEN 2
+                      WHEN _i * 10 >= _u * 3 THEN 3
+                      ELSE 4 END AS TINYINT) AS g2
+          FROM (SELECT *, _nab - _i AS _u FROM smraw)
+        )
+        SELECT id_a, id_b, {_WEIGHT_EXPR_SQL} AS w_a,
+               CAST(CASE WHEN _u > 0 THEN (_i * 1000000) // _u
+                    ELSE 0 END AS DOUBLE) AS w_b
+        FROM smg WHERE {_WEIGHT_EXPR_SQL} > 0e0
+        """
+
+    from ..operators.assignment import stable_links_sql
+
+    cat["stable_marriage_links"] = {
+        "spark": _stable_links_spark,
+        "sql": stable_links_sql(_stable_pairs_sql()),
+        "ref": "Gale-Shapley 1962 a-optimal stable matching (McVitie-"
+        "Wilson order-independence makes the oracle's round-based replay "
+        "equal the per-block sequential loop); asymmetric-preference "
+        "counterpart of max_C_cluster_*'s weight-optimal assignment",
+    }
+
     # --- cost normalization (SURVEY 2.2 compute_costs_shrunk) ---
     cat["shrunk_costs"] = {
         "spark": lambda s, d: _scored_pairs_cached(s, d)

@@ -226,6 +226,19 @@ def main() -> None:
         "entity_version_timeline",
         "progressive_er_clusters",
         "msf_edges",
+        # round-4 continuation additions
+        "pages_linkage_clusters",
+        "single_linkage_profile",
+        "constrained_components",
+        "one_to_many_links",
+        "hits_hosts",
+        "cdc_chunk_dedup",
+        "phonetic_blocking_pairs",
+        "bitext_topk",
+        "dedup_embedding_cosine",
+        "exact_posterior_links_global",
+        "penalty_path_chain",
+        "blocking_rule_selection",
     ):
         extra_queries[name], _ = timed_reps(name)
     extras["extra_queries"] = extra_queries

@@ -439,3 +439,202 @@ def test_one_to_many_greedy_hungarian_certificate(spark, sf):
     greedy = A.one_to_many(blocked, cap_b=2, method="greedy").toPandas()
     key = lambda df: sorted(zip(df["id_a"], df["id_b"], df["w"], df["block_id"]))
     assert key(hung) == key(greedy)
+
+
+# --- Gale-Shapley stable matching -------------------------------------------
+
+
+def _brute_stable(pairs):
+    """All-matchings brute force: returns the a-optimal stable matching.
+    pairs: list of (a, b, wa, wb). Stability: no listed pair (a,b) where
+    a strictly prefers b to its partner (or is unmatched) AND b strictly
+    prefers a to its partner (or is unmatched)."""
+    import itertools
+
+    arank = {(a, b): (-wa, b) for a, b, wa, wb in pairs}
+    brankk = {(b, a): (-wb, a) for a, b, wa, wb in pairs}
+    legal = {(a, b) for a, b, _, _ in pairs}
+    As = sorted({a for a, *_ in pairs})
+    Bs = sorted({b for _, b, *_ in pairs})
+
+    def is_stable(match: dict) -> bool:
+        rb = {b: a for a, b in match.items()}
+        for a, b in legal:
+            if match.get(a) == b:
+                continue
+            pa = match.get(a)
+            pb = rb.get(b)
+            a_pref = pa is None or arank[(a, b)] < arank[(a, pa)]
+            b_pref = pb is None or brankk[(b, a)] < brankk[(b, pb)]
+            if a_pref and b_pref:
+                return False
+        return True
+
+    best = None
+    stables = []
+    for r in range(min(len(As), len(Bs)) + 1):
+        for asub in itertools.combinations(As, r):
+            for bperm in itertools.permutations(Bs, r):
+                match = dict(zip(asub, bperm))
+                if any((a, b) not in legal for a, b in match.items()):
+                    continue
+                if is_stable(match):
+                    stables.append(match)
+    assert stables, "at least the GS matching is stable"
+    # a-optimal: for every a, partner rank is the best over stable matchings
+    def key(match):
+        return sorted(match.items())
+    best = None
+    for m in stables:
+        if best is None:
+            best = m
+            continue
+        # lattice: compare per-a preference; the a-optimal dominates all
+        better = worse = False
+        for a in As:
+            pa, qa = m.get(a), best.get(a)
+            ra = arank.get((a, pa)) if pa is not None else (float("inf"),)
+            rq = arank.get((a, qa)) if qa is not None else (float("inf"),)
+            if ra < rq:
+                better = True
+            elif ra > rq:
+                worse = True
+        if better and not worse:
+            best = m
+    return set(best.items())
+
+
+def test_gale_shapley_differs_from_greedy_and_is_stable():
+    import pandas as pd
+
+    from bayesianrecordlinkage_jl_spark.operators.assignment import (
+        gale_shapley,
+        greedy_max,
+    )
+
+    rows = [
+        (1, 11, 10.0, 1.0, 0),   # a1's favorite, b1's least favorite
+        (1, 12, 5.0, 10.0, 0),
+        (2, 11, 8.0, 10.0, 0),
+    ]
+    pdf = pd.DataFrame(rows, columns=["id_a", "id_b", "w_a", "w_b", "block_id"])
+    gs = {
+        (r.id_a, r.id_b)
+        for r in gale_shapley(pdf).itertuples(index=False)
+    }
+    assert gs == {(2, 11), (1, 12)}
+    greedy = {
+        (r.id_a, r.id_b)
+        for r in greedy_max(
+            pdf.rename(columns={"w_a": "w"})[["id_a", "id_b", "w", "block_id"]]
+        ).itertuples(index=False)
+    }
+    assert greedy == {(1, 11)}  # unstable: (2,11) is a blocking pair
+
+
+@pytest.mark.parametrize("seed", range(8))
+def test_gale_shapley_is_a_optimal_stable(seed):
+    import random
+
+    import pandas as pd
+
+    from bayesianrecordlinkage_jl_spark.operators.assignment import gale_shapley
+
+    rng = random.Random(6200 + seed)
+    na, nb = rng.randrange(1, 5), rng.randrange(1, 5)
+    rows = []
+    for a in range(na):
+        for b in range(nb):
+            if rng.random() < 0.7:
+                rows.append(
+                    (a, 100 + b, rng.randrange(1, 30) / 3.0,
+                     rng.randrange(1, 30) / 3.0, 0)
+                )
+    if not rows:
+        return
+    pdf = pd.DataFrame(rows, columns=["id_a", "id_b", "w_a", "w_b", "block_id"])
+    gs = {
+        (r.id_a, r.id_b) for r in gale_shapley(pdf).itertuples(index=False)
+    }
+    want = _brute_stable([(a, b, wa, wb) for a, b, wa, wb, _ in rows])
+    assert gs == want
+
+
+def test_stable_links_spark_matches_per_block(spark):
+    import pandas as pd
+
+    from bayesianrecordlinkage_jl_spark.operators.assignment import (
+        gale_shapley,
+        stable_links,
+    )
+
+    import random
+
+    rng = random.Random(99)
+    rows = []
+    for blk in range(6):
+        na, nb = rng.randrange(1, 6), rng.randrange(1, 6)
+        for a in range(na):
+            for b in range(nb):
+                if rng.random() < 0.6:
+                    rows.append(
+                        (blk * 100 + a, blk * 100 + 50 + b,
+                         rng.randrange(1, 40) / 7.0,
+                         rng.randrange(1, 40) / 7.0, blk)
+                    )
+    df = spark.createDataFrame(
+        rows, "id_a long, id_b long, w_a double, w_b double, block_id long"
+    )
+    got = {
+        (r["id_a"], r["id_b"]) for r in stable_links(df).collect()
+    }
+    pdf = pd.DataFrame(
+        rows, columns=["id_a", "id_b", "w_a", "w_b", "block_id"]
+    )
+    want = set()
+    for _, grp in pdf.groupby("block_id"):
+        want |= {
+            (r.id_a, r.id_b)
+            for r in gale_shapley(grp.reset_index(drop=True)).itertuples(
+                index=False
+            )
+        }
+    assert got == want
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_gale_shapley_shared_score_degenerates_to_greedy(seed):
+    """With w_b == w_a both sides rank by the same pair weight; the unique
+    stable matching is the greedy one (the heaviest pair blocks unless
+    matched; induction on removal)."""
+    import random
+
+    import pandas as pd
+
+    from bayesianrecordlinkage_jl_spark.operators.assignment import (
+        gale_shapley,
+        greedy_max,
+    )
+
+    rng = random.Random(7300 + seed)
+    rows = []
+    seen_w = set()
+    for a in range(rng.randrange(2, 6)):
+        for b in range(rng.randrange(2, 6)):
+            if rng.random() < 0.7:
+                w = rng.randrange(1, 1000) / 9.0
+                while w in seen_w:  # strict prefs: unique weights
+                    w = rng.randrange(1, 1000) / 9.0
+                seen_w.add(w)
+                rows.append((a, 100 + b, w, w, 0))
+    if not rows:
+        return
+    pdf = pd.DataFrame(rows, columns=["id_a", "id_b", "w_a", "w_b", "block_id"])
+    gs = {(r.id_a, r.id_b) for r in gale_shapley(pdf).itertuples(index=False)}
+    gr = {
+        (r.id_a, r.id_b)
+        for r in greedy_max(
+            pdf.rename(columns={"w_a": "w"})[["id_a", "id_b", "w", "block_id"]]
+        ).itertuples(index=False)
+    }
+    assert gs == gr

@@ -139,6 +139,7 @@ QUERIES = [
     "phonetic_blocking_pairs",
     "hits_hosts",
     "cdc_chunk_dedup",
+    "stable_marriage_links",
     "bitext_topk",
 ]
 

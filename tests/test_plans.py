@@ -211,3 +211,46 @@ def test_progressive_er_budget_cut_is_take_ordered(spark):
     assert "TakeOrderedAndProject" in plan
     head = plan.split("TakeOrderedAndProject")[-1]
     assert "Sort " not in head, head[:400]
+
+
+def test_cdc_boundary_hash_single_evaluation(spark):
+    """cdc_chunks must show exactly TWO md5 passes in the optimized plan:
+    the boundary detection (once, pinned by the hash-once aggregate
+    barrier — without it CollapseProject inlines the rolling-hash array
+    into both the starts and ends references) and the chunk hashing."""
+    from bayesianrecordlinkage_jl_spark.operators.dedup import cdc_chunks
+
+    df = cdc_chunks(oq.load(spark, SF, "documents"), "doc_id", "text")
+    opt = _optimized(df)
+    assert opt.count("md5") == 2, opt
+
+
+def test_phonetic_blocking_is_equi_join(spark):
+    """Phonetic blocking must compile to an equi-join on the composite
+    key (hash/sort-merge), never a theta join; the key expression is
+    evaluated per record below the join."""
+    from bayesianrecordlinkage_jl_spark.operators import blocking
+    from pyspark.sql import functions as F
+
+    df = blocking.phonetic_blocking_pairs(
+        oq.load(spark, SF, "documents"), "doc_id",
+        F.regexp_extract(F.col("text"), "^[^ ]+", 0), ["lang", "source"],
+    )
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan
+
+
+def test_stable_links_shuffles_pairs_once(spark):
+    """stable_links is one repartition(block_id) + one applyInPandas —
+    no extra exchanges, no driver round trips in the plan."""
+    from bayesianrecordlinkage_jl_spark.operators.assignment import stable_links
+
+    pairs = spark.createDataFrame(
+        [(1, 2, 1.0, 1.0, 0)],
+        "id_a long, id_b long, w_a double, w_b double, block_id long",
+    )
+    plan = _plan(stable_links(pairs))
+    assert plan.count("Exchange") <= 1, plan
+    assert "FlatMapGroupsInPandas" in plan
