@@ -704,3 +704,67 @@ def stable_links_sql(pairs_sql: str, max_rounds: int = 10_000) -> str:
           WHERE held AND it = (SELECT max(it) FROM sm_st)) f
     JOIN sm_prefs p ON p.id_a = f.a AND p.pos = f.idx
     """
+
+
+# ---------------------------------------------------------------------------
+# doubly-capacitated matching (many-to-many b-matching, greedy)
+# ---------------------------------------------------------------------------
+
+
+def greedy_max_doubly_capped(
+    pairs: pd.DataFrame, cap_a: int, cap_b: int
+) -> pd.DataFrame:
+    """Greedy b-matching with BOTH side capacities: pairs taken in the
+    total order (w desc, id_a, id_b); a pair is kept iff id_a has been
+    used < cap_a times and id_b < cap_b times. (cap_a=1, cap_b=1)
+    degenerates to greedy_max; (1, k) to greedy_max_capped."""
+    df = pairs.sort_values(
+        ["w", "id_a", "id_b"], ascending=[False, True, True]
+    ).reset_index(drop=True)
+    cnt_a: dict = {}
+    cnt_b: dict = {}
+    keep = []
+    for row in df.itertuples(index=False):
+        if cnt_a.get(row.id_a, 0) < cap_a and cnt_b.get(row.id_b, 0) < cap_b:
+            cnt_a[row.id_a] = cnt_a.get(row.id_a, 0) + 1
+            cnt_b[row.id_b] = cnt_b.get(row.id_b, 0) + 1
+            keep.append(row)
+    return pd.DataFrame(keep, columns=df.columns) if keep else df.iloc[0:0]
+
+
+def many_to_many(
+    pairs: DataFrame, cap_a: int = 2, cap_b: int = 2
+) -> DataFrame:
+    """Per-block doubly-capacitated greedy b-matching: each id_a links to
+    at most cap_a id_b's AND each id_b absorbs at most cap_b id_a's —
+    household-to-household / directory-to-directory linkage where both
+    sides may legitimately fan out, bounded. Greedy on the global
+    (w desc, id_a, id_b) order is exactly replayable in SQL (the oracle
+    contract); it is the 1/2-approximation of optimal b-matching and the
+    standard production choice (optimal needs min-cost flow, which no
+    relational engine expresses).
+
+    pairs: (id_a, id_b, w, block_id) with block_id partitioning the
+    positive-weight graph; per-block greedy equals global greedy because
+    blocks share no ids (same argument as one_to_one).
+
+    Scale shape: identical to one_to_many — one repartition(block_id),
+    one applyInPandas, dict-counter state linear in the block's pairs."""
+    if cap_a < 1 or cap_b < 1:
+        raise ValueError("caps must be >= 1")
+    p = pairs.select(
+        F.col("id_a").cast("long"),
+        F.col("id_b").cast("long"),
+        F.col("w").cast("double"),
+        F.col("block_id").cast("long"),
+    ).where(F.col("w") > 0)
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        sub = pdf[pdf["w"] > 0]
+        return greedy_max_doubly_capped(
+            sub[["id_a", "id_b", "w", "block_id"]], cap_a, cap_b
+        )
+
+    return p.repartition("block_id").groupBy("block_id").applyInPandas(
+        fn, schema=MATCH_SCHEMA
+    )

@@ -2840,6 +2840,68 @@ def build_catalog() -> dict[str, dict]:
         "duplicate-right-nodes reduction)",
     }
 
+    # --- many-to-many (doubly-capacitated) greedy b-matching --------------
+    # Same global-greedy replay as one_to_many, with BOTH side caps in
+    # the recursive filter (a chosen-list count per side).
+    M2M_CAP_A, M2M_CAP_B = 2, 2
+
+    def _many_to_many_links(s: SparkSession, d: str) -> DataFrame:
+        from ..operators.assignment import many_to_many
+
+        wp = _scored_pairs_cached(s, d).where(F.col("w") > EDGE_THRESHOLD)
+        cc = _cc_pos_cached(s, d).select(
+            F.col("node").alias("id_a"), F.col("component").alias("block_id")
+        )
+        return many_to_many(
+            wp.join(cc, on="id_a"), cap_a=M2M_CAP_A, cap_b=M2M_CAP_B
+        ).select("id_a", "id_b", "w", "block_id")
+
+    _m2m_greedy_sql = f"""
+        WITH RECURSIVE wp AS MATERIALIZED (
+          SELECT id_a, id_b, w FROM ({_weighted_pairs_sql()})
+          WHERE w > {EDGE_THRESHOLD!r}e0
+        ),
+        bi AS MATERIALIZED (SELECT id_a AS a, id_b AS b FROM wp
+                            UNION ALL SELECT id_b AS a, id_a AS b FROM wp),
+        walk(node, comp) AS (
+          SELECT a, a FROM (SELECT DISTINCT a FROM bi)
+          UNION
+          SELECT bi.b, w.comp FROM walk w JOIN bi ON bi.a = w.node
+          WHERE w.comp < bi.b
+        ),
+        cc AS MATERIALIZED (SELECT node, min(comp) AS component
+                            FROM walk GROUP BY node),
+        cand AS (SELECT list(struct_pack(ia := id_a, ib := id_b, w := w)
+                             ORDER BY w DESC, id_a, id_b) AS rem FROM wp),
+        g AS (
+          SELECT 0 AS n,
+                 CAST([] AS STRUCT(ia BIGINT, ib BIGINT, w DOUBLE)[]) AS chosen,
+                 (SELECT rem FROM cand) AS rem
+          UNION ALL
+          SELECT n + 1, list_append(chosen, rem[1]),
+                 list_filter(rem[2:], p ->
+                     len(list_filter(list_append(chosen, rem[1]),
+                                     c -> c['ia'] = p['ia'])) < {M2M_CAP_A}
+                     AND len(list_filter(list_append(chosen, rem[1]),
+                                         c -> c['ib'] = p['ib'])) < {M2M_CAP_B})
+          FROM g WHERE len(rem) > 0
+        ),
+        lk AS (SELECT u['ia'] AS id_a, u['ib'] AS id_b, u['w'] AS w
+               FROM (SELECT unnest(chosen) AS u
+                     FROM (SELECT chosen FROM g ORDER BY n DESC LIMIT 1)))
+        SELECT lk.id_a, lk.id_b, lk.w, cc.component AS block_id
+        FROM lk JOIN cc ON cc.node = lk.id_a
+        """
+
+    cat["many_to_many_links"] = {
+        "spark": _many_to_many_links,
+        "sql": _m2m_greedy_sql,
+        "ref": "doubly-capacitated greedy b-matching (household/directory "
+        "linkage with bounded fan-out on BOTH sides; 1/2-approximation, "
+        "the relationally-expressible production form) — generalizes "
+        "one_to_many_links; src/maximization_functions.jl:203-244 anchor",
+    }
+
     # --- Gale-Shapley stable matching (asymmetric per-side scores) --------
     # A third one-to-one semantics beside optimal (hungarian/auction) and
     # greedy: the a-optimal STABLE matching when each side ranks by its

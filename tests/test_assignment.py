@@ -638,3 +638,71 @@ def test_gale_shapley_shared_score_degenerates_to_greedy(seed):
         ).itertuples(index=False)
     }
     assert gs == gr
+
+
+# --- doubly-capacitated (many-to-many) greedy -------------------------------
+
+
+def _brute_doubly_capped(rows, cap_a, cap_b):
+    order = sorted(rows, key=lambda r: (-r[2], r[0], r[1]))
+    ca, cb, keep = {}, {}, set()
+    for a, b, w, blk in order:
+        if ca.get(a, 0) < cap_a and cb.get(b, 0) < cap_b:
+            ca[a] = ca.get(a, 0) + 1
+            cb[b] = cb.get(b, 0) + 1
+            keep.add((a, b))
+    return keep
+
+
+@pytest.mark.parametrize("caps", [(1, 1), (1, 2), (2, 1), (2, 3)])
+def test_greedy_doubly_capped_matches_replica(caps):
+    import random
+
+    import pandas as pd
+
+    from bayesianrecordlinkage_jl_spark.operators.assignment import (
+        greedy_max,
+        greedy_max_capped,
+        greedy_max_doubly_capped,
+    )
+
+    cap_a, cap_b = caps
+    rng = random.Random(500 + cap_a * 10 + cap_b)
+    rows = [
+        (rng.randrange(0, 6), 100 + rng.randrange(0, 6),
+         rng.randrange(1, 500) / 9.0, 0)
+        for _ in range(25)
+    ]
+    rows = list({(a, b): (a, b, w, blk) for a, b, w, blk in rows}.values())
+    pdf = pd.DataFrame(rows, columns=["id_a", "id_b", "w", "block_id"])
+    got = {
+        (r.id_a, r.id_b)
+        for r in greedy_max_doubly_capped(pdf, cap_a, cap_b).itertuples(
+            index=False
+        )
+    }
+    assert got == _brute_doubly_capped(rows, cap_a, cap_b)
+    if caps == (1, 1):
+        assert got == {
+            (r.id_a, r.id_b) for r in greedy_max(pdf).itertuples(index=False)
+        }
+    if cap_a == 1:
+        assert got == {
+            (r.id_a, r.id_b)
+            for r in greedy_max_capped(pdf, cap_b).itertuples(index=False)
+        }
+
+
+def test_many_to_many_spark_caps_bind(spark):
+    from bayesianrecordlinkage_jl_spark.operators.assignment import many_to_many
+
+    # star: one a connected to 4 b's and vice versa, cap 2 each way
+    rows = (
+        [(1, 100 + i, 10.0 - i, 0) for i in range(4)]
+        + [(2 + i, 200, 20.0 - i, 1) for i in range(4)]
+    )
+    df = spark.createDataFrame(rows, "id_a long, id_b long, w double, block_id long")
+    got = {
+        (r["id_a"], r["id_b"]) for r in many_to_many(df, 2, 2).collect()
+    }
+    assert got == {(1, 100), (1, 101), (2, 200), (3, 200)}

@@ -140,6 +140,7 @@ QUERIES = [
     "hits_hosts",
     "cdc_chunk_dedup",
     "stable_marriage_links",
+    "many_to_many_links",
     "bitext_topk",
 ]
 
