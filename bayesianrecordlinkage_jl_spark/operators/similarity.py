@@ -637,3 +637,312 @@ def lsh_bucketed_topk(
         .where(F.col("rank") <= k)
         .select("query_id", "item_id", "sim", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) ANN: compressed-domain asymmetric-distance scan
+# ---------------------------------------------------------------------------
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    iters: int = 5,
+    sample_rows: int = 2048,
+) -> list[list[list[float]]]:
+    """Deterministic per-subspace L2 k-means — the PQ codebooks (Jegou,
+    Douze & Schmid 2011, "Product quantization for nearest neighbor
+    search"). The dim-length vector is split into n_sub contiguous
+    subvectors; each subspace gets its own n_codes-entry codebook, so a
+    corpus vector compresses to n_sub small integers (n_sub=8, n_codes=16
+    => 8 codes of 4 bits: 64 float32 dims -> 4 bytes, a 64x corpus-memory
+    reduction — the knob that lets an ANN index over 100 TB of embeddings
+    live in executor memory).
+
+    Driver numpy on an id-ordered <= sample_rows sample, evenly-spaced
+    init, fixed iteration count — deterministic, so the codebook table is
+    a pure literal both the Spark plan and the DuckDB oracle can share
+    (frozen to plans/pq_codebooks.json; the freeze-don't-train-at-query-
+    time rule of plans/ivf_centroids.json). At full scale train each
+    subspace with the same distributed pattern as
+    train_centroids_distributed (map-side literal argmin + per-slot sums);
+    the serving path below is unchanged either way.
+
+    Reference analog: ANN scale path beyond the reference's surface (the
+    reference repo has no similarity-search operators); completes the
+    brute-force / sign-LSH / IVF family with the compressed-domain scan.
+    """
+    import numpy as np
+
+    pdf = df.select(id_col, vec_col).orderBy(id_col).limit(sample_rows).toPandas()
+    X = np.array([list(v) for v in pdf[vec_col]], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % n_sub:
+        raise ValueError(f"dim {dim} not divisible by n_sub {n_sub}")
+    dsub = dim // n_sub
+    books: list[list[list[float]]] = []
+    for m in range(n_sub):
+        S = X[:, m * dsub : (m + 1) * dsub]
+        idx = np.linspace(0, len(S) - 1, n_codes).astype(int)
+        C = S[idx].copy()
+        for _ in range(iters):
+            d = ((S[:, None, :] - C[None, :, :]) ** 2).sum(-1)
+            a = np.argmin(d, axis=1)
+            for c in range(n_codes):
+                rows = S[a == c]
+                if len(rows):
+                    C[c] = rows.mean(0)
+        books.append([[float(x) for x in row] for row in C])
+    return books
+
+
+def _pq_elem(engine: str):
+    if engine == "spark":
+        return lambda v, i: f"element_at({v}, {i})"
+    return lambda v, i: f"{v}[{i}]"
+
+
+def _pq_sq_dists(vec: str, book: list[list[float]], lo: int, engine: str) -> list[str]:
+    """Unrolled ||v_sub - c||^2 per codeword: left-to-right sum of
+    squared differences, every operand CAST AS DOUBLE — the identical
+    token stream (modulo element-access syntax) in both engines, so
+    encode argmins agree bitwise."""
+    elem = _pq_elem(engine)
+    out = []
+    for cent in book:
+        terms = []
+        for j, c in enumerate(cent):
+            e = f"(CAST({elem(vec, lo + j + 1)} AS DOUBLE) - CAST('{float(c)!r}' AS DOUBLE))"
+            terms.append(f"({e} * {e})")
+        out.append("(" + " + ".join(terms) + ")")
+    return out
+
+
+def _pq_dtab_entries(qvec: str, codebooks: list[list[list[float]]], engine: str) -> list[str]:
+    """Flattened n_sub*n_codes ADC table: entry [m*K + k] is the unrolled
+    dot of the query's m-th subvector with codeword k (left-to-right)."""
+    elem = _pq_elem(engine)
+    dsub = len(codebooks[0][0])
+    entries = []
+    for m, book in enumerate(codebooks):
+        lo = m * dsub
+        for cent in book:
+            terms = [
+                f"(CAST({elem(qvec, lo + j + 1)} AS DOUBLE) * CAST('{float(c)!r}' AS DOUBLE))"
+                for j, c in enumerate(cent)
+            ]
+            entries.append("(" + " + ".join(terms) + ")")
+    return entries
+
+
+def pq_encode_kernel(codebooks: list[list[list[float]]]):
+    """Arrow-batched numpy twin of the pq_encode expression path —
+    bit-identical codes: squared differences are exact elementwise IEEE
+    ops, np.cumsum accumulates strictly left-to-right like the unrolled
+    `(t1) + (t2) + ...` left-association, np.argmin takes the first
+    occurrence like array_position/list_position. This is the hot path:
+    the 16-array unrolled encode projection exceeds janino's method
+    limits (whole-stage codegen fails and falls back to interpreted
+    eval), while the kernel encodes a 4096-row Arrow batch in one numpy
+    broadcast. Parity is asserted by
+    tests/test_pq.py::test_pq_encode_kernel_matches_expression."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(codebooks, dtype=np.float64)  # (M, K, dsub)
+    M, _, dsub = C.shape
+    chunk = 4096
+
+    @pandas_udf("array<int>")
+    def _enc(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        out = []
+        v_ = v.to_numpy()
+        for lo in range(0, len(v_), chunk):
+            X = np.stack(v_[lo : lo + chunk]).astype(np.float64)
+            codes = np.empty((len(X), M), dtype=np.int32)
+            for m in range(M):
+                S = X[:, m * dsub : (m + 1) * dsub]
+                diff = S[:, None, :] - C[m][None, :, :]
+                d = np.cumsum(diff * diff, axis=2)[:, :, -1]
+                codes[:, m] = np.argmin(d, axis=1)
+            out.extend(list(codes))
+        return pd.Series(out)
+
+    return _enc
+
+
+def pq_dtab_kernel(codebooks: list[list[list[float]]]):
+    """Arrow-batched numpy twin of the _pq_dtab_entries expression: the
+    flattened n_sub*n_codes ADC table per query vector. Bit-identical to
+    the unrolled form (exact elementwise products, cumsum left-to-right);
+    same janino-limit rationale as pq_encode_kernel."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.array(codebooks, dtype=np.float64)  # (M, K, dsub)
+    M, K, dsub = C.shape
+
+    @pandas_udf("array<double>")
+    def _dtab(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            return pd.Series([], dtype=object)
+        X = np.stack(v.to_numpy()).astype(np.float64)  # (n, dim)
+        out = np.empty((len(X), M * K), dtype=np.float64)
+        for m in range(M):
+            S = X[:, m * dsub : (m + 1) * dsub]  # (n, dsub)
+            prod = S[:, None, :] * C[m][None, :, :]  # (n, K, dsub)
+            out[:, m * K : (m + 1) * K] = np.cumsum(prod, axis=2)[:, :, -1]
+        return pd.Series(list(out))
+
+    return _dtab
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebooks: list[list[list[float]]],
+    impl: str = "arrow",
+) -> DataFrame:
+    """-> (item_id, _c0.._c{M-1}): each vector's PQ code — per subspace the
+    argmin-L2 codeword index (ties to the smaller code, first-occurrence
+    array_position, same rule as the oracle's list_position). Map-side
+    only, no shuffle.
+
+    impl: "arrow" (default) = pq_encode_kernel, the numpy batch kernel;
+    "expr" = the pure-Catalyst unrolled-literal twin (bit-identical codes
+    — see the kernel docstring). The expr form builds the per-subspace
+    distance arrays in one projection and argmins them in a second (the
+    array_min + array_position pair references the distance array twice —
+    the same accepted double-reference as ivf_topk's assignment); its
+    unrolled size is past janino's codegen limits, so it runs interpreted
+    — kept as the oracle-shareable reference form. At production scale
+    you encode ONCE and persist the codes, which is the point of the
+    representation."""
+    M = len(codebooks)
+    dsub = len(codebooks[0][0])
+    corpus = df.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("_v"))
+    if impl == "arrow":
+        kern = pq_encode_kernel(codebooks)
+        coded = corpus.select("item_id", kern(F.col("_v")).alias("_code"))
+        return coded.select(
+            "item_id",
+            *[
+                F.element_at("_code", m + 1).alias(f"_c{m}")
+                for m in range(M)
+            ],
+        )
+    darr = corpus.select(
+        "item_id",
+        *[
+            F.expr(
+                "array(" + ", ".join(_pq_sq_dists("_v", codebooks[m], m * dsub, "spark")) + ")"
+            ).alias(f"_d{m}")
+            for m in range(M)
+        ],
+    )
+    return darr.select(
+        "item_id",
+        *[
+            (F.array_position(F.col(f"_d{m}"), F.array_min(F.col(f"_d{m}"))) - 1)
+            .cast("int")
+            .alias(f"_c{m}")
+            for m in range(M)
+        ],
+    )
+
+
+def pq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    impl: str = "arrow",
+) -> DataFrame:
+    """PQ ANN top-k by asymmetric distance computation (ADC): corpus
+    vectors are replaced by their n_sub codes (pq_encode); each query
+    builds its n_sub x n_codes dot-product lookup table ONCE; the scan
+    scores a candidate with n_sub table lookups instead of a dim-length
+    dot. Ranking is by approximate inner product (adc_dot DESC, item_id
+    ASC) — for L2-trained codebooks on roughly-normalized embeddings this
+    orders like cosine up to quantization error; recall is bounded in
+    tests against brute_force_topk.
+
+    Scale shape: the scan side carries n_sub ints per corpus row (the
+    64x compression that makes a 100 TB embedding corpus scannable); the
+    query side (small by contract, like brute_force_topk) broadcasts its
+    ADC tables; scoring is a map-side expression (8 element_at lookups +
+    left-to-right adds — no per-pair vector math, no shuffle before the
+    per-query top-k window). Codebooks ride as literals in the plan, so
+    the DuckDB oracle shares them exactly (plans/pq_codebooks.json)."""
+    M = len(codebooks)
+    K = len(codebooks[0])
+    codes = pq_encode(df, id_col, vec_col, codebooks, impl=impl)
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q"))
+    if impl == "arrow":
+        dt = pq_dtab_kernel(codebooks)(F.col("_q"))
+    else:
+        dt = F.expr(
+            "array(" + ", ".join(_pq_dtab_entries("_q", codebooks, "spark")) + ")"
+        )
+    qd = q.select("query_id", dt.alias("_dt"))
+    cand = codes.crossJoin(F.broadcast(qd)).where(
+        F.col("item_id") != F.col("query_id")
+    )
+    adc = " + ".join(f"element_at(_dt, {1 + m * K} + _c{m})" for m in range(M))
+    scored = cand.select("query_id", "item_id", F.expr(adc).alias("adc_dot"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "item_id", "adc_dot", "rank")
+    )
+
+
+def pq_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_filter: str,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+) -> str:
+    """DuckDB twin of pq_topk: same unrolled literal expressions (encode
+    argmin via list_position(d, list_min(d)) = first occurrence, the
+    array_position tie rule), distance CTEs MATERIALIZED so the per-doc
+    encode work runs once (the hash-once rule, SQL side)."""
+    M = len(codebooks)
+    K = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    darr_cols = ", ".join(
+        "[" + ", ".join(_pq_sq_dists("_v", codebooks[m], m * dsub, "duckdb")) + f"] AS _d{m}"
+        for m in range(M)
+    )
+    code_cols = ", ".join(
+        f"CAST(list_position(_d{m}, list_min(_d{m})) - 1 AS INT) AS _c{m}"
+        for m in range(M)
+    )
+    dtab = "[" + ", ".join(_pq_dtab_entries("_q", codebooks, "duckdb")) + "]"
+    adc = " + ".join(f"_dt[{1 + m * K} + _c{m}]" for m in range(M))
+    return f"""
+    WITH corpus AS (SELECT {id_col} AS item_id, {vec_col} AS _v FROM {table}),
+    darr AS MATERIALIZED (SELECT item_id, {darr_cols} FROM corpus),
+    enc AS MATERIALIZED (SELECT item_id, {code_cols} FROM darr),
+    q AS (SELECT {id_col} AS query_id, {vec_col} AS _q FROM {table}
+          WHERE {query_filter}),
+    qd AS MATERIALIZED (SELECT query_id, {dtab} AS _dt FROM q),
+    cand AS (SELECT query_id, item_id, ({adc}) AS adc_dot
+             FROM enc CROSS JOIN qd WHERE item_id != query_id)
+    SELECT query_id, item_id, adc_dot, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_dot DESC, item_id ASC) AS INT) AS rank
+      FROM cand
+    ) WHERE rank <= {k}
+    """

@@ -3684,6 +3684,35 @@ def build_catalog() -> dict[str, dict]:
         "rerank; similarity.train_centroids / ivf_topk)",
     }
 
+    # --- PQ ANN (compressed-domain asymmetric-distance scan) ---
+    # Codebooks: per-subspace L2 k-means trained ONCE by
+    # similarity.train_pq_codebooks on the sf0.01 embeddings (id-ordered
+    # 2048-row sample, 8 subspaces x 16 codes, 5 Lloyd iters) and frozen to
+    # pq_codebooks.json — same freeze-don't-train-at-query-time rule as the
+    # IVF centroids. The Spark side runs the Arrow encode/ADC kernels (bit-
+    # identical to the unrolled-literal expression twin, asserted in
+    # tests/test_pq.py); the oracle runs the same unrolled literals.
+    with open(
+        _os.path.join(_os.path.dirname(_os.path.abspath(__file__)),
+                      "pq_codebooks.json")
+    ) as _f:
+        pq_books = _json.load(_f)
+
+    cat["embedding_topk_pq"] = {
+        "spark": lambda s, d: similarity.pq_topk(
+            load(s, d, "embeddings"), "vec_id", "embedding",
+            load(s, d, "embeddings").where(F.col("vec_id") < TOPK_QUERY_MAX_ID),
+            pq_books, k=TOPK,
+        ),
+        "sql": similarity.pq_topk_sql(
+            "embeddings", "vec_id", "embedding",
+            f"vec_id < {TOPK_QUERY_MAX_ID}", pq_books, k=TOPK,
+        ),
+        "ref": "PQ ANN scale path (Jegou et al. 2011 asymmetric-distance "
+        "scan over 4-bit-coded corpus; similarity.train_pq_codebooks / "
+        "pq_topk; codes shrink the scan side 64x vs raw float32 vectors)",
+    }
+
     # --- SemDeDup: semantic dedup inside the same frozen IVF clusters ---
     cat["semdedup"] = {
         "spark": lambda s, d: dedup.semdedup(

@@ -254,3 +254,41 @@ def test_stable_links_shuffles_pairs_once(spark):
     plan = _plan(stable_links(pairs))
     assert plan.count("Exchange") <= 1, plan
     assert "FlatMapGroupsInPandas" in plan
+
+
+def test_pq_scan_is_broadcast_over_codes(spark):
+    """The PQ ADC scan must broadcast the (small) query-side ADC tables
+    over the coded corpus — one BroadcastExchange, no CartesianProduct/
+    SortMergeJoin on the scan — and the corpus vector column must not
+    survive past the encode projection (the scan side carries codes only;
+    shipping raw vectors would undo the 64x compression that makes the
+    scan viable at 100 TB)."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bayesianrecordlinkage_jl_spark.operators import similarity
+
+    books_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bayesianrecordlinkage_jl_spark", "plans", "pq_codebooks.json",
+    )
+    with open(books_path) as f:
+        books = json.load(f)
+    emb = oq.load(spark, SF, "embeddings")
+    df = similarity.pq_topk(
+        emb, "vec_id", "embedding", emb.where(F.col("vec_id") < 10), books, k=5
+    )
+    plan = _plan(df)
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # BroadcastNestedLoopJoin IS the crossJoin's physical form (there is
+    # no equi key); what must not appear is the vector column on the
+    # streamed (corpus) side after encode: the join node's output schema
+    # must reference codes (_c0.., from _code) but never _v.
+    import re
+
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert join_lines and all("_v#" not in ln for ln in join_lines), plan
