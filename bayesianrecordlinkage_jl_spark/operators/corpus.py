@@ -1938,3 +1938,185 @@ def span_rewrite_sql(
            coalesce(r.new_text, '') AS new_text
     FROM srh h LEFT JOIN srebuilt r USING (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# Frozen character-n-gram LM scoring (CCNet-style perplexity-proxy filter)
+# ---------------------------------------------------------------------------
+
+
+def train_ngram_lm(
+    df: DataFrame,
+    text_col: str,
+    top_n: int = 256,
+    scale: int = 100,
+) -> dict:
+    """Train the frozen char-trigram LM the quality filter scores with —
+    the CCNet recipe (Wenzek et al. 2020: language-model perplexity as a
+    web-corpus quality signal), reduced to a character n-gram table so
+    scoring needs no external LM and stays engine-portable.
+
+    Counts every char trigram in the corpus (one explode + count — the
+    same distributed shape as vocabulary_topk), keeps the top_n by
+    (count DESC, trigram ASC), and quantizes each log-probability to an
+    integer: score(t) = floor(scale * ln(count_t / total) + 0.5). Unseen
+    trigrams get backoff = min(score) - scale (one decade below the
+    rarest kept entry). INTEGER scores are the point: document totals
+    become plain BIGINT sums — partitioning-order independent and
+    bit-strict across engines (the repo's integer-state rule; ln runs at
+    TRAIN time only, never in oracle-checked columns).
+
+    Only trigrams over the safe charset [a-z0-9 ] are kept, so the frozen
+    table embeds in both engines' SQL literals without escaping
+    divergence. Frozen to plans/ngram_lm.json by
+    scripts/freeze_ngram_lm.py (the freeze-don't-train-at-query-time
+    rule)."""
+    import math
+    import re
+
+    tri = df.select(
+        F.explode(
+            F.expr(
+                f"CASE WHEN length({text_col}) < 3 THEN array() "
+                f"ELSE transform(sequence(1, length({text_col}) - 2), "
+                f"i -> substring({text_col}, i, 3)) END"
+            )
+        ).alias("t")
+    )
+    counts = (
+        tri.groupBy("t").count()
+        .orderBy(F.desc("count"), F.asc("t"))
+        .limit(top_n * 2)  # headroom for charset-filtered entries
+        .collect()
+    )
+    total = tri.count()
+    safe = re.compile(r"^[a-z0-9 ]{3}$")
+    scores: dict[str, int] = {}
+    for r in counts:
+        if len(scores) >= top_n:
+            break
+        if safe.match(r["t"]):
+            scores[r["t"]] = int(
+                math.floor(scale * math.log(r["count"] / total) + 0.5)
+            )
+    backoff = min(scores.values()) - scale
+    return {"n": 3, "scale": scale, "backoff": backoff, "scores": scores}
+
+
+def ngram_lm_kernel(model: dict):
+    """Arrow-batched scorer twin of the expression form — a dict lookup
+    per trigram (exact integer sums, so parity with the map-literal /
+    CASE forms is trivial). The hot path: the 256-entry map literal
+    inside an aggregate lambda runs as an interpreted HigherOrderFunction
+    per trigram on the JVM, while the kernel scans a batch of documents
+    in one Python pass over a hash map."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    scores = dict(model["scores"])
+    backoff = int(model["backoff"])
+
+    @pandas_udf("struct<n_tri: bigint, lm_score: bigint>")
+    def _score(texts):
+        ns, tots = [], []
+        for t in texts:
+            t = t or ""
+            n = max(len(t) - 2, 0)
+            acc = 0
+            for i in range(n):
+                acc += scores.get(t[i : i + 3], backoff)
+            ns.append(n)
+            tots.append(acc)
+        return pd.DataFrame({"n_tri": ns, "lm_score": tots})
+
+    return _score
+
+
+def ngram_lm_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    model: dict,
+    impl: str = "arrow",
+) -> DataFrame:
+    """-> (doc_id, n_tri, lm_score, avg_score): per-document frozen-LM
+    quality signal — lm_score = sum of quantized trigram log-probs
+    (BIGINT, exact), n_tri = trigram count, avg_score = lm_score/n_tri as
+    one double division (the per-trigram log-prob, the CCNet
+    perplexity-proxy; higher = more in-distribution text; NULL when the
+    text is shorter than a trigram). Map-side only — no shuffle, no join:
+    the model rides in the plan (kernel closure or map literal), which is
+    what makes this a single-scan filter at 100 TB.
+
+    impl: "arrow" (default) = ngram_lm_kernel batch scorer; "expr" = the
+    pure-Catalyst twin (map-literal lookup inside an aggregate lambda) —
+    identical integers by construction, asserted in test_corpus."""
+    if impl == "arrow":
+        kern = ngram_lm_kernel(model)
+        scored = df.select(
+            F.col(id_col).alias("doc_id"), kern(F.col(text_col)).alias("_s")
+        ).select("doc_id", "_s.n_tri", "_s.lm_score")
+    else:
+        entries = ", ".join(
+            f"'{t}', {s}L" for t, s in sorted(model["scores"].items())
+        )
+        backoff = int(model["backoff"])
+        tri = (
+            f"CASE WHEN length({text_col}) < 3 THEN array() "
+            f"ELSE transform(sequence(1, length({text_col}) - 2), "
+            f"i -> substring({text_col}, i, 3)) END"
+        )
+        scored = df.select(
+            F.col(id_col).alias("doc_id"),
+            F.expr(
+                f"CAST(greatest(length({text_col}) - 2, 0) AS BIGINT)"
+            ).alias("n_tri"),
+            F.expr(
+                f"aggregate({tri}, CAST(0 AS BIGINT), (acc, t) -> "
+                f"acc + coalesce(element_at(map({entries}), t), {backoff}L))"
+            ).alias("lm_score"),
+        )
+    return scored.select(
+        "doc_id",
+        "n_tri",
+        "lm_score",
+        F.when(
+            F.col("n_tri") > 0,
+            F.col("lm_score").cast("double") / F.col("n_tri").cast("double"),
+        ).alias("avg_score"),
+    )
+
+
+def ngram_lm_scores_sql(table: str, id_col: str, text_col: str, model: dict) -> str:
+    """DuckDB twin: trigrams unnested and LEFT-JOINed against the frozen
+    table as a VALUES relation (a 256-branch simple-CASE per trigram was
+    measured 6x slower at sf0.1 — the SQL mirror of the hash-once
+    lesson). INTEGER scores make the group-sum partitioning/order
+    independent, so the join form is value-identical to a sequential
+    lookup; avg_score stays the one double division."""
+    vals = ", ".join(
+        f"('{t}', {s})" for t, s in sorted(model["scores"].items())
+    )
+    backoff = int(model["backoff"])
+    return f"""
+    WITH st(t, s) AS (VALUES {vals}),
+    base AS (SELECT {id_col} AS doc_id, {text_col} AS _txt FROM {table}),
+    tri AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, greatest(len(_txt) - 2, 0) + 1),
+                                   i -> substring(_txt, i, 3))) AS t
+      FROM base
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tri,
+             CAST(sum(coalesce(st.s, {backoff})) AS BIGINT) AS lm_score
+      FROM tri LEFT JOIN st USING (t)
+      GROUP BY doc_id
+    )
+    SELECT b.doc_id, coalesce(a.n_tri, 0) AS n_tri,
+           coalesce(a.lm_score, 0) AS lm_score,
+           CASE WHEN coalesce(a.n_tri, 0) > 0
+                THEN CAST(a.lm_score AS DOUBLE) / CAST(a.n_tri AS DOUBLE)
+           END AS avg_score
+    FROM base b LEFT JOIN agg a USING (doc_id)
+    """

@@ -2461,6 +2461,40 @@ def build_catalog() -> dict[str, dict]:
         "ref": "language-ID / quality / token-count / fingerprint",
     }
 
+    # --- frozen char-trigram LM quality scoring (CCNet-style) ---
+    # Model: corpus.train_ngram_lm on the sf0.01 documents (top-256
+    # trigrams, integer-quantized log-probs), frozen to ngram_lm.json —
+    # the freeze-don't-train-at-query-time rule. Integer lm_score sums are
+    # partitioning-order independent; avg_score is ONE double division.
+    def _ngram_lm(s: SparkSession, d: str) -> DataFrame:
+        import json as _j
+        import os as _o
+
+        with open(
+            _o.path.join(_o.path.dirname(_o.path.abspath(__file__)),
+                         "ngram_lm.json")
+        ) as f:
+            model = _j.load(f)
+        return corpus.ngram_lm_scores(load(s, d, "documents"), "doc_id", "text", model)
+
+    def _ngram_lm_sql() -> str:
+        import json as _j
+        import os as _o
+
+        with open(
+            _o.path.join(_o.path.dirname(_o.path.abspath(__file__)),
+                         "ngram_lm.json")
+        ) as f:
+            model = _j.load(f)
+        return corpus.ngram_lm_scores_sql("documents", "doc_id", "text", model)
+
+    cat["ngram_lm_scores"] = {
+        "spark": _ngram_lm,
+        "sql": _ngram_lm_sql(),
+        "ref": "CCNet-style LM quality filter (Wenzek et al. 2020), char-"
+        "trigram reduction; corpus.train_ngram_lm / ngram_lm_scores",
+    }
+
     # --- similarity search (training-data ops) ---
     cat["embedding_topk"] = {
         "spark": lambda s, d: similarity.brute_force_topk(

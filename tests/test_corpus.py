@@ -956,3 +956,65 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_ngram_lm_scores(spark):
+    """Frozen-LM quality scoring: kernel/expression parity, a pure-Python
+    replica of the integer trigram sum, and the score's discriminative
+    direction (in-distribution text scores above out-of-distribution
+    noise)."""
+    import json
+    import os
+
+    from bayesianrecordlinkage_jl_spark.operators import corpus as C_
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bayesianrecordlinkage_jl_spark", "plans", "ngram_lm.json",
+    )
+    with open(path) as f:
+        model = json.load(f)
+    rows = [
+        (0, "key agg row scan slow fast table value part hash"),
+        (1, "zq"),                       # shorter than a trigram
+        (2, ""),                         # empty
+        (3, "xqzj vvkw qqpp zzzz unseen trigram soup xjq"),
+        (4, "the table join window query scan filter value"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = (
+        C_.ngram_lm_scores(df, "doc_id", "text", model)
+        .orderBy("doc_id").toPandas()
+    )
+    exp = (
+        C_.ngram_lm_scores(df, "doc_id", "text", model, impl="expr")
+        .orderBy("doc_id").toPandas()
+    )
+    assert got.equals(exp)
+    # pure-Python replica
+    sc, bo = model["scores"], model["backoff"]
+    for r in got.itertuples():
+        t = rows[r.doc_id][1]
+        n = max(len(t) - 2, 0)
+        want = sum(sc.get(t[i:i + 3], bo) for i in range(n))
+        assert r.n_tri == n and r.lm_score == want
+    import math
+
+    assert math.isnan(got.loc[1, "avg_score"]) or got.loc[1, "avg_score"] is None \
+        or got.loc[1, "avg_score"] != got.loc[1, "avg_score"]  # NULL -> NaN
+    # in-distribution text beats unseen-trigram soup
+    assert got.loc[0, "avg_score"] > got.loc[3, "avg_score"]
+    assert got.loc[4, "avg_score"] > got.loc[3, "avg_score"]
+
+
+def test_train_ngram_lm_determinism_and_charset(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    from bayesianrecordlinkage_jl_spark.operators import corpus as C_
+
+    m1 = C_.train_ngram_lm(docs, "text", top_n=32)
+    m2 = C_.train_ngram_lm(docs.repartition(7), "text", top_n=32)
+    assert m1 == m2
+    import re
+
+    assert all(re.match(r"^[a-z0-9 ]{3}$", t) for t in m1["scores"])
+    assert m1["backoff"] < min(m1["scores"].values())
