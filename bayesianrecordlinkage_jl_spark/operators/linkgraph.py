@@ -1159,3 +1159,186 @@ def hits_hosts_sql(
     FROM nodes n
     LEFT JOIN h{iterations} h ON n.host = h.host
     LEFT JOIN a{iterations} a ON n.host = a.host"""
+
+
+# ---------------------------------------------------------------------------
+# Strongly connected components (directed host graph)
+# ---------------------------------------------------------------------------
+
+
+def _scc_sig(df: DataFrame) -> tuple:
+    """Label-table signature in one map-side aggregate (count + order-
+    insensitive hash sum) — the connected_components convergence idiom."""
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.xxhash64(F.col("host"), F.col("lbl")).cast("decimal(38,0)")
+        ).alias("h"),
+    ).collect()[0]
+    return (row["n"], row["h"])
+
+
+def _min_label_fixpoint(
+    e: DataFrame, nodes: DataFrame, src: str, dst: str, max_inner: int
+) -> DataFrame:
+    """-> (host, lbl): lbl = min node id in the set reachable from host
+    along src->dst edges (including host itself), by synchronous min-label
+    propagation to fixpoint. Each round is one edge->label equi-join plus
+    one map-side-combined min aggregate keyed by the propagating node —
+    the LPA/PageRank shuffle shape; labels are checkpointed per round so
+    lineage stays flat."""
+    labels = nodes.select("host", F.col("host").alias("lbl")).localCheckpoint()
+    sig = _scc_sig(labels)
+    for _ in range(max_inner):
+        nb = (
+            e.join(
+                labels.select(F.col("host").alias(dst), F.col("lbl").alias("_nl")),
+                on=dst,
+            )
+            .groupBy(F.col(src).alias("host"))
+            .agg(F.min("_nl").alias("_mn"))
+        )
+        labels = (
+            labels.join(nb, on="host", how="left")
+            .select("host", F.least(F.col("lbl"), F.col("_mn")).alias("lbl"))
+            .localCheckpoint()
+        )
+        sig2 = _scc_sig(labels)
+        if sig2 == sig:
+            break
+        sig = sig2
+    return labels
+
+
+def scc_hosts(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
+    """edges(src_host, dst_host, ...) -> (host, scc_id): strongly
+    connected components of the DIRECTED host graph; scc_id = min member
+    (the canonical min-id rule shared with connected_components). The
+    directed complement of the undirected CC operator: mutual-reachability
+    host clusters (link farms / mirror rings) are a crawl-quality signal
+    the undirected components conflate with mere co-linking.
+
+    Algorithm (relational forward-backward coloring with trimming — the
+    Pregel-style SCC of Slota et al. / FW-BW without recursion):
+
+      1. TRIM: peel sources/sinks (no in- resp. out-edges among the
+         remaining nodes) iteratively — each is a singleton SCC; this
+         removes the DAG periphery that pure min-label coloring resolves
+         only one node per round (a descending chain is its adversarial
+         case).
+      2. COLOR: g(v) = min id reachable FROM v (forward min-label
+         fixpoint). Every SCC has uniform g, so edges whose endpoints
+         disagree on g can be cut for this round.
+      3. RESOLVE: f(v) = min id reaching v, computed on the color-cut
+         subgraph. v is in the pivot's SCC iff f(v) = g(v) (v reaches
+         pivot g(v) and is reached by it). At least the global-min
+         node's SCC resolves every round => termination; raises if
+         max_rounds is hit (never silently mislabels).
+
+    Scale shape: every primitive is a node-keyed equi-join or map-side-
+    combined min aggregate over (host, label) rows — edges never carry
+    payload, nothing driver-side but convergence signatures (the
+    connected_components idiom). Rounds are data-dependent, as for any
+    iterative graph fixpoint (documented cap, same caveat as
+    connected_components' max_iter).
+
+    Reference analog: clustering_functions.jl's components are
+    undirected; SCC extends the family to the directed crawl graph."""
+    e = (
+        edges.where(F.col("src_host") != F.col("dst_host"))
+        .select("src_host", "dst_host")
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        edges.select(F.col("src_host").alias("host"))
+        .unionByName(edges.select(F.col("dst_host").alias("host")))
+        .distinct()
+        .localCheckpoint()
+    )
+    parts: list[DataFrame] = []
+    remaining = nodes
+    for _ in range(max_rounds):
+        if remaining.limit(1).count() == 0:
+            break
+        # 1. trim the DAG periphery (iterated source/sink peel)
+        for _t in range(max_rounds):
+            has_in = e.select(F.col("dst_host").alias("host")).distinct()
+            has_out = e.select(F.col("src_host").alias("host")).distinct()
+            trimmed = remaining.join(has_in, on="host", how="left_anti").unionByName(
+                remaining.join(has_out, on="host", how="left_anti")
+            ).distinct().localCheckpoint()
+            if trimmed.limit(1).count() == 0:
+                break
+            parts.append(trimmed.select("host", F.col("host").alias("scc_id")))
+            remaining = remaining.join(trimmed, on="host", how="left_anti").localCheckpoint()
+            e = (
+                e.join(trimmed.select(F.col("host").alias("src_host")), on="src_host", how="left_anti")
+                .join(trimmed.select(F.col("host").alias("dst_host")), on="dst_host", how="left_anti")
+                .localCheckpoint()
+            )
+        if remaining.limit(1).count() == 0:
+            break
+        # 2. forward color, 3. backward within color
+        g = _min_label_fixpoint(e, remaining, "src_host", "dst_host", 3 * max_rounds)
+        ecol = (
+            e.join(g.select(F.col("host").alias("src_host"), F.col("lbl").alias("_gs")), on="src_host")
+            .join(g.select(F.col("host").alias("dst_host"), F.col("lbl").alias("_gd")), on="dst_host")
+            .where(F.col("_gs") == F.col("_gd"))
+            .select("src_host", "dst_host")
+        )
+        f = _min_label_fixpoint(ecol, remaining, "dst_host", "src_host", 3 * max_rounds)
+        res = (
+            g.join(f.select("host", F.col("lbl").alias("_f")), on="host")
+            .where(F.col("lbl") == F.col("_f"))
+            .select("host", F.col("lbl").alias("scc_id"))
+            .localCheckpoint()
+        )
+        parts.append(res)
+        remaining = remaining.join(res, on="host", how="left_anti").localCheckpoint()
+        e = (
+            e.join(res.select(F.col("host").alias("src_host")), on="src_host", how="left_anti")
+            .join(res.select(F.col("host").alias("dst_host")), on="dst_host", how="left_anti")
+            .localCheckpoint()
+        )
+    else:
+        raise RuntimeError(f"scc_hosts: not converged in {max_rounds} rounds")
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def scc_hosts_sql(table: str, id_col: str, text_col: str) -> str:
+    """DuckDB twin via brute transitive closure: WITH RECURSIVE
+    reachability pairs (UNION dedup terminates the iteration), then
+    scc_id(v) = min(v, min w such that v<->w mutually reachable).
+    Closure is O(V*E) memory — an oracle-scale formulation (the catalog's
+    host universe is bounded); the Spark side is the scale path."""
+    return f"""
+    WITH RECURSIVE eg AS (
+      SELECT DISTINCT src_host, dst_host FROM (
+        {host_link_graph_sql(table, id_col, text_col)}
+      ) WHERE src_host != dst_host
+    ),
+    nodes AS (
+      SELECT DISTINCT host FROM (
+        SELECT src_host AS host FROM eg
+        UNION ALL
+        SELECT dst_host AS host FROM eg
+      )
+    ),
+    reach(s, d) AS (
+      SELECT src_host, dst_host FROM eg
+      UNION
+      SELECT r.s, e.dst_host FROM reach r JOIN eg e ON r.d = e.src_host
+    ),
+    mutual AS (
+      SELECT a.s AS v, a.d AS w
+      FROM reach a JOIN reach b ON a.s = b.d AND a.d = b.s
+    )
+    SELECT n.host,
+           least(n.host, coalesce(min(m.w), n.host)) AS scc_id
+    FROM nodes n LEFT JOIN mutual m ON m.v = n.host
+    GROUP BY n.host
+    """

@@ -2194,6 +2194,16 @@ def build_catalog() -> dict[str, dict]:
         "ref": "host-level weighted link graph (one map-side-combined agg; "
         "Zipf-skewed hosts exercise hot keys)",
     }
+    cat["scc_hosts"] = {
+        "spark": lambda s, d: linkgraph.scc_hosts(
+            linkgraph.host_link_graph(load(s, d, "documents"), "doc_id", "text")
+        ),
+        "sql": linkgraph.scc_hosts_sql("documents", "doc_id", "text"),
+        "ref": "strongly connected components of the DIRECTED host graph "
+        "(mutual-reachability link rings; trim + forward/backward min-label "
+        "coloring — clustering_functions.jl components are the undirected "
+        "half of the family)",
+    }
     cat["host_cocitation"] = {
         "spark": lambda s, d: linkgraph.host_cocitation(
             linkgraph.host_link_graph(load(s, d, "documents"), "doc_id", "text")

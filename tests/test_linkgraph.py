@@ -547,3 +547,100 @@ def test_hits_weighted_preference(spark):
     }
     assert got["x"][1] > got["y"][1]
     assert got["h1"] == got["h2"]
+
+
+def test_scc_hand_fixture(spark):
+    """Known decomposition: 3-cycle, 2-cycle, and chain singletons, with
+    cross edges that must NOT merge SCCs."""
+    edges = spark.createDataFrame(
+        [(s, d, 1) for s, d in [
+            ("a", "b"), ("b", "c"), ("c", "a"),   # SCC {a,b,c}
+            ("f", "g"), ("g", "f"),               # SCC {f,g}
+            ("c", "f"),                           # DAG edge between SCCs
+            ("d", "e"), ("e", "a"),               # chain: singletons
+        ]],
+        "src_host string, dst_host string, n_links long",
+    )
+    got = sorted(map(tuple, LG.scc_hosts(edges).collect()))
+    assert got == sorted(
+        [("a", "a"), ("b", "a"), ("c", "a"),
+         ("d", "d"), ("e", "e"), ("f", "f"), ("g", "f")]
+    )
+
+
+def _tarjan_sccs(edges, nodes):
+    """Iterative Tarjan — the independent brute-force replica."""
+    import collections
+
+    adj = collections.defaultdict(list)
+    for s, d in edges:
+        if s != d:
+            adj[s].append(d)
+    index, low, onstk = {}, {}, set()
+    stack, out, ctr = [], {}, [0]
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, 0)]
+        while work:
+            v, pi = work[-1]
+            if pi == 0:
+                index[v] = low[v] = ctr[0]; ctr[0] += 1
+                stack.append(v); onstk.add(v)
+            recurse = False
+            for i in range(pi, len(adj[v])):
+                w = adj[v][i]
+                if w not in index:
+                    work[-1] = (v, i + 1)
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                elif w in onstk:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop(); onstk.discard(w); comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+            work.pop()
+            if work:
+                p = work[-1][0]
+                low[p] = min(low[p], low[v])
+    return out
+
+
+def test_scc_random_instances_match_tarjan(spark):
+    """50 random digraphs (varying density, including descending chains —
+    the min-label adversarial case) against an iterative Tarjan."""
+    import random
+
+    rnd = random.Random(41)
+    for trial in range(50):
+        n = rnd.randint(2, 14)
+        nodes = [f"h{i:02d}" for i in range(n)]
+        m = rnd.randint(1, 3 * n)
+        edges = {(rnd.choice(nodes), rnd.choice(nodes)) for _ in range(m)}
+        if trial % 5 == 0:  # force a descending chain segment
+            edges |= {(f"h{i:02d}", f"h{i - 1:02d}") for i in range(1, n)}
+        df = spark.createDataFrame(
+            [(s, d, 1) for s, d in sorted(edges)],
+            "src_host string, dst_host string, n_links long",
+        )
+        got = dict(map(tuple, LG.scc_hosts(df).collect()))
+        seen = {x for e in edges for x in e}
+        want = _tarjan_sccs(sorted(edges), sorted(seen))
+        assert got == want, (trial, sorted(edges), got, want)
+
+
+def test_scc_determinism_under_partitioning(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hg = LG.host_link_graph(docs, "doc_id", "text")
+    a = sorted(map(tuple, LG.scc_hosts(hg.repartition(3)).collect()))
+    b = sorted(map(tuple, LG.scc_hosts(hg.repartition(17)).collect()))
+    assert a == b and len(a) > 0
