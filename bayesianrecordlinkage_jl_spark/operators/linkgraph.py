@@ -1342,3 +1342,162 @@ def scc_hosts_sql(table: str, id_col: str, text_col: str) -> str:
     FROM nodes n LEFT JOIN mutual m ON m.v = n.host
     GROUP BY n.host
     """
+
+
+# ---------------------------------------------------------------------------
+# Weisfeiler-Leman structural role colors
+# ---------------------------------------------------------------------------
+
+WL_ITERS = 3
+
+
+def wl_host_roles(edges: DataFrame, iterations: int = WL_ITERS) -> DataFrame:
+    """edges(src_host, dst_host, n_links) -> (host, wl_color): 1-WL
+    (color-refinement) structural fingerprints of the DIRECTED weighted
+    host graph — two hosts share wl_color after t rounds iff their
+    t-hop link neighborhoods are structurally indistinguishable (same
+    in/out degree profile, same neighbor color multiset, recursively).
+    The role signal a crawl pipeline uses to group template/mirror/hub
+    hosts without any content features — complementary to communities
+    (LPA: who links together) and SCC (who links mutually): WL answers
+    "who looks alike".
+
+    Round 0: color = phash('d:' out_degree ':' in_degree) (weighted
+    degrees — integer sums). Round t: color = phash(prev || '|' ||
+    comma-joined SORTED multiset of direction-and-weight-tagged neighbor
+    colors 'o<w>:<c>' / 'i<w>:<c>'). The sort makes collect_list's
+    nondeterministic order irrelevant; phash (15-hex md5) is the one
+    cross-engine hash, so the oracle matches bit-for-bit.
+
+    Scale shape: a round is one edge->color equi-join emitting two
+    direction-tagged token streams + one map-side groupBy collecting the
+    token list per host; edges are materialized once (localCheckpoint —
+    consumed by the degree pass and every round, both directions).
+    Fixed iteration count (WL stabilizes in <= diameter rounds; 3 is the
+    standard kernel depth), no driver round trips at all.
+
+    Reference analog: none (the reference has no graph-role surface);
+    public-knowledge base: Weisfeiler-Leman refinement as used by the
+    WL graph kernels (Shervashidze et al. 2011)."""
+    e = edges.select("src_host", "dst_host", "n_links").localCheckpoint()
+    outd = e.groupBy(F.col("src_host").alias("host")).agg(
+        F.sum("n_links").cast("long").alias("_o")
+    )
+    ind = e.groupBy(F.col("dst_host").alias("host")).agg(
+        F.sum("n_links").cast("long").alias("_i")
+    )
+    nodes = (
+        e.select(F.col("src_host").alias("host"))
+        .unionByName(e.select(F.col("dst_host").alias("host")))
+        .distinct()
+    )
+    colors = (
+        nodes.join(outd, on="host", how="left")
+        .join(ind, on="host", how="left")
+        .select(
+            "host",
+            phash(
+                F.concat(
+                    F.lit("d:"),
+                    F.coalesce(F.col("_o"), F.lit(0)).cast("string"),
+                    F.lit(":"),
+                    F.coalesce(F.col("_i"), F.lit(0)).cast("string"),
+                )
+            ).alias("wl_color"),
+        )
+    )
+    for _ in range(iterations):
+        colors = colors.localCheckpoint()
+        toks = (
+            e.join(
+                colors.select(
+                    F.col("host").alias("dst_host"), F.col("wl_color").alias("_c")
+                ),
+                on="dst_host",
+            )
+            .select(
+                F.col("src_host").alias("host"),
+                F.concat(
+                    F.lit("o"), F.col("n_links").cast("string"),
+                    F.lit(":"), F.col("_c"),
+                ).alias("tok"),
+            )
+            .unionByName(
+                e.join(
+                    colors.select(
+                        F.col("host").alias("src_host"),
+                        F.col("wl_color").alias("_c"),
+                    ),
+                    on="src_host",
+                ).select(
+                    F.col("dst_host").alias("host"),
+                    F.concat(
+                        F.lit("i"), F.col("n_links").cast("string"),
+                        F.lit(":"), F.col("_c"),
+                    ).alias("tok"),
+                )
+            )
+        )
+        sig = toks.groupBy("host").agg(
+            F.array_join(F.sort_array(F.collect_list("tok")), ",").alias("_sig")
+        )
+        colors = (
+            colors.join(sig, on="host", how="left")
+            .select(
+                "host",
+                phash(
+                    F.concat(
+                        F.col("wl_color"),
+                        F.lit("|"),
+                        F.coalesce(F.col("_sig"), F.lit("")),
+                    )
+                ).alias("wl_color"),
+            )
+        )
+    return colors
+
+
+def wl_host_roles_sql(
+    table: str, id_col: str, text_col: str, iterations: int = WL_ITERS
+) -> str:
+    """Chained materialized-CTE DuckDB twin (c0 -> c1 -> ...): same phash
+    chain; the sorted token multiset is string_agg(tok ORDER BY tok) —
+    identical bytes to Spark's array_join(sort_array(...))."""
+    ctes = [
+        f"edges AS MATERIALIZED ({host_link_graph_sql(table, id_col, text_col)})",
+        """nodes AS MATERIALIZED (
+          SELECT DISTINCT host FROM (
+            SELECT src_host AS host FROM edges
+            UNION ALL SELECT dst_host AS host FROM edges))""",
+        """outd AS (SELECT src_host AS host, CAST(sum(n_links) AS BIGINT) AS o
+             FROM edges GROUP BY src_host)""",
+        """ind AS (SELECT dst_host AS host, CAST(sum(n_links) AS BIGINT) AS i
+             FROM edges GROUP BY dst_host)""",
+        f"""c0 AS MATERIALIZED (
+          SELECT n.host,
+                 {phash_sql("'d:' || CAST(COALESCE(o.o, 0) AS VARCHAR) || ':' || CAST(COALESCE(i.i, 0) AS VARCHAR)")} AS wl_color
+          FROM nodes n LEFT JOIN outd o ON n.host = o.host
+          LEFT JOIN ind i ON n.host = i.host)""",
+    ]
+    for it in range(1, iterations + 1):
+        prev = f"c{it - 1}"
+        ctes.append(f"""t{it} AS MATERIALIZED (
+          SELECT host, tok FROM (
+            SELECT e.src_host AS host,
+                   'o' || CAST(e.n_links AS VARCHAR) || ':' || c.wl_color AS tok
+            FROM edges e JOIN {prev} c ON e.dst_host = c.host
+            UNION ALL
+            SELECT e.dst_host AS host,
+                   'i' || CAST(e.n_links AS VARCHAR) || ':' || c.wl_color AS tok
+            FROM edges e JOIN {prev} c ON e.src_host = c.host))""")
+        ctes.append(f"""s{it} AS MATERIALIZED (
+          SELECT host, string_agg(tok, ',' ORDER BY tok) AS sig
+          FROM t{it} GROUP BY host)""")
+        ctes.append(f"""c{it} AS MATERIALIZED (
+          SELECT p.host,
+                 {phash_sql("p.wl_color || '|' || COALESCE(s.sig, '')")} AS wl_color
+          FROM {prev} p LEFT JOIN s{it} s ON p.host = s.host)""")
+    body = ",\n    ".join(ctes)
+    return f"""WITH {body}
+    SELECT host, wl_color FROM c{iterations}
+    """

@@ -2204,6 +2204,16 @@ def build_catalog() -> dict[str, dict]:
         "coloring — clustering_functions.jl components are the undirected "
         "half of the family)",
     }
+    cat["wl_host_roles"] = {
+        "spark": lambda s, d: linkgraph.wl_host_roles(
+            linkgraph.host_link_graph(load(s, d, "documents"), "doc_id", "text")
+        ),
+        "sql": linkgraph.wl_host_roles_sql("documents", "doc_id", "text"),
+        "ref": "1-WL color refinement (Shervashidze et al. 2011 WL kernel "
+        "relabeling) — structural role fingerprints over the directed "
+        "weighted host graph; sorted neighbor-color multisets hashed with "
+        "the cross-engine phash",
+    }
     cat["host_cocitation"] = {
         "spark": lambda s, d: linkgraph.host_cocitation(
             linkgraph.host_link_graph(load(s, d, "documents"), "doc_id", "text")

@@ -644,3 +644,76 @@ def test_scc_determinism_under_partitioning(spark):
     a = sorted(map(tuple, LG.scc_hosts(hg.repartition(3)).collect()))
     b = sorted(map(tuple, LG.scc_hosts(hg.repartition(17)).collect()))
     assert a == b and len(a) > 0
+
+
+def test_wl_roles_star_and_refinement(spark):
+    """Symmetric star: spokes share a color, center differs. A weight
+    perturbation on one spoke must split it from the others (weighted
+    multiset sensitivity) and propagate to the center only as a multiset
+    change, keeping the remaining spokes equal."""
+    sym = [("c", f"s{i}", 1) for i in range(4)] + [
+        (f"s{i}", "c", 1) for i in range(4)
+    ]
+    df = spark.createDataFrame(
+        sym, "src_host string, dst_host string, n_links long"
+    )
+    got = dict(map(tuple, LG.wl_host_roles(df).collect()))
+    assert len({got[f"s{i}"] for i in range(4)}) == 1
+    assert got["c"] != got["s0"]
+
+    bumped = [("c", "s0", 2)] + sym[1:]
+    df2 = spark.createDataFrame(
+        bumped, "src_host string, dst_host string, n_links long"
+    )
+    got2 = dict(map(tuple, LG.wl_host_roles(df2).collect()))
+    assert got2["s0"] != got2["s1"]
+    assert len({got2[f"s{i}"] for i in range(1, 4)}) == 1
+
+
+def test_wl_roles_replica(spark):
+    """Pure-Python WL replica (same phash chain, sorted token multisets)
+    on a random digraph."""
+    import hashlib
+    import random
+
+    def ph(s):
+        # phash = first 15 md5 hex chars as a 60-bit BIGINT; its string
+        # form in concat chains is therefore the DECIMAL rendering
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    rnd = random.Random(5)
+    nodes = [f"h{i}" for i in range(12)]
+    edges = {}
+    for _ in range(30):
+        s, d = rnd.choice(nodes), rnd.choice(nodes)
+        edges[(s, d)] = edges.get((s, d), 0) + 1
+    elist = [(s, d, w) for (s, d), w in sorted(edges.items())]
+    df = spark.createDataFrame(
+        elist, "src_host string, dst_host string, n_links long"
+    )
+    got = dict(map(tuple, LG.wl_host_roles(df).collect()))
+
+    seen = sorted({x for s, d, _ in elist for x in (s, d)})
+    outd = {n: 0 for n in seen}
+    ind = {n: 0 for n in seen}
+    for s, d, w in elist:
+        outd[s] += w
+        ind[d] += w
+    col = {n: ph(f"d:{outd[n]}:{ind[n]}") for n in seen}
+    for _ in range(LG.WL_ITERS):
+        toks = {n: [] for n in seen}
+        for s, d, w in elist:
+            toks[s].append(f"o{w}:{col[d]}")
+            toks[d].append(f"i{w}:{col[s]}")
+        col = {
+            n: ph(f"{col[n]}|" + ",".join(sorted(toks[n]))) for n in seen
+        }
+    assert got == col
+
+
+def test_wl_roles_determinism(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    hg = LG.host_link_graph(docs, "doc_id", "text")
+    a = sorted(map(tuple, LG.wl_host_roles(hg.repartition(3)).collect()))
+    b = sorted(map(tuple, LG.wl_host_roles(hg.repartition(19)).collect()))
+    assert a == b and len(a) > 0
