@@ -2120,3 +2120,140 @@ def ngram_lm_scores_sql(table: str, id_col: str, text_col: str, model: dict) -> 
            END AS avg_score
     FROM base b LEFT JOIN agg a USING (doc_id)
     """
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (distributed tokenizer-training pass)
+# ---------------------------------------------------------------------------
+
+BPE_ROUNDS = 8
+
+
+def _bpe_seed_vocab(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """-> (tok, cnt, seg): the weighted type vocabulary with each token's
+    initial character segmentation. seg uses the DOUBLE-SPACE encoding:
+    symbols separated by two spaces, two-space padding at both ends, so a
+    merge is ONE plain (non-regex) replace of ' l  r ' with ' lr ' — the
+    single outer spaces consume one of each boundary pair, which makes
+    back-to-back occurrences ('a b a b' with merge a+b) NON-overlapping
+    for a leftmost-scan replace. Plain replace is the only string-rewrite
+    primitive with identical semantics in Spark and DuckDB (RE2 has no
+    lookarounds, so the classic '(?<!\\S)l r(?!\\S)' regex is not
+    portable)."""
+    toks = df.select(F.explode(T.tokens(F.col(text_col))).alias("tok"))
+    return toks.groupBy("tok").agg(F.count(F.lit(1)).cast("long").alias("cnt")).select(
+        "tok",
+        "cnt",
+        F.concat(
+            F.lit("  "), F.expr("regexp_replace(tok, '(.)', '$1  ')")
+        ).alias("seg"),
+    )
+
+
+def bpe_train(
+    df: DataFrame, id_col: str, text_col: str, rounds: int = BPE_ROUNDS
+) -> DataFrame:
+    """-> (rank, left_sym, right_sym, merged, pair_count): the first
+    `rounds` byte-pair-encoding merges learned from the corpus (Sennrich,
+    Haddow & Birch 2016) — the tokenizer-training pass of a training-data
+    pipeline, run where the data lives instead of on a sampled shard.
+
+    Each round: adjacent-symbol pairs of every vocabulary type are counted
+    weighted by type frequency (integer sums — order-independent); the
+    argmax pair (count DESC, left ASC, right ASC — a total order, unlike
+    the hash-ordered dict of the reference implementation) becomes the
+    round's merge and is applied to every segmentation with the
+    double-space replace (_bpe_seed_vocab). Stops early if no pair is
+    left.
+
+    Scale shape: the corpus is touched ONCE (tokenize + type count — the
+    vocabulary_topk shuffle); every round then runs on the |types| table
+    only, which is what makes BPE trainable at 100 TB (types grow
+    sublinearly in corpus size). Per round: one map-side pair explode +
+    combined count, one 1-row TakeOrdered argmax to the driver (the
+    train_centroids_distributed precedent — merge literals are the
+    training artifact), one map-side replace; the vocab is checkpointed
+    per round so lineage stays flat."""
+    vocab = _bpe_seed_vocab(df, id_col, text_col).localCheckpoint()
+    merges: list[tuple] = []
+    for rnd in range(1, rounds + 1):
+        pairs = (
+            vocab.select("cnt", F.expr("split(trim(seg), '  ')").alias("arr"))
+            .select(
+                "cnt",
+                # sequence(1, 0) DESCENDS in Spark — guard short arrays
+                F.expr(
+                    "explode(CASE WHEN size(arr) < 2 THEN "
+                    "CAST(array() AS array<struct<l: string, r: string>>) "
+                    "ELSE transform(sequence(1, size(arr) - 1), "
+                    "i -> struct(element_at(arr, i) AS l, "
+                    "element_at(arr, i + 1) AS r)) END)"
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").cast("long").alias("c"))
+        )
+        top = pairs.orderBy(
+            F.desc("c"), F.asc("l"), F.asc("r")
+        ).limit(1).collect()
+        if not top:
+            break
+        l, r, c = top[0]["l"], top[0]["r"], top[0]["c"]
+        merges.append((rnd, l, r, l + r, c))
+        vocab = vocab.select(
+            "tok",
+            "cnt",
+            F.expr(
+                "replace(seg, ' ' || {l} || '  ' || {r} || ' ', "
+                "' ' || {l} || {r} || ' ')".format(
+                    l=f"'{l}'", r=f"'{r}'"
+                )
+            ).alias("seg"),
+        ).localCheckpoint()
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        merges,
+        "rank: int, left_sym: string, right_sym: string, "
+        "merged: string, pair_count: long",
+    )
+
+
+def bpe_train_sql(
+    table: str, id_col: str, text_col: str, rounds: int = BPE_ROUNDS
+) -> str:
+    """Chained-CTE DuckDB twin: v0 -> p1 -> m1 -> v1 -> ... with the same
+    double-space replace; merge scalars flow via scalar subqueries
+    (coalesced to a control char so an exhausted round leaves seg
+    unchanged instead of NULLing it)."""
+    ctes = [
+        f"""v0 AS MATERIALIZED (
+          SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+                 '  ' || regexp_replace(tok, '(.)', '\\1  ', 'g') AS seg
+          FROM (SELECT unnest({T.tokens_sql(text_col)}) AS tok FROM {table})
+          GROUP BY tok)"""
+    ]
+    for it in range(1, rounds + 1):
+        prev = f"v{it - 1}"
+        ctes.append(f"""p{it} AS (
+          SELECT arr[i] AS l, arr[i + 1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+          FROM (SELECT cnt, str_split(trim(seg), '  ') AS arr FROM {prev}),
+               unnest(range(1, greatest(len(arr), 1))) AS u(i)
+          GROUP BY arr[i], arr[i + 1])""")
+        ctes.append(f"""m{it} AS MATERIALIZED (
+          SELECT l, r, c FROM p{it} ORDER BY c DESC, l ASC, r ASC LIMIT 1)""")
+        ctes.append(f"""v{it} AS MATERIALIZED (
+          SELECT tok, cnt,
+                 replace(seg,
+                         coalesce((SELECT ' ' || l || '  ' || r || ' ' FROM m{it}), chr(1)),
+                         coalesce((SELECT ' ' || l || r || ' ' FROM m{it}), chr(1))) AS seg
+          FROM {prev})""")
+    body = ",\n    ".join(ctes)
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {it} AS rank, l AS left_sym, r AS right_sym, "
+        f"l || r AS merged, c AS pair_count FROM m{it}"
+        for it in range(1, rounds + 1)
+    )
+    return f"""WITH {body}
+    SELECT CAST(rank AS INT) AS rank, left_sym, right_sym, merged, pair_count
+    FROM ({sel}) ORDER BY rank
+    """

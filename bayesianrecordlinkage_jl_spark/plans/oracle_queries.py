@@ -2508,6 +2508,15 @@ def build_catalog() -> dict[str, dict]:
             model = _j.load(f)
         return corpus.ngram_lm_scores_sql("documents", "doc_id", "text", model)
 
+    cat["bpe_merges"] = {
+        "spark": lambda s, d: corpus.bpe_train(
+            load(s, d, "documents"), "doc_id", "text"
+        ),
+        "sql": corpus.bpe_train_sql("documents", "doc_id", "text"),
+        "ref": "BPE tokenizer-training pass (Sennrich et al. 2016): merge "
+        "rounds over the weighted type vocabulary; corpus touched once, "
+        "rounds touch |types| rows only (corpus.bpe_train)",
+    }
     cat["ngram_lm_scores"] = {
         "spark": _ngram_lm,
         "sql": _ngram_lm_sql(),

@@ -1018,3 +1018,71 @@ def test_train_ngram_lm_determinism_and_charset(spark):
 
     assert all(re.match(r"^[a-z0-9 ]{3}$", t) for t in m1["scores"])
     assert m1["backoff"] < min(m1["scores"].values())
+
+
+def test_bpe_train_matches_sennrich_replica(spark):
+    """bpe_train's merges equal the classic dict-based BPE trainer
+    (leftmost greedy merge application, count-then-lex argmax) on a
+    hand corpus, including the back-to-back pair case ('a b a b' must
+    merge BOTH occurrences in one round)."""
+    from bayesianrecordlinkage_jl_spark.operators import corpus as C_
+
+    texts = [
+        "low low low lower lowest",
+        "new newer newest west west",
+        "abab abab baba",
+    ]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    got = [
+        (r["rank"], r["left_sym"], r["right_sym"], r["merged"], r["pair_count"])
+        for r in C_.bpe_train(df, "doc_id", "text", rounds=6).collect()
+    ]
+
+    # reference trainer (Sennrich et al. 2016, dict form)
+    import collections
+    import re
+
+    vocab = collections.Counter()
+    for t in texts:
+        for tok in re.findall(r"[a-z0-9]+", t.lower()):
+            vocab[tuple(tok)] += 1
+    want = []
+    for rnd in range(1, 7):
+        pairs = collections.Counter()
+        for sym, cnt in vocab.items():
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += cnt
+        if not pairs:
+            break
+        (l, r), c = min(
+            pairs.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+        )
+        want.append((rnd, l, r, l + r, c))
+        new_vocab = collections.Counter()
+        for sym, cnt in vocab.items():
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            new_vocab[tuple(out)] += cnt
+        vocab = new_vocab
+    assert got == want, (got, want)
+
+
+def test_bpe_train_determinism_and_short_tokens(spark):
+    from bayesianrecordlinkage_jl_spark.operators import corpus as C_
+
+    df = spark.createDataFrame(
+        [(0, "a a a b bb"), (1, "c")], "doc_id: long, text: string"
+    )
+    a = C_.bpe_train(df.repartition(2), "doc_id", "text", rounds=3).collect()
+    b = C_.bpe_train(df.repartition(9), "doc_id", "text", rounds=3).collect()
+    assert [tuple(r) for r in a] == [tuple(r) for r in b]
+    # single-char tokens contribute no pairs; 'bb' gives the only merge
+    assert a[0]["merged"] == "bb"
