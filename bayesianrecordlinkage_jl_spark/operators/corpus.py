@@ -2257,3 +2257,68 @@ def bpe_train_sql(
     SELECT CAST(rank AS INT) AS rank, left_sym, right_sym, merged, pair_count
     FROM ({sel}) ORDER BY rank
     """
+
+
+def _bpe_apply_chain(sym_expr: str, merges: list[list[str]], engine: str) -> str:
+    """Nested-replace chain applying the frozen merge list in rank order
+    to a double-space segmentation expression — identical plain-replace
+    semantics in both engines (see _bpe_seed_vocab)."""
+    out = sym_expr
+    for l, r in merges:
+        out = f"replace({out}, ' {l}  {r} ', ' {l}{r} ')"
+    return out
+
+
+def bpe_segment_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    merges: list[list[str]],
+) -> DataFrame:
+    """-> (doc_id, n_tokens, n_symbols, n_chars): per-document subword
+    budget under the FROZEN learned BPE vocabulary — n_symbols is what
+    the document costs a tokenizer trained by bpe_train (the
+    tokens-per-document signal curriculum/budget operators consume;
+    n_symbols/n_chars is the compression-ratio quality heuristic).
+
+    Map-side single scan, no joins: each token is seeded to its
+    character segmentation and the merge list is replayed as a chain of
+    plain replaces inside one transform lambda; symbol counts are
+    integer sums (order-independent, bit-strict). The merge list is a
+    frozen literal (plans/bpe_merges.json) — training never runs at
+    query time, mirroring the IVF/PQ/LM freeze rule."""
+    from ..functions.text import TOKEN_RE
+
+    seed = "'  ' || regexp_replace(t, '(.)', '$1  ')"
+    chain = _bpe_apply_chain(seed, merges, "spark")
+    toks = f"filter(split(lower({text_col}), '{TOKEN_RE}'), t -> t != '')"
+    return df.select(
+        F.col(id_col).alias("doc_id"),
+        F.expr(f"CAST(size({toks}) AS BIGINT)").alias("n_tokens"),
+        F.expr(
+            f"CAST(aggregate({toks}, CAST(0 AS BIGINT), (acc, t) -> "
+            f"acc + size(split(trim({chain}), '  '))) AS BIGINT)"
+        ).alias("n_symbols"),
+        F.expr(
+            f"CAST(aggregate({toks}, CAST(0 AS BIGINT), (acc, t) -> "
+            f"acc + length(t)) AS BIGINT)"
+        ).alias("n_chars"),
+    )
+
+
+def bpe_segment_stats_sql(
+    table: str, id_col: str, text_col: str, merges: list[list[str]]
+) -> str:
+    seed = "'  ' || regexp_replace(t, '(.)', '\\1  ', 'g')"
+    chain = _bpe_apply_chain(seed, merges, "duckdb")
+    toks = T.tokens_sql(text_col)
+    return f"""
+    SELECT {id_col} AS doc_id,
+           CAST(len({toks}) AS BIGINT) AS n_tokens,
+           CAST(coalesce(list_sum(list_transform({toks},
+                t -> len(str_split(trim({chain}), '  ')))), 0) AS BIGINT)
+             AS n_symbols,
+           CAST(coalesce(list_sum(list_transform({toks},
+                t -> len(t))), 0) AS BIGINT) AS n_chars
+    FROM {table}
+    """

@@ -2517,6 +2517,28 @@ def build_catalog() -> dict[str, dict]:
         "rounds over the weighted type vocabulary; corpus touched once, "
         "rounds touch |types| rows only (corpus.bpe_train)",
     }
+    # frozen learned merges (plans/bpe_merges.json) — static oracle rule
+    def _bpe_merge_list() -> list:
+        import json as _j
+        import os as _o
+
+        with open(
+            _o.path.join(_o.path.dirname(_o.path.abspath(__file__)),
+                         "bpe_merges.json")
+        ) as f:
+            return _j.load(f)
+
+    cat["bpe_segment_stats"] = {
+        "spark": lambda s, d: corpus.bpe_segment_stats(
+            load(s, d, "documents"), "doc_id", "text", _bpe_merge_list()
+        ),
+        "sql": corpus.bpe_segment_stats_sql(
+            "documents", "doc_id", "text", _bpe_merge_list()
+        ),
+        "ref": "subword budget under the frozen learned BPE vocabulary "
+        "(tokens-per-doc signal for curriculum/budget ops; "
+        "corpus.bpe_segment_stats — map-side replay of the merge chain)",
+    }
     cat["ngram_lm_scores"] = {
         "spark": _ngram_lm,
         "sql": _ngram_lm_sql(),

@@ -1086,3 +1086,51 @@ def test_bpe_train_determinism_and_short_tokens(spark):
     assert [tuple(r) for r in a] == [tuple(r) for r in b]
     # single-char tokens contribute no pairs; 'bb' gives the only merge
     assert a[0]["merged"] == "bb"
+
+
+def test_bpe_segment_stats_replica(spark):
+    """Frozen-merge replay equals a Python BPE application (leftmost
+    greedy per merge, in rank order), plus bound sanity."""
+    import json
+    import os
+    import re
+
+    from bayesianrecordlinkage_jl_spark.operators import corpus as C_
+
+    path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bayesianrecordlinkage_jl_spark", "plans", "bpe_merges.json",
+    )
+    with open(path) as f:
+        merges = json.load(f)
+    texts = ["lower tables joined fast", "er er erer", "", "x"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id: long, text: string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_symbols"], r["n_chars"])
+        for r in C_.bpe_segment_stats(df, "doc_id", "text", merges).collect()
+    }
+
+    def apply_bpe(tok):
+        sym = list(tok)
+        for l, r in merges:
+            out, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == l and sym[i + 1] == r:
+                    out.append(l + r)
+                    i += 2
+                else:
+                    out.append(sym[i])
+                    i += 1
+            sym = out
+        return sym
+
+    for i, t in enumerate(texts):
+        toks = [x for x in re.split("[^a-z0-9]+", t.lower()) if x]
+        want = (
+            len(toks),
+            sum(len(apply_bpe(tok)) for tok in toks),
+            sum(len(tok) for tok in toks),
+        )
+        assert got[i] == want, (i, got[i], want)
