@@ -2322,3 +2322,174 @@ def bpe_segment_stats_sql(
                 t -> len(t))), 0) AS BIGINT) AS n_chars
     FROM {table}
     """
+
+
+# ---------------------------------------------------------------------------
+# Hybrid search: reciprocal-rank fusion of lexical and semantic rankings
+# ---------------------------------------------------------------------------
+
+RRF_K = 60
+RRF_SCALE = 1_000_000
+
+
+def hybrid_rrf_topk(
+    docs: DataFrame,
+    emb: DataFrame,
+    id_col: str,
+    text_col: str,
+    vec_id_col: str,
+    vec_col: str,
+    query_max_id: int,
+    k_in: int = 20,
+    k_out: int = 10,
+) -> DataFrame:
+    """-> (query_id, doc_id, lex_rank, sem_rank, rrf_score, rank): hybrid
+    more-like-this retrieval — for each query document (id < query_max_id)
+    a LEXICAL ranking (integer tf dot product over shared terms, the
+    sparse-retrieval half) and a SEMANTIC ranking (exact embedding cosine,
+    the dense half) are fused by reciprocal-rank fusion (Cormack, Clarke
+    & Buettcher 2009): rrf = sum over rankings of RRF_SCALE // (RRF_K +
+    rank). Integer floor division keeps the fused score BIGINT — the RRF
+    trick is that only RANKS cross the fusion boundary, so the log-free
+    lexical side and the float cosine side both reduce to oracle-safe
+    integers (absent-from-one-ranking is rank 0 = no contribution, the
+    standard truncated-list RRF).
+
+    Scale shape: the lexical side is one postings self-join restricted to
+    the (tiny, broadcast) query-doc postings — fan-out bounded by the
+    query docs' term document frequencies (at web scale, cap query terms
+    by df as in conjunctive_search_topk's map-side vocabulary filter);
+    the semantic side is brute_force_topk's broadcast scan (swap in
+    pq/ivf/lsh for the ANN path — only ranks flow onward, so the fusion
+    is ranker-agnostic). Both rankings truncate to k_in before the fuse;
+    the fuse itself joins two <= |queries| * k_in row tables."""
+    from .similarity import brute_force_topk
+
+    post = inverted_postings(docs, id_col, text_col).localCheckpoint()
+    qpost = post.where(F.col("doc_id") < query_max_id).select(
+        F.col("doc_id").alias("query_id"),
+        "term",
+        F.col("tf").alias("_tfq"),
+    )
+    lex_scored = (
+        post.join(F.broadcast(qpost), on="term")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.sum(F.col("tf") * F.col("_tfq")).cast("long").alias("_s"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("_s"), F.asc("doc_id"))
+    lex = (
+        lex_scored.withColumn("lex_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("lex_rank") <= k_in)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    sem = (
+        brute_force_topk(
+            emb,
+            vec_id_col,
+            vec_col,
+            emb.where(F.col(vec_id_col) < query_max_id),
+            k=k_in,
+        )
+        .select(
+            "query_id",
+            F.col("item_id").alias("doc_id"),
+            F.col("rank").alias("sem_rank"),
+        )
+    )
+    fused = (
+        lex.join(sem, on=["query_id", "doc_id"], how="full_outer")
+        .select(
+            "query_id",
+            "doc_id",
+            F.coalesce(F.col("lex_rank"), F.lit(0)).alias("lex_rank"),
+            F.coalesce(F.col("sem_rank"), F.lit(0)).alias("sem_rank"),
+        )
+        .withColumn(
+            "rrf_score",
+            # DIV = integer floor division (Spark's / on longs is a
+            # DOUBLE true-divide; DIV matches DuckDB's //)
+            F.expr(
+                f"CAST(CASE WHEN lex_rank > 0 THEN CAST({RRF_SCALE} AS BIGINT)"
+                f" DIV ({RRF_K} + lex_rank) ELSE 0 END"
+                f" + CASE WHEN sem_rank > 0 THEN CAST({RRF_SCALE} AS BIGINT)"
+                f" DIV ({RRF_K} + sem_rank) ELSE 0 END AS BIGINT)"
+            ),
+        )
+    )
+    wf = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_score"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(wf).cast("int"))
+        .where(F.col("rank") <= k_out)
+        .select("query_id", "doc_id", "lex_rank", "sem_rank", "rrf_score", "rank")
+    )
+
+
+def hybrid_rrf_topk_sql(
+    table: str,
+    emb_table: str,
+    id_col: str,
+    text_col: str,
+    vec_id_col: str,
+    vec_col: str,
+    query_max_id: int,
+    k_in: int = 20,
+    k_out: int = 10,
+) -> str:
+    from .similarity import cosine_sql
+
+    cos = cosine_sql("q._q", "c._v")
+    return f"""
+    WITH post AS MATERIALIZED (
+      SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf FROM (
+        SELECT {id_col} AS doc_id, unnest({T.tokens_sql(text_col)}) AS term
+        FROM {table}
+      ) GROUP BY term, doc_id
+    ),
+    lex_scored AS (
+      SELECT q.doc_id AS query_id, p.doc_id,
+             CAST(sum(p.tf * q.tf) AS BIGINT) AS _s
+      FROM post p JOIN post q ON p.term = q.term
+      WHERE q.doc_id < {query_max_id} AND p.doc_id != q.doc_id
+      GROUP BY q.doc_id, p.doc_id
+    ),
+    lex AS (
+      SELECT query_id, doc_id, CAST(_r AS INT) AS lex_rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY _s DESC, doc_id ASC) AS _r FROM lex_scored
+      ) WHERE _r <= {k_in}
+    ),
+    corpus AS (SELECT {vec_id_col} AS item_id, {vec_col} AS _v FROM {emb_table}),
+    qv AS (SELECT {vec_id_col} AS query_id, {vec_col} AS _q FROM {emb_table}
+           WHERE {vec_id_col} < {query_max_id}),
+    sem_scored AS (
+      SELECT q.query_id, c.item_id AS doc_id, {cos} AS sim
+      FROM corpus c CROSS JOIN qv q WHERE c.item_id != q.query_id
+    ),
+    sem AS (
+      SELECT query_id, doc_id, CAST(_r AS INT) AS sem_rank FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY sim DESC, doc_id ASC) AS _r FROM sem_scored
+      ) WHERE _r <= {k_in}
+    ),
+    fused AS (
+      SELECT coalesce(l.query_id, s.query_id) AS query_id,
+             coalesce(l.doc_id, s.doc_id) AS doc_id,
+             coalesce(l.lex_rank, 0) AS lex_rank,
+             coalesce(s.sem_rank, 0) AS sem_rank,
+             CAST(CASE WHEN coalesce(l.lex_rank, 0) > 0
+                       THEN {RRF_SCALE} // ({RRF_K} + l.lex_rank) ELSE 0 END
+                + CASE WHEN coalesce(s.sem_rank, 0) > 0
+                       THEN {RRF_SCALE} // ({RRF_K} + s.sem_rank) ELSE 0 END
+                  AS BIGINT) AS rrf_score
+      FROM lex l FULL OUTER JOIN sem s
+        ON l.query_id = s.query_id AND l.doc_id = s.doc_id
+    )
+    SELECT query_id, doc_id, lex_rank, sem_rank, rrf_score, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY rrf_score DESC, doc_id ASC) AS INT) AS rank
+      FROM fused
+    ) WHERE rank <= {k_out}
+    """

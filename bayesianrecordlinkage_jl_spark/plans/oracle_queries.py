@@ -1901,6 +1901,20 @@ def build_catalog() -> dict[str, dict]:
         "(map-side vocabulary filter; per-query window over matched "
         "docs only)",
     }
+    cat["hybrid_search_rrf"] = {
+        "spark": lambda s, d: corpus.hybrid_rrf_topk(
+            load(s, d, "documents"), load(s, d, "embeddings"),
+            "doc_id", "text", "vec_id", "embedding", TOPK_QUERY_MAX_ID,
+        ),
+        "sql": corpus.hybrid_rrf_topk_sql(
+            "documents", "embeddings", "doc_id", "text", "vec_id",
+            "embedding", TOPK_QUERY_MAX_ID,
+        ),
+        "ref": "hybrid retrieval via reciprocal-rank fusion (Cormack et "
+        "al. 2009): integer tf-dot lexical ranking + exact-cosine "
+        "semantic ranking fused on RANKS with integer floor division — "
+        "ranker-agnostic, oracle-safe (corpus.hybrid_rrf_topk)",
+    }
     cat["vocabulary_topk"] = {
         "spark": lambda s, d: corpus.vocabulary_topk(
             load(s, d, "documents"), "doc_id", "text", k=VOCAB_K

@@ -239,6 +239,13 @@ def main() -> None:
         "exact_posterior_links_global",
         "penalty_path_chain",
         "blocking_rule_selection",
+        # round-4 session-3 additions
+        "embedding_topk_pq",
+        "ngram_lm_scores",
+        "scc_hosts",
+        "wl_host_roles",
+        "bpe_merges",
+        "bpe_segment_stats",
     ):
         extra_queries[name], _ = timed_reps(name)
     extras["extra_queries"] = extra_queries

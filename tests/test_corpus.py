@@ -1134,3 +1134,74 @@ def test_bpe_segment_stats_replica(spark):
             sum(len(tok) for tok in toks),
         )
         assert got[i] == want, (i, got[i], want)
+
+
+def test_hybrid_rrf_replica(spark):
+    """RRF fusion equals a Python replay over independently computed
+    lexical (tf dot) and semantic (cosine) rankings, including docs
+    present in only one ranking."""
+    import numpy as np
+
+    from bayesianrecordlinkage_jl_spark.operators import corpus as C_
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = (
+        C_.hybrid_rrf_topk(
+            docs, emb, "doc_id", "text", "vec_id", "embedding", 5,
+            k_in=10, k_out=5,
+        )
+        .orderBy("query_id", "rank").toPandas()
+    )
+    # replica
+    import collections
+    import re
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    toks = {
+        int(r.doc_id): collections.Counter(
+            t for t in re.split("[^a-z0-9]+", r.text.lower()) if t
+        )
+        for r in pdf.itertuples()
+    }
+    epdf = emb.select("vec_id", "embedding").toPandas()
+    vecs = {
+        int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+        for r in epdf.itertuples()
+    }
+    rows = []
+    for q in range(5):
+        lex = []
+        for d, c in toks.items():
+            if d == q:
+                continue
+            s = sum(c[t] * toks[q][t] for t in toks[q])
+            if s > 0:
+                lex.append((d, s))
+        lex.sort(key=lambda x: (-x[1], x[0]))
+        lex_rank = {d: i + 1 for i, (d, _) in enumerate(lex[:10])}
+        sem = []
+        for d, v in vecs.items():
+            if d == q:
+                continue
+            qv = vecs[q]
+            sim = float(qv @ v / (np.linalg.norm(qv) * np.linalg.norm(v)))
+            sem.append((d, sim))
+        sem.sort(key=lambda x: (-x[1], x[0]))
+        sem_rank = {d: i + 1 for i, (d, _) in enumerate(sem[:10])}
+        fused = {}
+        for d in set(lex_rank) | set(sem_rank):
+            s = 0
+            if d in lex_rank:
+                s += 1_000_000 // (60 + lex_rank[d])
+            if d in sem_rank:
+                s += 1_000_000 // (60 + sem_rank[d])
+            fused[d] = s
+        ranked = sorted(fused.items(), key=lambda x: (-x[1], x[0]))[:5]
+        for i, (d, s) in enumerate(ranked):
+            rows.append(
+                (q, d, lex_rank.get(d, 0), sem_rank.get(d, 0), s, i + 1)
+            )
+    want = rows
+    have = [tuple(int(x) for x in r) for r in got.itertuples(index=False)]
+    assert have == want
