@@ -356,3 +356,104 @@ def interval_join_sql(
      AND l.{start_col} < r.{end_col} AND r.{start_col} < l.{end_col}
      AND l.{start_col} < l.{end_col} AND r.{start_col} < r.{end_col}
     """
+
+
+# ---------------------------------------------------------------------------
+# Burst detection over the event stream
+# ---------------------------------------------------------------------------
+
+BURST_WINDOW = 6     # trailing observed buckets in the baseline
+BURST_FACTOR = 3     # burst iff rate > FACTOR x trailing mean
+BURST_MIN_HIST = 3   # minimum observed history before flagging
+
+
+def event_bursts(
+    events: DataFrame,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    factor: int = BURST_FACTOR,
+    window_buckets: int = BURST_WINDOW,
+    min_hist: int = BURST_MIN_HIST,
+) -> DataFrame:
+    """-> (event_type, win_start, n_events, base_n, base_sum, is_burst):
+    per-type hourly rate anomalies — a bucket bursts when its count
+    exceeds `factor` x the trailing mean of the previous
+    `window_buckets` OBSERVED buckets (empty buckets don't appear in the
+    series and therefore don't dilute the baseline — the documented
+    semantics), with at least `min_hist` observed buckets of history.
+    The crawl-ops signal for scrape storms / outage error spikes that a
+    recrawl scheduler consumes alongside host_reputation.
+
+    All-integer: the threshold is the cross-multiplied comparison
+    n_events * base_n > factor * base_sum — no division, no floats, so
+    the flag is bit-strict across engines and partitionings; is_burst is
+    0/1 INT (engine-portable boolean).
+
+    Scale shape: one map-side-combined tumbling-window count (the
+    event_window_counts aggregate) + one per-type ROWS-frame window over
+    the BUCKET series (|types| x |buckets| rows, not events); at
+    streaming scale the same logic runs over the windowed-agg sink."""
+    b = (
+        events.groupBy(
+            F.window(ts_col, "1 hour").getField("start").alias("win_start"),
+            F.col(type_col).alias("event_type"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("win_start")
+        .rowsBetween(-window_buckets, -1)
+    )
+    return b.select(
+        "event_type",
+        "win_start",
+        "n_events",
+        F.count("n_events").over(w).cast("long").alias("base_n"),
+        F.coalesce(F.sum("n_events").over(w), F.lit(0))
+        .cast("long")
+        .alias("base_sum"),
+    ).withColumn(
+        "is_burst",
+        F.when(
+            (F.col("base_n") >= min_hist)
+            & (
+                F.col("n_events") * F.col("base_n")
+                > F.lit(factor) * F.col("base_sum")
+            ),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("int"),
+    )
+
+
+def event_bursts_sql(
+    table: str,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    factor: int = BURST_FACTOR,
+    window_buckets: int = BURST_WINDOW,
+    min_hist: int = BURST_MIN_HIST,
+) -> str:
+    return f"""
+    WITH b AS (
+      SELECT time_bucket(INTERVAL '1 hour', {ts_col}) AS win_start,
+             {type_col} AS event_type,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM {table} GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, win_start, n_events,
+             CAST(count(n_events) OVER tw AS BIGINT) AS base_n,
+             CAST(coalesce(sum(n_events) OVER tw, 0) AS BIGINT) AS base_sum
+      FROM b
+      WINDOW tw AS (PARTITION BY event_type ORDER BY win_start
+                    ROWS BETWEEN {window_buckets} PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, win_start, n_events, base_n, base_sum,
+           CAST(CASE WHEN base_n >= {min_hist}
+                      AND n_events * base_n > {factor} * base_sum
+                     THEN 1 ELSE 0 END AS INT) AS is_burst
+    FROM w
+    """

@@ -4338,6 +4338,14 @@ def build_catalog() -> dict[str, dict]:
         "bucketed equi-join with first-shared-bucket exactly-once emit",
     }
 
+    cat["event_bursts"] = {
+        "spark": lambda s, d: TP.event_bursts(load(s, d, "events")),
+        "sql": TP.event_bursts_sql("events"),
+        "ref": "per-type hourly burst detection (scrape storms / error "
+        "spikes): count vs trailing-observed-bucket baseline, all-integer "
+        "cross-multiplied threshold (TP.event_bursts)",
+    }
+
     cat["event_rollup"] = {
         "spark": lambda s, d: TP.hypertable_rollup(
             load(s, d, "events"), "ts", "event_type", "value"

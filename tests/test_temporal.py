@@ -250,3 +250,43 @@ def test_interval_join_plan_is_equi_join(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_event_bursts_hand_series(spark):
+    """Hand series: steady 2/hour baseline then a 10x spike; history
+    gating (no flag before min_hist observed buckets) and gap semantics
+    (empty buckets absent from the baseline)."""
+    import datetime as dt
+
+    from bayesianrecordlinkage_jl_spark.operators import temporal as TP
+
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # hours 0..4: 2 events each; hour 5: 20 events (burst);
+    # hour 9 (after a 3h gap): 2 events (not a burst)
+    for h, n in [(0, 2), (1, 2), (2, 2), (3, 2), (4, 2), (5, 20), (9, 2)]:
+        for i in range(n):
+            rows.append((eid, base + dt.timedelta(hours=h, minutes=i), "x"))
+            eid += 1
+    df = spark.createDataFrame(rows, "event_id long, ts timestamp, event_type string")
+    got = {
+        r["win_start"].hour: (r["base_n"], r["base_sum"], r["is_burst"])
+        for r in TP.event_bursts(df).collect()
+    }
+    assert got[0] == (0, 0, 0)          # no history
+    assert got[1] == (1, 2, 0)          # below min_hist
+    assert got[2] == (2, 4, 0)
+    assert got[3] == (3, 6, 0)          # enough history, not a burst
+    assert got[5] == (5, 10, 1)         # 20 * 5 > 3 * 10 -> burst
+    # hour 9: baseline is the previous OBSERVED buckets (gap skipped)
+    assert got[9] == (6, 30, 0)
+
+
+def test_event_bursts_determinism(spark):
+    from bayesianrecordlinkage_jl_spark.operators import temporal as TP
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = TP.event_bursts(ev.repartition(3)).orderBy("event_type", "win_start").collect()
+    b = TP.event_bursts(ev.repartition(13)).orderBy("event_type", "win_start").collect()
+    assert a == b and len(a) > 0
