@@ -384,3 +384,128 @@ def clk_band_pairs_sql(
             (2 * inter_bits * {DICE_SCALE}) // (nbits_a + nbits_b)
           ELSE 0 END >= {min_dice_micro}
     """
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity / l-diversity audit (privacy profiling over quasi-identifiers)
+# ---------------------------------------------------------------------------
+
+KANON_K = 5
+LDIV_L = 3
+KANON_BAND = 100  # n_chars generalization band width
+
+
+def k_anonymity_profile(
+    df: DataFrame,
+    quasi_cols: tuple[str, str] = ("lang", "source"),
+    numeric_col: str = "n_chars",
+    k: int = KANON_K,
+    l: int = LDIV_L,
+) -> DataFrame:
+    """-> one row per generalization level 0..3: (level, n_classes,
+    min_class, max_class, n_below_k, l_min, is_k_anonymous,
+    is_l_diverse): the privacy audit a release pipeline runs BEFORE
+    publishing quasi-identified rows (Sweeney 2002 k-anonymity;
+    Machanavajjhala et al. 2007 l-diversity) — the plaintext-side
+    companion of the CLK PPRL encoders, which exist precisely because
+    raw quasi-identifiers leak.
+
+    The generalization ladder is the nested ROLLUP of
+    (quasi1, quasi2, band(numeric)): level 0 = full quasi-tuple,
+    3 = fully suppressed. ONE rollup aggregation computes every level's
+    equivalence classes (the multi-grain trap of CLAUDE.md does not
+    bite: all states are integers); level ids derive from the rollup
+    NULL markers, never GROUPING_ID (engine-specific). l_min is the
+    minimum distinct-sensitive-values per class, with the banded numeric
+    as the sensitive attribute — at level 0 it is 1 by construction
+    (the band sits inside the quasi-tuple; meaningful from level 1 up).
+    A release is k-anonymous at level L iff min_class >= k there —
+    the smallest such L is the generalization the release needs.
+
+    Scale shape: one map-side-combined rollup over the corpus (integer
+    counts), one count-distinct per class, then a |classes|-row level
+    summary. Nothing driver-side."""
+    q1, q2 = quasi_cols
+    base = df.select(
+        F.col(q1).alias("_q1"),
+        F.col(q2).alias("_q2"),
+        # DIV = integer division, matching DuckDB // (n_chars >= 0)
+        F.expr(f"CAST(CAST({numeric_col} AS BIGINT) DIV {KANON_BAND} AS BIGINT)")
+        .alias("_band"),
+    )
+    classes = (
+        base.rollup("_q1", "_q2", "_band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            F.countDistinct("_band").cast("long").alias("_l"),
+        )
+        .select(
+            F.when(F.col("_band").isNotNull(), F.lit(0))
+            .when(F.col("_q2").isNotNull(), F.lit(1))
+            .when(F.col("_q1").isNotNull(), F.lit(2))
+            .otherwise(F.lit(3))
+            .cast("int")
+            .alias("level"),
+            "_n",
+            "_l",
+        )
+    )
+    return (
+        classes.groupBy("level")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.min("_n").cast("long").alias("min_class"),
+            F.max("_n").cast("long").alias("max_class"),
+            F.sum(F.when(F.col("_n") < k, 1).otherwise(0))
+            .cast("long")
+            .alias("n_below_k"),
+            F.min("_l").cast("long").alias("l_min"),
+        )
+        .select(
+            "level", "n_classes", "min_class", "max_class", "n_below_k",
+            "l_min",
+            F.when(F.col("min_class") >= k, 1).otherwise(0).cast("int")
+            .alias("is_k_anonymous"),
+            F.when(F.col("l_min") >= l, 1).otherwise(0).cast("int")
+            .alias("is_l_diverse"),
+        )
+    )
+
+
+def k_anonymity_profile_sql(
+    table: str,
+    quasi_cols: tuple[str, str] = ("lang", "source"),
+    numeric_col: str = "n_chars",
+    k: int = KANON_K,
+    l: int = LDIV_L,
+) -> str:
+    q1, q2 = quasi_cols
+    return f"""
+    WITH base AS (
+      SELECT {q1} AS _q1, {q2} AS _q2,
+             CAST(CAST({numeric_col} AS BIGINT) // {KANON_BAND} AS BIGINT)
+               AS _band
+      FROM {table}
+    ),
+    classes AS (
+      SELECT CASE WHEN _band IS NOT NULL THEN 0
+                  WHEN _q2 IS NOT NULL THEN 1
+                  WHEN _q1 IS NOT NULL THEN 2
+                  ELSE 3 END AS level,
+             CAST(count(*) AS BIGINT) AS _n,
+             CAST(count(DISTINCT _band) AS BIGINT) AS _l
+      FROM base GROUP BY ROLLUP (_q1, _q2, _band)
+    )
+    SELECT CAST(level AS INT) AS level,
+           CAST(count(*) AS BIGINT) AS n_classes,
+           CAST(min(_n) AS BIGINT) AS min_class,
+           CAST(max(_n) AS BIGINT) AS max_class,
+           CAST(sum(CASE WHEN _n < {k} THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_below_k,
+           CAST(min(_l) AS BIGINT) AS l_min,
+           CAST(CASE WHEN min(_n) >= {k} THEN 1 ELSE 0 END AS INT)
+             AS is_k_anonymous,
+           CAST(CASE WHEN min(_l) >= {l} THEN 1 ELSE 0 END AS INT)
+             AS is_l_diverse
+    FROM classes GROUP BY level
+    """

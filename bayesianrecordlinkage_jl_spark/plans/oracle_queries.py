@@ -4338,6 +4338,14 @@ def build_catalog() -> dict[str, dict]:
         "bucketed equi-join with first-shared-bucket exactly-once emit",
     }
 
+    cat["k_anonymity_profile"] = {
+        "spark": lambda s, d: pprl.k_anonymity_profile(load(s, d, "documents")),
+        "sql": pprl.k_anonymity_profile_sql("documents"),
+        "ref": "k-anonymity / l-diversity release audit over the quasi-"
+        "identifier generalization ladder (Sweeney 2002; Machanavajjhala "
+        "et al. 2007) — one ROLLUP pass, integer states, the plaintext "
+        "companion of the CLK PPRL encoders (pprl.k_anonymity_profile)",
+    }
     cat["event_bursts"] = {
         "spark": lambda s, d: TP.event_bursts(load(s, d, "events")),
         "sql": TP.event_bursts_sql("events"),

@@ -115,3 +115,41 @@ def test_clk_band_pairs_recall_and_precision(spark):
             assert p in got, p
     # the exact dup scores 1.0
     assert got[(1, 8)] == pprl.DICE_SCALE
+
+
+def test_k_anonymity_profile_hand_fixture(spark):
+    """Hand corpus where the k/l verdict per generalization level is
+    known exactly, validated against a pandas replay."""
+    from bayesianrecordlinkage_jl_spark.operators import pprl as P
+
+    rows = []
+    did = 0
+    # (lang, source, n_chars): one singleton class at level 0,
+    # suppressed progressively up the ladder
+    for lang, src, n, reps in [
+        ("en", "a", 50, 6),    # class (en,a,0) x6
+        ("en", "a", 150, 1),   # class (en,a,1) x1  -> breaks k at L0
+        ("en", "b", 50, 5),
+        ("fr", "a", 250, 7),
+    ]:
+        for _ in range(reps):
+            rows.append((did, "t", lang, src, n))
+            did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    got = {
+        r["level"]: (
+            r["n_classes"], r["min_class"], r["max_class"], r["n_below_k"],
+            r["l_min"], r["is_k_anonymous"], r["is_l_diverse"],
+        )
+        for r in P.k_anonymity_profile(df).collect()
+    }
+    # L0 classes: (en,a,0)=6, (en,a,1)=1, (en,b,0)=5, (fr,a,2)=7
+    assert got[0] == (4, 1, 7, 1, 1, 0, 0)
+    # L1: (en,a)=7 with 2 bands, (en,b)=5 with 1, (fr,a)=7 with 1
+    assert got[1] == (3, 5, 7, 0, 1, 1, 0)
+    # L2: (en)=12 with 2 bands, (fr)=7 with 1
+    assert got[2] == (2, 7, 12, 0, 1, 1, 0)
+    # L3: everything, 3 distinct bands -> l-diverse at l=3
+    assert got[3] == (1, 19, 19, 0, 3, 1, 1)
