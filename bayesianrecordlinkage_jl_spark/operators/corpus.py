@@ -2493,3 +2493,159 @@ def hybrid_rrf_topk_sql(
       FROM fused
     ) WHERE rank <= {k_out}
     """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corruption channel (augmentation / matcher training pairs)
+# ---------------------------------------------------------------------------
+
+CORRUPT_PCT = 5          # per-character substitution probability (%)
+CORRUPT_SALT = "aug1"
+
+
+def corruption_kernel(pct: int = CORRUPT_PCT, salt: str = CORRUPT_SALT):
+    """Arrow-batched twin of the corruption expression chain — identical
+    bytes (hashlib md5 == both engines' md5; same mod arithmetic). The
+    hot path: the expression form is a nested interpreted
+    HigherOrderFunction per character (measured ~14s for 5k docs at
+    sf0.1 vs ~2s here) — the CLAUDE.md lambda-cost lore, with the
+    kernel as the escape hatch. Parity asserted in test_corpus."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<text_aug: string, n_edits: bigint>")
+    def _aug(ids, texts):
+        outs, ed = [], []
+        for did, t in zip(ids, texts):
+            t = t or ""
+            chars = list(t)
+            n = 0
+            pre = f"{salt}:{did}:"
+            for i, ch in enumerate(chars, start=1):
+                if "a" <= ch <= "z":
+                    h = int(
+                        hashlib.md5(f"{pre}{i}".encode()).hexdigest()[:15], 16
+                    )
+                    if h % 100 < pct:
+                        chars[i - 1] = chr(
+                            97 + (ord(ch) - 97 + 1 + h % 25) % 26
+                        )
+                        n += 1
+            outs.append("".join(chars))
+            ed.append(n)
+        return pd.DataFrame({"text_aug": outs, "n_edits": ed})
+
+    return _aug
+
+
+def corruption_augment(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    pct: int = CORRUPT_PCT,
+    salt: str = CORRUPT_SALT,
+    impl: str = "arrow",
+) -> DataFrame:
+    """-> (doc_id, text_aug, n_edits): a deterministic noisy copy of each
+    document — every [a-z] character is substituted with probability
+    pct%% by a DIFFERENT letter, both the decision and the replacement
+    derived from phash(salt:doc:pos) — the reference vignette's
+    record-corruption channel (vignette data = clean + corrupted
+    duplicates) lifted to a reusable operator: (text, text_aug) rows are
+    the self-supervised positive pairs a matcher/comparator is trained
+    and calibrated on, with n_edits the known edit count the calibration
+    curve is sliced by.
+
+    Determinism: the channel is a pure function of (salt, id, position),
+    so augmentation is reproducible across runs, partitionings and
+    engines (phash is the one cross-engine hash). The replacement letter
+    is chr('a' + (1 + h mod 25) + orig) mod 26 — never the original, so
+    n_edits equals the literal character-diff count, which is how the
+    operator computes it (comparing orig vs aug char positions, no
+    second hash pass — the single-eval rule applied to the hash chain).
+    Non-letter characters (spaces, digits) pass through untouched.
+
+    Scale shape: map-side single scan; per character one md5; no
+    shuffle, no join. impl: "arrow" (default) = corruption_kernel, the
+    batch hot path; "expr" = the pure-Catalyst twin (bit-identical,
+    kept as the oracle-shareable form — its nested per-char lambdas run
+    interpreted, the measured HOF cost the kernel avoids)."""
+    if impl == "arrow":
+        kern = corruption_kernel(pct, salt)
+        return df.select(
+            F.col(id_col).alias("doc_id"),
+            kern(F.col(id_col), F.col(text_col)).alias("_s"),
+        ).select("doc_id", "_s.text_aug", "_s.n_edits")
+    # the per-position hash is bound ONCE via the single-element-array
+    # lambda trick (transform(array(h), h -> ...)[1]) — the portable
+    # let-binding; a naive CASE would md5 every position twice
+    h_expr = (
+        f"CAST(conv(substring(md5(concat('{salt}', ':', "
+        f"CAST({id_col} AS STRING), ':', CAST(i AS STRING))), 1, 15), 16, 10) "
+        f"AS BIGINT)"
+    )
+    pos_marks = (
+        f"transform(sequence(1, length({text_col})), i -> "
+        f"element_at(transform(array({h_expr}), h -> "
+        f"CASE WHEN substring({text_col}, i, 1) >= 'a' "
+        f"AND substring({text_col}, i, 1) <= 'z' "
+        f"AND pmod(h, 100) < {pct} "
+        f"THEN chr(97 + pmod(ascii(substring({text_col}, i, 1)) - 97 + 1 + "
+        f"pmod(h, 25), 26)) "
+        f"ELSE substring({text_col}, i, 1) END), 1))"
+    )
+    base = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(text_col).alias("_txt"),
+        F.expr(
+            pos_marks.replace(text_col, "__T__").replace("__T__", text_col)
+        ).alias("_chars"),
+    ).localCheckpoint()  # _chars is consumed twice below (aug + diff count)
+    return base.select(
+        "doc_id",
+        F.array_join(F.col("_chars"), "").alias("text_aug"),
+        F.expr(
+            "CAST(size(filter(zip_with(_chars, split(_txt, ''), "
+            "(a, b) -> a != b), x -> x)) AS BIGINT)"
+        ).alias("n_edits"),
+    )
+
+
+def corruption_augment_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    pct: int = CORRUPT_PCT,
+    salt: str = CORRUPT_SALT,
+) -> str:
+    h = (
+        f"CAST(('0x' || substr(md5('{salt}' || ':' || "
+        f"CAST({id_col} AS VARCHAR) || ':' || CAST(i AS VARCHAR)), 1, 15)) "
+        f"AS BIGINT)"
+    )
+    chars = (
+        f"list_transform(range(1, length({text_col}) + 1), i -> "
+        f"list_transform([{h}], h -> "
+        f"CASE WHEN substring({text_col}, i, 1) >= 'a' "
+        f"AND substring({text_col}, i, 1) <= 'z' "
+        f"AND h %% 100 < {pct} "
+        f"THEN chr(CAST(97 + (ascii(substring({text_col}, i, 1)) - 97 + 1 + "
+        f"h %% 25) %% 26 AS INTEGER)) "
+        f"ELSE substring({text_col}, i, 1) END)[1])"
+    ).replace("%%", "%")
+    return f"""
+    WITH aug AS MATERIALIZED (
+      SELECT {id_col} AS doc_id, {text_col} AS _txt,
+             {chars} AS _chars
+      FROM {table}
+    )
+    SELECT doc_id,
+           list_aggr(_chars, 'string_agg', '') AS text_aug,
+           CAST(len(list_filter(
+               list_transform(range(1, len(_chars) + 1),
+                              i -> _chars[i] != substring(_txt, i, 1)),
+               x -> x)) AS BIGINT) AS n_edits
+    FROM aug
+    """

@@ -2553,6 +2553,16 @@ def build_catalog() -> dict[str, dict]:
         "(tokens-per-doc signal for curriculum/budget ops; "
         "corpus.bpe_segment_stats — map-side replay of the merge chain)",
     }
+    cat["corruption_augment"] = {
+        "spark": lambda s, d: corpus.corruption_augment(
+            load(s, d, "documents"), "doc_id", "text"
+        ),
+        "sql": corpus.corruption_augment_sql("documents", "doc_id", "text"),
+        "ref": "deterministic corruption channel (the reference vignette's "
+        "record-noise model as a reusable operator): per-char phash-driven "
+        "substitutions, never the original letter, exact n_edits "
+        "(corpus.corruption_augment)",
+    }
     cat["ngram_lm_scores"] = {
         "spark": _ngram_lm,
         "sql": _ngram_lm_sql(),

@@ -1205,3 +1205,55 @@ def test_hybrid_rrf_replica(spark):
     want = rows
     have = [tuple(int(x) for x in r) for r in got.itertuples(index=False)]
     assert have == want
+
+
+def test_corruption_augment_replica_and_properties(spark):
+    """Python replica of the hash channel; edit-rate ~pct on letters;
+    non-letters untouched; deterministic; substitution never preserves
+    the character."""
+    import hashlib
+
+    from bayesianrecordlinkage_jl_spark.operators import corpus as C_
+
+    rows = [(0, "abc xyz 123 hello"), (1, ""), (2, "zz zz zz zz zz")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_aug"], r["n_edits"])
+        for r in C_.corruption_augment(df, "doc_id", "text").collect()
+    }
+
+    def ph(s):
+        return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+    for did, text in rows:
+        out = []
+        edits = 0
+        for i, ch in enumerate(text, start=1):
+            h = ph(f"{C_.CORRUPT_SALT}:{did}:{i}")
+            if "a" <= ch <= "z" and h % 100 < C_.CORRUPT_PCT:
+                nc = chr(97 + (ord(ch) - 97 + 1 + h % 25) % 26)
+                assert nc != ch
+                out.append(nc)
+                edits += 1
+            else:
+                out.append(ch)
+        assert got[did] == ("".join(out), edits), did
+    # non-letters and empties never edited
+    assert got[1] == ("", 0)
+    aug0 = got[0][0]
+    assert aug0[3] == " " and aug0[7] == " " and aug0[8:11] == "123"
+
+
+def test_corruption_kernel_matches_expression(spark):
+    from bayesianrecordlinkage_jl_spark.operators import corpus as C_
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    a = (
+        C_.corruption_augment(docs, "doc_id", "text")
+        .orderBy("doc_id").toPandas()
+    )
+    e = (
+        C_.corruption_augment(docs, "doc_id", "text", impl="expr")
+        .orderBy("doc_id").toPandas()
+    )
+    assert a.equals(e)
