@@ -457,3 +457,71 @@ def event_bursts_sql(
                      THEN 1 ELSE 0 END AS INT) AS is_burst
     FROM w
     """
+
+
+# ---------------------------------------------------------------------------
+# Semi-structured property extraction (JSON event payloads)
+# ---------------------------------------------------------------------------
+
+
+def event_props_stats(
+    events: DataFrame,
+    type_col: str = "event_type",
+    props_col: str = "props",
+    key: str = "k",
+) -> DataFrame:
+    """-> (event_type, n_events, n_with_key, k_min, k_max, k_sum,
+    k_distinct): typed aggregation over a JSON payload column — the
+    semi-structured half of event telemetry (web events carry free-form
+    JSON properties; the pipeline projects typed fields OUT of the JSON
+    before any aggregation, never aggregates strings).
+
+    Extraction is get_json_object (Spark) / ->> (DuckDB) with an
+    explicit BIGINT cast: malformed or missing keys become NULL and are
+    counted separately (n_with_key) rather than poisoning the stats.
+    All-integer aggregates => order-independent, bit-strict.
+
+    Scale shape: map-side JSON projection + one map-side-combined
+    aggregate keyed by type; the JSON column is parsed ONCE per row and
+    only the extracted integer rides the shuffle (at 100 TB the raw
+    payload never leaves the scan stage — the classic
+    project-before-shuffle rule applied to JSON)."""
+    # try_cast: ANSI Spark 4 hard-fails a plain cast on 'xx' — malformed
+    # values must become NULL (the documented semantics and the oracle's
+    # TRY_CAST), not abort the scan
+    k = (
+        F.get_json_object(F.col(props_col), f"$.{key}")
+        .try_cast("long")
+        .alias("_k")
+    )
+    return (
+        events.select(F.col(type_col).alias("event_type"), k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.count("_k").cast("long").alias("n_with_key"),
+            F.min("_k").cast("long").alias("k_min"),
+            F.max("_k").cast("long").alias("k_max"),
+            F.coalesce(F.sum("_k"), F.lit(0)).cast("long").alias("k_sum"),
+            F.countDistinct("_k").cast("long").alias("k_distinct"),
+        )
+    )
+
+
+def event_props_stats_sql(
+    table: str,
+    type_col: str = "event_type",
+    props_col: str = "props",
+    key: str = "k",
+) -> str:
+    k = f"TRY_CAST({props_col}->>'{key}' AS BIGINT)"
+    return f"""
+    SELECT {type_col} AS event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(count({k}) AS BIGINT) AS n_with_key,
+           CAST(min({k}) AS BIGINT) AS k_min,
+           CAST(max({k}) AS BIGINT) AS k_max,
+           CAST(coalesce(sum({k}), 0) AS BIGINT) AS k_sum,
+           CAST(count(DISTINCT {k}) AS BIGINT) AS k_distinct
+    FROM {table} GROUP BY {type_col}
+    """

@@ -4356,6 +4356,13 @@ def build_catalog() -> dict[str, dict]:
         "et al. 2007) — one ROLLUP pass, integer states, the plaintext "
         "companion of the CLK PPRL encoders (pprl.k_anonymity_profile)",
     }
+    cat["event_props_stats"] = {
+        "spark": lambda s, d: TP.event_props_stats(load(s, d, "events")),
+        "sql": TP.event_props_stats_sql("events"),
+        "ref": "typed aggregation over the JSON payload column "
+        "(project-before-shuffle on semi-structured data; NULL-safe "
+        "missing-key accounting; TP.event_props_stats)",
+    }
     cat["event_bursts"] = {
         "spark": lambda s, d: TP.event_bursts(load(s, d, "events")),
         "sql": TP.event_bursts_sql("events"),

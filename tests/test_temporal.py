@@ -290,3 +290,29 @@ def test_event_bursts_determinism(spark):
     a = TP.event_bursts(ev.repartition(3)).orderBy("event_type", "win_start").collect()
     b = TP.event_bursts(ev.repartition(13)).orderBy("event_type", "win_start").collect()
     assert a == b and len(a) > 0
+
+
+def test_event_props_stats_null_and_malformed(spark):
+    """Missing keys, malformed JSON and non-numeric values become NULL
+    (counted in n_events but not n_with_key) instead of poisoning the
+    integer stats."""
+    from bayesianrecordlinkage_jl_spark.operators import temporal as TP
+
+    rows = [
+        (0, "a", '{"k": 5}'),
+        (1, "a", '{"k": 7}'),
+        (2, "a", '{"other": 1}'),    # missing key
+        (3, "a", "not json"),        # malformed
+        (4, "a", '{"k": "xx"}'),     # non-numeric
+        (5, "b", '{"k": -3}'),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, props string")
+    got = {
+        r["event_type"]: (
+            r["n_events"], r["n_with_key"], r["k_min"], r["k_max"],
+            r["k_sum"], r["k_distinct"],
+        )
+        for r in TP.event_props_stats(df).collect()
+    }
+    assert got["a"] == (5, 2, 5, 7, 12, 2)
+    assert got["b"] == (1, 1, -3, -3, -3, 1)
