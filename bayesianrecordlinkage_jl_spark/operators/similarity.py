@@ -946,3 +946,128 @@ def pq_topk_sql(
       FROM cand
     ) WHERE rank <= {k}
     """
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    queries: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ ANN top-k — the FAISS-style composition of the two frozen
+    artifacts: the IVF coarse quantizer prunes the candidate set (equi-
+    join on the probed list ids, the ivf_topk shape) and PQ asymmetric
+    distance scores the survivors in the compressed domain (the pq_topk
+    scorer). This is the plan the 100 TB serving path wants: bounded
+    fan-out (nprobe lists instead of the whole corpus) AND an 8-byte
+    scan payload (codes instead of vectors) — neither parent operator
+    has both.
+
+    Ranking is adc_dot DESC within the probed lists; the scan side
+    carries (cid, codes) only. All pieces are frozen literals
+    (plans/ivf_centroids.json + plans/pq_codebooks.json), so the DuckDB
+    twin shares them exactly."""
+    M = len(codebooks)
+    K = len(codebooks[0])
+    corpus = df.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("_v"))
+    corpus = corpus.withColumn("_nv", _norm(F.col("_v")))
+    sc = centroid_scores("_v", "_nv", centroids)
+    assign = corpus.select(
+        "item_id",
+        "_v",
+        (F.array_position(sc, F.array_max(sc)) - 1).cast("int").alias("cid"),
+    )
+    codes = pq_encode(assign, "item_id", "_v", codebooks).join(
+        assign.select("item_id", "cid"), on="item_id"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("_q")
+    ).withColumn("_nq", _norm(F.col("_q")))
+    qa = q.select(
+        "query_id", "_q", F.posexplode(centroid_scores("_q", "_nq", centroids))
+    ).withColumnsRenamed({"pos": "cid", "col": "cscore"})
+    w2 = Window.partitionBy("query_id").orderBy(F.desc("cscore"), F.asc("cid"))
+    probes = (
+        qa.withColumn("_r", F.row_number().over(w2))
+        .where(F.col("_r") <= nprobe)
+        .select("query_id", "_q", F.col("cid").cast("int").alias("cid"))
+    )
+    qd = probes.select(
+        "query_id", "cid", pq_dtab_kernel(codebooks)(F.col("_q")).alias("_dt")
+    )
+    cand = codes.join(F.broadcast(qd), on="cid").where(
+        F.col("item_id") != F.col("query_id")
+    )
+    adc = " + ".join(f"element_at(_dt, {1 + m * K} + _c{m})" for m in range(M))
+    scored = cand.select("query_id", "item_id", F.expr(adc).alias("adc_dot"))
+    w3 = Window.partitionBy("query_id").orderBy(F.desc("adc_dot"), F.asc("item_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w3))
+        .where(F.col("rank") <= k)
+        .select("query_id", "item_id", "adc_dot", "rank")
+    )
+
+
+def ivfpq_topk_sql(
+    table: str,
+    id_col: str,
+    vec_col: str,
+    query_filter: str,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    nprobe: int = 2,
+) -> str:
+    """DuckDB twin of ivfpq_topk: the ivf_topk assignment/probe CTEs
+    composed with the pq_topk encode/ADC CTEs."""
+    M = len(codebooks)
+    K = len(codebooks[0])
+    dsub = len(codebooks[0][0])
+    vals = ", ".join(
+        "(" + str(i) + ", [" + ", ".join(_flit(x) for x in c) + "])"
+        for i, c in enumerate(centroids)
+    )
+    cos_assign = cosine_sql("c._v", "ct._c")
+    cos_probe = cosine_sql("q._q", "ct._c")
+    darr_cols = ", ".join(
+        "[" + ", ".join(_pq_sq_dists("_v", codebooks[m], m * dsub, "duckdb")) + f"] AS _d{m}"
+        for m in range(M)
+    )
+    code_cols = ", ".join(
+        f"CAST(list_position(_d{m}, list_min(_d{m})) - 1 AS INT) AS _c{m}"
+        for m in range(M)
+    )
+    dtab = "[" + ", ".join(_pq_dtab_entries("_q", codebooks, "duckdb")) + "]"
+    adc = " + ".join(f"_dt[{1 + m * K} + _c{m}]" for m in range(M))
+    return f"""
+    WITH cents(cid, _c) AS (VALUES {vals}),
+    corpus AS (SELECT {id_col} AS item_id, {vec_col} AS _v FROM {table}),
+    ca AS (SELECT c.item_id, c._v, ct.cid, {cos_assign} AS cscore
+           FROM corpus c CROSS JOIN cents ct),
+    assign AS MATERIALIZED (SELECT item_id, _v, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY item_id
+                  ORDER BY cscore DESC, cid ASC) AS _r FROM ca) WHERE _r = 1),
+    darr AS MATERIALIZED (SELECT item_id, cid, {darr_cols} FROM assign),
+    enc AS MATERIALIZED (SELECT item_id, cid, {code_cols} FROM darr),
+    q AS (SELECT {id_col} AS query_id, {vec_col} AS _q FROM {table}
+          WHERE {query_filter}),
+    qa AS (SELECT q.query_id, q._q, ct.cid, {cos_probe} AS cscore
+           FROM q CROSS JOIN cents ct),
+    probes AS (SELECT query_id, _q, cid FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                  ORDER BY cscore DESC, cid ASC) AS _r FROM qa)
+        WHERE _r <= {nprobe}),
+    qd AS MATERIALIZED (SELECT query_id, cid, {dtab} AS _dt FROM probes),
+    cand AS (SELECT p.query_id, e.item_id, ({adc}) AS adc_dot
+             FROM enc e JOIN qd p ON e.cid = p.cid
+             WHERE e.item_id != p.query_id)
+    SELECT query_id, item_id, adc_dot, rank FROM (
+      SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+                ORDER BY adc_dot DESC, item_id ASC) AS INT) AS rank
+      FROM cand
+    ) WHERE rank <= {k}
+    """

@@ -3822,6 +3822,22 @@ def build_catalog() -> dict[str, dict]:
         "pq_topk; codes shrink the scan side 64x vs raw float32 vectors)",
     }
 
+    cat["embedding_topk_ivfpq"] = {
+        "spark": lambda s, d: similarity.ivfpq_topk(
+            load(s, d, "embeddings"), "vec_id", "embedding",
+            load(s, d, "embeddings").where(F.col("vec_id") < TOPK_QUERY_MAX_ID),
+            ivf_cents, pq_books, k=TOPK, nprobe=2,
+        ),
+        "sql": similarity.ivfpq_topk_sql(
+            "embeddings", "vec_id", "embedding",
+            f"vec_id < {TOPK_QUERY_MAX_ID}", ivf_cents, pq_books,
+            k=TOPK, nprobe=2,
+        ),
+        "ref": "IVF-PQ ANN (FAISS-style composition): coarse-list pruning "
+        "equi-join + compressed-domain ADC within probed lists — bounded "
+        "fan-out AND 8-byte scan payload (similarity.ivfpq_topk)",
+    }
+
     # --- SemDeDup: semantic dedup inside the same frozen IVF clusters ---
     cat["semdedup"] = {
         "spark": lambda s, d: dedup.semdedup(

@@ -246,6 +246,12 @@ def main() -> None:
         "wl_host_roles",
         "bpe_merges",
         "bpe_segment_stats",
+        "hybrid_search_rrf",
+        "event_bursts",
+        "event_props_stats",
+        "k_anonymity_profile",
+        "corruption_augment",
+        "embedding_topk_ivfpq",
     ):
         extra_queries[name], _ = timed_reps(name)
     extras["extra_queries"] = extra_queries

@@ -171,3 +171,47 @@ def test_pq_determinism_under_partitioning(spark, emb, books):
         .orderBy("query_id", "rank").toPandas()
     )
     assert a.equals(b)
+
+
+def test_ivfpq_is_subset_of_pq_scan(spark, emb, books):
+    """IVF-PQ candidates are exactly the PQ ADC scores restricted to the
+    probed IVF lists: every (query, item) it returns must carry the SAME
+    adc_dot as the full PQ scan, and its candidate pool is a subset —
+    validated by re-ranking the full scan within the probed lists."""
+    import json
+    import os
+
+    cents_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "bayesianrecordlinkage_jl_spark", "plans", "ivf_centroids.json",
+    )
+    with open(cents_path) as f:
+        cents = json.load(f)
+    from pyspark.sql import functions as F
+
+    q = emb.where(F.col("vec_id") < 10)
+    ivfpq = (
+        similarity.ivfpq_topk(emb, "vec_id", "embedding", q, cents, books, k=5)
+        .toPandas()
+    )
+    full = (
+        similarity.pq_topk(emb, "vec_id", "embedding", q, books, k=10**6)
+        .toPandas()
+    )
+    fm = {(r.query_id, r.item_id): r.adc_dot for r in full.itertuples()}
+    for r in ivfpq.itertuples():
+        assert fm[(r.query_id, r.item_id)] == r.adc_dot
+    # determinism across partitionings
+    a = (
+        similarity.ivfpq_topk(
+            emb.repartition(3), "vec_id", "embedding", q, cents, books, k=5
+        )
+        .orderBy("query_id", "rank").toPandas()
+    )
+    b = (
+        similarity.ivfpq_topk(
+            emb.repartition(17), "vec_id", "embedding", q, cents, books, k=5
+        )
+        .orderBy("query_id", "rank").toPandas()
+    )
+    assert a.equals(b)
