@@ -1058,3 +1058,219 @@ def pair_pr_curve_sql(
       FROM curve, tot
     )
     """
+
+
+# ---------------------------------------------------------------------------
+# Deterministic Poisson bootstrap for pair P/R uncertainty
+# ---------------------------------------------------------------------------
+
+BOOTSTRAP_REPS = 16
+BOOTSTRAP_SALT = "boot1"
+
+
+def _poisson1_cuts() -> list[int]:
+    """Integer 1e6-scaled CDF cut points of Poisson(1) at k=0..5 (k
+    capped at 6). Fixed mathematical constants (math.exp at build time is
+    not data-derived training — every engine sees the same literals)."""
+    import math
+
+    cum, out, term = 0.0, [], math.exp(-1.0)
+    for k in range(6):
+        cum += term
+        out.append(int(math.floor(cum * 1_000_000)))
+        term /= (k + 1)
+    return out
+
+
+def pr_bootstrap_replicates(
+    pred: DataFrame,
+    truth: DataFrame,
+    n_reps: int = BOOTSTRAP_REPS,
+    salt: str = BOOTSTRAP_SALT,
+) -> DataFrame:
+    """-> one row per bootstrap replicate: (rep, tp, n_pred, n_true,
+    prec_micro, rec_micro, f1_micro): the sampling uncertainty of pair
+    precision/recall — the error bars pair_pr_curve's point estimates
+    lack, which is what separates "P=0.98" from "P=0.98±0.04" when
+    deciding whether a matcher change actually helped.
+
+    Resampling is the Poisson bootstrap (Chamandy et al. 2012, the
+    streaming/distributed form of the Efron bootstrap: per-ENTITY
+    Poisson(1) multiplicities approximate with-replacement resampling
+    without any global draw), made DETERMINISTIC: record id's replicate
+    weight is the Poisson(1) inverse-CDF of phash(salt:rep:id) mod 1e6,
+    compared against integer 1e6-scaled CDF cut points — no RNG state,
+    identical in both engines and under any partitioning. Resampling
+    units are RECORDS (both pair endpoints reweighted, w_a*w_b — the
+    node bootstrap, which unlike naive pair resampling respects the
+    dependence between pairs sharing a record). Metrics use the repo's
+    integer micro fixed point (x1e6, DIV), so every column is BIGINT.
+
+    Scale shape: the weight table is |records| x n_reps rows built map-
+    side (explode of a literal sequence); each metric is one equi-join
+    of the pair tables to weights on both endpoints + a map-side-
+    combined sum per replicate. The pair tables are scanned a fixed 3
+    times (pred, truth, tp-intersection), never per replicate."""
+    cuts = _poisson1_cuts()
+    p = pred.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    ).distinct()
+    t = truth.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    ).distinct()
+    both = p.join(t, on=["id_a", "id_b"], how="inner")
+    nodes = (
+        p.select(F.col("id_a").alias("id"))
+        .unionByName(p.select(F.col("id_b").alias("id")))
+        .unionByName(t.select(F.col("id_a").alias("id")))
+        .unionByName(t.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    cut_case = " ".join(
+        f"WHEN _u < {c} THEN {k}" for k, c in enumerate(cuts)
+    )
+    weights = (
+        nodes.select(
+            "id", F.explode(F.expr(f"sequence(0, {n_reps - 1})")).alias("rep")
+        )
+        .select(
+            "id",
+            "rep",
+            F.expr(
+                f"pmod(CAST(conv(substring(md5(concat('{salt}', ':', "
+                f"CAST(rep AS STRING), ':', CAST(id AS STRING))), 1, 15), "
+                f"16, 10) AS BIGINT), 1000000)"
+            ).alias("_u"),
+        )
+        .select(
+            "id", "rep",
+            F.expr(f"CAST(CASE {cut_case} ELSE 6 END AS BIGINT)").alias("w"),
+        )
+        .localCheckpoint()  # consumed by three pair-weighting joins
+    )
+
+    def _wsum(pairs: DataFrame, name: str) -> DataFrame:
+        return (
+            pairs.join(
+                weights.select(
+                    F.col("id").alias("id_a"), "rep", F.col("w").alias("_wa")
+                ),
+                on="id_a",
+            )
+            .join(
+                weights.select(
+                    F.col("id").alias("id_b"),
+                    F.col("rep").alias("rep_b"),
+                    F.col("w").alias("_wb"),
+                ).withColumnRenamed("rep_b", "rep"),
+                on=["id_b", "rep"],
+            )
+            .groupBy("rep")
+            .agg(F.sum(F.col("_wa") * F.col("_wb")).cast("long").alias(name))
+        )
+    reps = pred.sparkSession.range(n_reps).select(F.col("id").cast("int").alias("rep"))
+    out = (
+        reps.join(_wsum(both, "tp"), on="rep", how="left")
+        .join(_wsum(p, "n_pred"), on="rep", how="left")
+        .join(_wsum(t, "n_true"), on="rep", how="left")
+        .select(
+            "rep",
+            F.coalesce(F.col("tp"), F.lit(0)).cast("long").alias("tp"),
+            F.coalesce(F.col("n_pred"), F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce(F.col("n_true"), F.lit(0)).cast("long").alias("n_true"),
+        )
+    )
+    return out.select(
+        "rep", "tp", "n_pred", "n_true",
+        F.expr(
+            "CAST(CASE WHEN n_pred > 0 THEN (tp * 1000000) DIV n_pred "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("prec_micro"),
+        F.expr(
+            "CAST(CASE WHEN n_true > 0 THEN (tp * 1000000) DIV n_true "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("rec_micro"),
+    ).withColumn(
+        "f1_micro",
+        F.expr(
+            "CAST(CASE WHEN "
+            "(CASE WHEN n_pred > 0 THEN (tp * 1000000) DIV n_pred ELSE 0 END) + "
+            "(CASE WHEN n_true > 0 THEN (tp * 1000000) DIV n_true ELSE 0 END) > 0 "
+            "THEN (2 * (CASE WHEN n_pred > 0 THEN (tp * 1000000) DIV n_pred ELSE 0 END) * "
+            "(CASE WHEN n_true > 0 THEN (tp * 1000000) DIV n_true ELSE 0 END)) DIV "
+            "((CASE WHEN n_pred > 0 THEN (tp * 1000000) DIV n_pred ELSE 0 END) + "
+            "(CASE WHEN n_true > 0 THEN (tp * 1000000) DIV n_true ELSE 0 END)) "
+            "ELSE 0 END AS BIGINT)"
+        ),
+    )
+
+
+def pr_bootstrap_replicates_sql(
+    pred_expr: str,
+    truth_expr: str,
+    n_reps: int = BOOTSTRAP_REPS,
+    salt: str = BOOTSTRAP_SALT,
+) -> str:
+    """DuckDB twin: same phash-uniform draw, same integer CDF cut points,
+    same micro fixed point. pred_expr/truth_expr are subqueries yielding
+    (id_a, id_b)."""
+    cuts = _poisson1_cuts()
+    cut_case = " ".join(f"WHEN _u < {c} THEN {k}" for k, c in enumerate(cuts))
+    h = (
+        f"CAST(('0x' || substr(md5('{salt}' || ':' || CAST(r.rep AS VARCHAR) "
+        f"|| ':' || CAST(n.id AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000"
+    )
+    return f"""
+    WITH p AS MATERIALIZED (SELECT DISTINCT id_a, id_b FROM ({pred_expr})),
+    t AS MATERIALIZED (SELECT DISTINCT id_a, id_b FROM ({truth_expr})),
+    b AS (SELECT p.id_a, p.id_b FROM p JOIN t USING (id_a, id_b)),
+    nodes AS (
+      SELECT DISTINCT id FROM (
+        SELECT id_a AS id FROM p UNION ALL SELECT id_b FROM p
+        UNION ALL SELECT id_a FROM t UNION ALL SELECT id_b FROM t)
+    ),
+    reps AS (SELECT unnest(range({n_reps})) AS rep),
+    weights AS MATERIALIZED (
+      SELECT id, rep,
+             CAST(CASE {cut_case} ELSE 6 END AS BIGINT) AS w
+      FROM (SELECT n.id, r.rep, {h} AS _u
+            FROM nodes n CROSS JOIN reps r)
+    ),
+    tpw AS (SELECT wa.rep, CAST(sum(wa.w * wb.w) AS BIGINT) AS tp
+            FROM b JOIN weights wa ON b.id_a = wa.id
+            JOIN weights wb ON b.id_b = wb.id AND wb.rep = wa.rep
+            GROUP BY wa.rep),
+    pw AS (SELECT wa.rep, CAST(sum(wa.w * wb.w) AS BIGINT) AS n_pred
+           FROM p JOIN weights wa ON p.id_a = wa.id
+           JOIN weights wb ON p.id_b = wb.id AND wb.rep = wa.rep
+           GROUP BY wa.rep),
+    tw AS (SELECT wa.rep, CAST(sum(wa.w * wb.w) AS BIGINT) AS n_true
+           FROM t JOIN weights wa ON t.id_a = wa.id
+           JOIN weights wb ON t.id_b = wb.id AND wb.rep = wa.rep
+           GROUP BY wa.rep),
+    base AS (
+      SELECT CAST(r.rep AS INT) AS rep,
+             CAST(coalesce(tpw.tp, 0) AS BIGINT) AS tp,
+             CAST(coalesce(pw.n_pred, 0) AS BIGINT) AS n_pred,
+             CAST(coalesce(tw.n_true, 0) AS BIGINT) AS n_true
+      FROM reps r LEFT JOIN tpw ON r.rep = tpw.rep
+      LEFT JOIN pw ON r.rep = pw.rep
+      LEFT JOIN tw ON r.rep = tw.rep
+    ),
+    m AS (
+      SELECT *,
+             CAST(CASE WHEN n_pred > 0 THEN (tp * 1000000) // n_pred
+                       ELSE 0 END AS BIGINT) AS prec_micro,
+             CAST(CASE WHEN n_true > 0 THEN (tp * 1000000) // n_true
+                       ELSE 0 END AS BIGINT) AS rec_micro
+      FROM base
+    )
+    SELECT rep, tp, n_pred, n_true, prec_micro, rec_micro,
+           CAST(CASE WHEN prec_micro + rec_micro > 0
+                     THEN (2 * prec_micro * rec_micro) //
+                          (prec_micro + rec_micro)
+                ELSE 0 END AS BIGINT) AS f1_micro
+    FROM m
+    """

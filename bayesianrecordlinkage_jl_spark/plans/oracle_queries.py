@@ -4681,6 +4681,30 @@ def build_catalog() -> dict[str, dict]:
         "full-outer join makes recall honest about blocking misses",
     }
 
+    PR_BOOT_W = 0.0  # predicted links = scored pairs above this FS weight
+
+    cat["pr_bootstrap"] = {
+        "spark": lambda s, d: incremental.pr_bootstrap_replicates(
+            _scored_pairs_cached(s, d)
+            .where(F.col("w") >= PR_BOOT_W)
+            .select("id_a", "id_b"),
+            _jaccard_edges_cached(s, d).select("id_a", "id_b"),
+        ),
+        "sql": incremental.pr_bootstrap_replicates_sql(
+            "SELECT id_a, id_b FROM (" + _weighted_pairs_sql() + ") "
+            f"WHERE w >= {PR_BOOT_W!r}e0",
+            "SELECT id_a, id_b FROM ("
+            + dedup.ngram_jaccard_pairs_via_lsh_sql(
+                "documents", "doc_id", "text", JACCARD_MIN_PCT
+            )
+            + ")",
+        ),
+        "ref": "deterministic Poisson node-bootstrap of pair P/R/F1 "
+        "(Chamandy et al. 2012 distributed bootstrap, phash-derandomized) "
+        "— the error bars pair_pr_curve lacks "
+        "(incremental.pr_bootstrap_replicates)",
+    }
+
     cat["ari_metrics"] = {
         "spark": lambda s, d: incremental.ari_metrics(*_cm_pred_truth(s, d)),
         "sql": incremental.ari_metrics_sql(_CM_PRED_SQL, _CM_TRUTH_SQL),

@@ -487,3 +487,51 @@ def test_pair_pr_curve_empty_truth_and_perfect(spark):
     perfect = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
     [r] = incremental.pair_pr_curve(sdf, perfect, (0.0,)).collect()
     assert (r["tp"], r["fp"], r["fn"], r["f1_micro"]) == (1, 0, 0, 1_000_000)
+
+
+def test_pr_bootstrap_properties(spark):
+    """Poisson-bootstrap replicates: a pure-Python replay of the hash
+    channel on a hand pair set."""
+    import hashlib
+
+    from bayesianrecordlinkage_jl_spark.operators import incremental as I_
+
+    pred = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (6, 7)], "id_a long, id_b long"
+    )
+    truth = spark.createDataFrame(
+        [(1, 2), (4, 5), (8, 9)], "id_a long, id_b long"
+    )
+    got = {
+        r["rep"]: (r["tp"], r["n_pred"], r["n_true"])
+        for r in I_.pr_bootstrap_replicates(pred, truth, n_reps=8).collect()
+    }
+    cuts = I_._poisson1_cuts()
+
+    def w(rep, nid):
+        u = int(
+            hashlib.md5(f"{I_.BOOTSTRAP_SALT}:{rep}:{nid}".encode())
+            .hexdigest()[:15], 16
+        ) % 1_000_000
+        for k, c in enumerate(cuts):
+            if u < c:
+                return k
+        return 6
+
+    P = [(1, 2), (2, 3), (4, 5), (6, 7)]
+    T = [(1, 2), (4, 5), (8, 9)]
+    B = [p for p in P if p in T]
+    for rep in range(8):
+        want = (
+            sum(w(rep, a) * w(rep, b) for a, b in B),
+            sum(w(rep, a) * w(rep, b) for a, b in P),
+            sum(w(rep, a) * w(rep, b) for a, b in T),
+        )
+        assert got[rep] == want, (rep, got[rep], want)
+    # mean Poisson weight ~1: total replicate mass stays near the point
+    # counts (loose sanity, deterministic)
+    import statistics
+
+    assert 0.3 * len(P) <= statistics.mean(
+        g[1] for g in got.values()
+    ) <= 3 * len(P)
