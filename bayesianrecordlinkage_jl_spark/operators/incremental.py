@@ -1274,3 +1274,75 @@ def pr_bootstrap_replicates_sql(
                 ELSE 0 END AS BIGINT) AS f1_micro
     FROM m
     """
+
+
+# ---------------------------------------------------------------------------
+# Entity-disjoint evaluation splits (leakage-free train/val/test)
+# ---------------------------------------------------------------------------
+
+SPLIT_SALT = "edsplit1"
+SPLIT_CUTS = (80, 90)  # train < 80, val < 90, test otherwise (of 100)
+
+
+def entity_disjoint_splits(
+    clusters: DataFrame,
+    node_col: str = "node",
+    comp_col: str = "component",
+    salt: str = SPLIT_SALT,
+    cuts: tuple = SPLIT_CUTS,
+) -> DataFrame:
+    """clusters(node, component) -> (doc_id, cluster_id, bucket, split):
+    train/val/test assignment where the unit of randomization is the
+    ENTITY CLUSTER, not the record — records of one entity can never
+    straddle splits, so no matching pair leaks from train into test (the
+    group-disjoint-split rule ER evaluation requires; record-level
+    random splits overstate matcher quality because near-duplicates of
+    training records land in test).
+
+    Deterministic: bucket = phash(salt : cluster_id) mod 100; split by
+    the (80, 90) cuts. A pure function of the cluster label, so the
+    assignment is stable across runs, partitionings, engines, AND
+    incremental recompute — a cluster keeps its split as long as its
+    canonical min-id label survives (pairs well with stable_relabel).
+
+    Scale shape: one map-side projection over the cluster table; no
+    shuffle, no join beyond what produced the clusters."""
+    lo, hi = cuts
+    return clusters.select(
+        F.col(node_col).cast("long").alias("doc_id"),
+        F.col(comp_col).cast("long").alias("cluster_id"),
+    ).withColumn(
+        "bucket",
+        F.expr(
+            f"pmod(CAST(conv(substring(md5(concat('{salt}', ':', "
+            f"CAST(cluster_id AS STRING))), 1, 15), 16, 10) AS BIGINT), 100)"
+        ).cast("long"),
+    ).withColumn(
+        "split",
+        F.when(F.col("bucket") < lo, F.lit("train"))
+        .when(F.col("bucket") < hi, F.lit("val"))
+        .otherwise(F.lit("test")),
+    )
+
+
+def entity_disjoint_splits_sql(
+    clusters_expr: str,
+    salt: str = SPLIT_SALT,
+    cuts: tuple = SPLIT_CUTS,
+) -> str:
+    """DuckDB twin; clusters_expr yields (node, component)."""
+    lo, hi = cuts
+    return f"""
+    SELECT doc_id, cluster_id, bucket,
+           CASE WHEN bucket < {lo} THEN 'train'
+                WHEN bucket < {hi} THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT CAST(node AS BIGINT) AS doc_id,
+             CAST(component AS BIGINT) AS cluster_id,
+             CAST(('0x' || substr(md5('{salt}' || ':' ||
+                  CAST(CAST(component AS BIGINT) AS VARCHAR)), 1, 15))
+                  AS BIGINT) % 100 AS bucket
+      FROM ({clusters_expr})
+    )
+    """

@@ -4681,6 +4681,17 @@ def build_catalog() -> dict[str, dict]:
         "full-outer join makes recall honest about blocking misses",
     }
 
+    cat["entity_disjoint_splits"] = {
+        "spark": lambda s, d: incremental.entity_disjoint_splits(
+            _cc_cached(s, d)
+        ),
+        "sql": incremental.entity_disjoint_splits_sql(_cc_sql()),
+        "ref": "leakage-free train/val/test assignment randomized at the "
+        "ENTITY-CLUSTER level (group-disjoint splits — record-level splits "
+        "let near-duplicates of training records leak into test; "
+        "incremental.entity_disjoint_splits)",
+    }
+
     PR_BOOT_W = 0.0  # predicted links = scored pairs above this FS weight
 
     cat["pr_bootstrap"] = {

@@ -535,3 +535,34 @@ def test_pr_bootstrap_properties(spark):
     assert 0.3 * len(P) <= statistics.mean(
         g[1] for g in got.values()
     ) <= 3 * len(P)
+
+
+def test_entity_disjoint_splits(spark):
+    """Same cluster -> same split (never straddles); hash replica;
+    rough proportions on many clusters."""
+    import hashlib
+
+    from bayesianrecordlinkage_jl_spark.operators import incremental as I_
+
+    rows = [(i, i // 3) for i in range(3000)]  # 1000 clusters of 3
+    df = spark.createDataFrame(rows, "node long, component long")
+    got = I_.entity_disjoint_splits(df).toPandas()
+    per_cluster = got.groupby("cluster_id")["split"].nunique()
+    assert (per_cluster == 1).all()
+
+    def bucket(cid):
+        return int(
+            hashlib.md5(f"{I_.SPLIT_SALT}:{cid}".encode()).hexdigest()[:15],
+            16,
+        ) % 100
+
+    for r in got.head(50).itertuples():
+        assert r.bucket == bucket(r.cluster_id)
+        want = "train" if r.bucket < 80 else ("val" if r.bucket < 90 else "test")
+        assert r.split == want
+    frac = got.drop_duplicates("cluster_id")["split"].value_counts(
+        normalize=True
+    )
+    assert 0.7 < frac["train"] < 0.9
+    assert 0.05 < frac["val"] < 0.15
+    assert 0.05 < frac["test"] < 0.15
