@@ -2553,6 +2553,16 @@ def build_catalog() -> dict[str, dict]:
         "(tokens-per-doc signal for curriculum/budget ops; "
         "corpus.bpe_segment_stats — map-side replay of the merge chain)",
     }
+    cat["winnowing_fingerprints"] = {
+        "spark": lambda s, d: corpus.winnowing_fingerprints(
+            load(s, d, "documents"), "doc_id", "text"
+        ),
+        "sql": corpus.winnowing_fingerprints_sql("documents", "doc_id", "text"),
+        "ref": "winnowing local fingerprints (Schleimer et al. 2003, MOSS): "
+        "rightmost-minimal k-gram hash per window — position-aware overlap "
+        "localization, the complement of MinHash/CDC "
+        "(corpus.winnowing_fingerprints)",
+    }
     cat["corruption_augment"] = {
         "spark": lambda s, d: corpus.corruption_augment(
             load(s, d, "documents"), "doc_id", "text"

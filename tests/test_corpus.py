@@ -1257,3 +1257,57 @@ def test_corruption_kernel_matches_expression(spark):
         .orderBy("doc_id").toPandas()
     )
     assert a.equals(e)
+
+
+def test_winnowing_replica_and_guarantee(spark):
+    """Kernel vs expression parity; a pure-Python winnowing replica; and
+    the MOSS guarantee: two docs sharing a substring of length k+w-1
+    share at least one fingerprint."""
+    import hashlib
+
+    from bayesianrecordlinkage_jl_spark.operators import corpus as C_
+
+    shared = "the quick brown fox jumps over it"  # >= k+w-1 = 11 chars
+    texts = [
+        (0, "aaa " + shared + " tail one"),
+        (1, "prefix two " + shared + " zzz"),
+        (2, "completely unrelated text body"),
+        (3, "short"),  # below k
+    ]
+    df = spark.createDataFrame(texts, "doc_id long, text string")
+    a = (
+        C_.winnowing_fingerprints(df, "doc_id", "text")
+        .orderBy("doc_id", "pos").toPandas()
+    )
+    e = (
+        C_.winnowing_fingerprints(df, "doc_id", "text", impl="expr")
+        .orderBy("doc_id", "pos").toPandas()
+    )
+    assert a.reset_index(drop=True).equals(e.reset_index(drop=True))
+
+    def replica(t, k=C_.WINNOW_K, w=C_.WINNOW_W):
+        n = len(t) - k + 1
+        if n < w:
+            return set()
+        gh = [
+            int(hashlib.md5(t[i:i + k].encode()).hexdigest()[:15], 16)
+            for i in range(n)
+        ]
+        sel = set()
+        for j in range(n - w + 1):
+            win = gh[j:j + w]
+            m = min(win)
+            rp = max(i for i in range(w) if win[i] == m)
+            sel.add((j + rp + 1, gh[j + rp]))
+        return sel
+
+    for did, t in texts:
+        got = {
+            (r.pos, r.fp) for r in a[a.doc_id == did].itertuples()
+        }
+        assert got == replica(t), did
+    # guarantee: docs 0 and 1 share a fingerprint HASH; doc 3 has none
+    f0 = set(a[a.doc_id == 0].fp)
+    f1 = set(a[a.doc_id == 1].fp)
+    assert f0 & f1
+    assert len(a[a.doc_id == 3]) == 0
