@@ -2807,3 +2807,80 @@ def winnowing_fingerprints_sql(
     SELECT doc_id, CAST(p AS BIGINT) AS pos, CAST(_gh[p] AS BIGINT) AS fp
     FROM sel, unnest(_pos) AS u(p)
     """
+
+
+WINNOW_MIN_SHARED = 2
+WINNOW_MAX_BUCKET = 1000
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_shared: int = WINNOW_MIN_SHARED,
+    max_bucket_rows: int | None = WINNOW_MAX_BUCKET,
+) -> DataFrame:
+    """-> (id_a, id_b, n_shared_fp): document pairs sharing >= min_shared
+    winnowing fingerprints — the MOSS plagiarism join: by the winnowing
+    guarantee a shared substring of length >= k + w - 1 surfaces as a
+    shared fingerprint, so n_shared_fp lower-bounds textual overlap in a
+    POSITION-ROBUST way (unlike dup_span_stats' aligned spans, overlap
+    is found wherever it moved in either document).
+
+    Scale shape: the self-join runs on DISTINCT per-doc fingerprint
+    hashes (positions dropped before joining — a fingerprint repeated
+    inside one doc must not multiply pairs); oversized fingerprint
+    buckets (boilerplate grams shared by thousands of docs) are
+    salt-split via blocking.salt_buckets, the LSH-family rule, and the
+    fingerprint table is localCheckpoint'ed (consumed by both join
+    sides). Pair counts are a map-side-combined aggregate; output is
+    oriented id_a < id_b."""
+    from .blocking import salt_buckets
+
+    fps = (
+        winnowing_fingerprints(df, id_col, text_col)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    fps = salt_buckets(fps, "fp", "doc_id", max_bucket_rows).localCheckpoint()
+    a = fps.select(
+        F.col("doc_id").alias("id_a"), "fp", "_bsalt"
+    )
+    b = fps.select(
+        F.col("doc_id").alias("id_b"), "fp", "_bsalt"
+    )
+    return (
+        a.join(b, on=["fp", "_bsalt"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_fp"))
+        .where(F.col("n_shared_fp") >= min_shared)
+    )
+
+
+def winnowing_overlap_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    min_shared: int = WINNOW_MIN_SHARED,
+    max_bucket_rows: int | None = WINNOW_MAX_BUCKET,
+) -> str:
+    from .blocking import salt_buckets_sql
+
+    salt = salt_buckets_sql("fp", "doc_id", max_bucket_rows)
+    return f"""
+    WITH fps0 AS MATERIALIZED (
+      SELECT DISTINCT doc_id, fp FROM (
+        {winnowing_fingerprints_sql(table, id_col, text_col)}
+      )
+    ),
+    fps AS MATERIALIZED (
+      SELECT doc_id, fp, {salt} AS _bsalt FROM fps0
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(count(*) AS BIGINT) AS n_shared_fp
+    FROM fps a JOIN fps b
+      ON a.fp = b.fp AND a._bsalt = b._bsalt AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    HAVING count(*) >= {min_shared}
+    """

@@ -2563,6 +2563,23 @@ def build_catalog() -> dict[str, dict]:
         "localization, the complement of MinHash/CDC "
         "(corpus.winnowing_fingerprints)",
     }
+    # min_shared=32: the synthetic corpus draws from a ~40-word vocabulary,
+    # so low thresholds mark nearly every doc pair as overlapping (54k
+    # pairs at 8); 32 isolates the true near-dup tail (172 pairs at
+    # sf0.01). Real web text is nowhere near this gram-collision rate.
+    WINNOW_MIN_SHARED_CAT = 32
+    cat["winnowing_overlap_pairs"] = {
+        "spark": lambda s, d: corpus.winnowing_overlap_pairs(
+            load(s, d, "documents"), "doc_id", "text",
+            min_shared=WINNOW_MIN_SHARED_CAT,
+        ),
+        "sql": corpus.winnowing_overlap_pairs_sql(
+            "documents", "doc_id", "text", min_shared=WINNOW_MIN_SHARED_CAT
+        ),
+        "ref": "MOSS overlap join over winnowing fingerprints (position-"
+        "robust shared-substring pairs; salted fp self-join per the "
+        "LSH-family rule; corpus.winnowing_overlap_pairs)",
+    }
     cat["corruption_augment"] = {
         "spark": lambda s, d: corpus.corruption_augment(
             load(s, d, "documents"), "doc_id", "text"

@@ -1311,3 +1311,40 @@ def test_winnowing_replica_and_guarantee(spark):
     f1 = set(a[a.doc_id == 1].fp)
     assert f0 & f1
     assert len(a[a.doc_id == 3]) == 0
+
+
+def test_winnowing_overlap_pairs(spark):
+    """Two docs sharing a long passage pair up; unrelated docs don't; a
+    fingerprint repeated WITHIN one doc counts once (distinct-before-
+    join); determinism under partitioning."""
+    from bayesianrecordlinkage_jl_spark.operators import corpus as C_
+
+    passage = "records linked by shared winnowing fingerprints survive"
+    rows = [
+        (0, "intro " + passage + " outro"),
+        (1, passage + " moved elsewhere entirely"),
+        (2, "totally different content with no overlap at all here"),
+        (3, "dup dup " + passage + " " + passage),  # internal repetition
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["n_shared_fp"]
+        for r in C_.winnowing_overlap_pairs(df, "doc_id", "text").collect()
+    }
+    assert (0, 1) in got and (0, 3) in got and (1, 3) in got
+    assert not any(2 in p for p in got)
+    # internal repetition must not inflate the pair count beyond the
+    # distinct shared-hash count
+    fps = C_.winnowing_fingerprints(df, "doc_id", "text").toPandas()
+    f0 = set(fps[fps.doc_id == 0].fp)
+    f3 = set(fps[fps.doc_id == 3].fp)
+    assert got[(0, 3)] == len(f0 & f3)
+    a = sorted(
+        map(tuple, C_.winnowing_overlap_pairs(
+            df.repartition(3), "doc_id", "text").collect())
+    )
+    b = sorted(
+        map(tuple, C_.winnowing_overlap_pairs(
+            df.repartition(11), "doc_id", "text").collect())
+    )
+    assert a == b
