@@ -1999,6 +1999,13 @@ def train_ngram_lm(
             scores[r["t"]] = int(
                 math.floor(scale * math.log(r["count"] / total) + 0.5)
             )
+    if not scores:
+        raise ValueError(
+            "train_ngram_lm: no trigrams over the safe charset [a-z0-9 ] "
+            "survived filtering — the corpus cannot fit this model "
+            "(non-ASCII or too-short texts); supply a charset-compatible "
+            "corpus or widen top_n"
+        )
     backoff = min(scores.values()) - scale
     return {"n": 3, "scale": scale, "backoff": backoff, "scores": scores}
 
@@ -2642,7 +2649,9 @@ def corruption_augment_sql(
       FROM {table}
     )
     SELECT doc_id,
-           list_aggr(_chars, 'string_agg', '') AS text_aug,
+           -- list_aggr returns NULL on an empty list; Spark's array_join
+           -- returns '' — coalesce so empty-text docs agree across engines
+           coalesce(list_aggr(_chars, 'string_agg', ''), '') AS text_aug,
            CAST(len(list_filter(
                list_transform(range(1, len(_chars) + 1),
                               i -> _chars[i] != substring(_txt, i, 1)),

@@ -1186,10 +1186,17 @@ def _min_label_fixpoint(
     propagation to fixpoint. Each round is one edge->label equi-join plus
     one map-side-combined min aggregate keyed by the propagating node —
     the LPA/PageRank shuffle shape; labels are checkpointed per round so
-    lineage stays flat."""
+    lineage stays flat.
+
+    Round bound: a min-label fixpoint needs at most n rounds (the min of
+    each reachable set moves >= 1 hop per round), so the loop is bounded
+    by max(max_inner, n_active + 1) — deep chains/cycles (diameter >
+    max_inner) converge instead of silently returning partial labels —
+    and raises if the bound is ever exhausted (never mislabels)."""
     labels = nodes.select("host", F.col("host").alias("lbl")).localCheckpoint()
     sig = _scc_sig(labels)
-    for _ in range(max_inner):
+    rounds = max(int(max_inner), int(sig[0] or 0) + 1)
+    for _ in range(rounds):
         nb = (
             e.join(
                 labels.select(F.col("host").alias(dst), F.col("lbl").alias("_nl")),
@@ -1207,6 +1214,10 @@ def _min_label_fixpoint(
         if sig2 == sig:
             break
         sig = sig2
+    else:
+        raise RuntimeError(
+            f"_min_label_fixpoint: labels not converged in {rounds} rounds"
+        )
     return labels
 
 
@@ -1303,29 +1314,48 @@ def scc_hosts(edges: DataFrame, max_rounds: int = 30) -> DataFrame:
         )
     else:
         raise RuntimeError(f"scc_hosts: not converged in {max_rounds} rounds")
+    if not parts:  # empty edge input: no nodes, empty (host, scc_id) result
+        return nodes.select("host", F.col("host").alias("scc_id"))
     out = parts[0]
     for p in parts[1:]:
         out = out.unionByName(p)
     return out
 
 
-def scc_hosts_sql(table: str, id_col: str, text_col: str) -> str:
+def scc_hosts_sql(
+    table: str, id_col: str, text_col: str, graph_sql: str | None = None
+) -> str:
     """DuckDB twin via brute transitive closure: WITH RECURSIVE
     reachability pairs (UNION dedup terminates the iteration), then
     scc_id(v) = min(v, min w such that v<->w mutually reachable).
     Closure is O(V*E) memory — an oracle-scale formulation (the catalog's
-    host universe is bounded); the Spark side is the scale path."""
+    host universe is bounded); the Spark side is the scale path.
+
+    graph_sql optionally overrides the (src_host, dst_host[, n_links])
+    edge source (tests inject literal graphs — e.g. a self-loop-only
+    host — that the deterministic synthetic link generator can't emit)."""
+    g = (
+        graph_sql
+        if graph_sql is not None
+        else host_link_graph_sql(table, id_col, text_col)
+    )
     return f"""
-    WITH RECURSIVE eg AS (
-      SELECT DISTINCT src_host, dst_host FROM (
-        {host_link_graph_sql(table, id_col, text_col)}
-      ) WHERE src_host != dst_host
+    WITH RECURSIVE egall AS (
+      SELECT src_host, dst_host FROM (
+        {g}
+      )
+    ),
+    eg AS (
+      SELECT DISTINCT src_host, dst_host FROM egall WHERE src_host != dst_host
     ),
     nodes AS (
+      -- node universe from the UNFILTERED graph rows: a host whose only
+      -- edge is a self-loop is still a singleton SCC (matches the Spark
+      -- side, which builds nodes from raw edges before the src!=dst cut)
       SELECT DISTINCT host FROM (
-        SELECT src_host AS host FROM eg
+        SELECT src_host AS host FROM egall
         UNION ALL
-        SELECT dst_host AS host FROM eg
+        SELECT dst_host AS host FROM egall
       )
     ),
     reach(s, d) AS (

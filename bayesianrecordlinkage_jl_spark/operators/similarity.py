@@ -976,11 +976,15 @@ def ivfpq_topk(
     corpus = df.select(F.col(id_col).alias("item_id"), F.col(vec_col).alias("_v"))
     corpus = corpus.withColumn("_nv", _norm(F.col("_v")))
     sc = centroid_scores("_v", "_nv", centroids)
+    # assign is consumed twice (pq_encode input + the cid join); the
+    # unrolled centroid_scores projection over the full corpus is the
+    # expensive upstream, so materialize it once (the mutual_best /
+    # localCheckpoint consume-twice rule).
     assign = corpus.select(
         "item_id",
         "_v",
         (F.array_position(sc, F.array_max(sc)) - 1).cast("int").alias("cid"),
-    )
+    ).localCheckpoint()
     codes = pq_encode(assign, "item_id", "_v", codebooks).join(
         assign.select("item_id", "cid"), on="item_id"
     )

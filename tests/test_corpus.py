@@ -1348,3 +1348,52 @@ def test_winnowing_overlap_pairs(spark):
             df.repartition(11), "doc_id", "text").collect())
     )
     assert a == b
+
+
+# ---------------------------------------------------------------------------
+# Round-5 ADVICE regressions (empty-text SQL parity / empty-charset corpus)
+# ---------------------------------------------------------------------------
+
+
+def test_corruption_sql_empty_text_cross_engine(spark):
+    """Empty-text documents: DuckDB's list_aggr returns NULL on an empty
+    list where Spark's array_join returns '' — the twin must coalesce so
+    both engines emit ('', 0) (the r4 latent parity break; fixture min
+    text length never hit it)."""
+    import duckdb
+
+    from bayesianrecordlinkage_jl_spark.operators import corpus as C_
+
+    rows = [(0, ""), (1, "abc"), (2, "")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["text_aug"], r["n_edits"])
+        for r in C_.corruption_augment(df, "doc_id", "text").collect()
+    }
+    con = duckdb.connect()
+    con.execute("CREATE TABLE ca_docs (doc_id BIGINT, text VARCHAR)")
+    for did, t in rows:
+        con.execute("INSERT INTO ca_docs VALUES (?, ?)", [did, t])
+    sql_out = {
+        did: (ta, int(ne))
+        for did, ta, ne in con.execute(
+            C_.corruption_augment_sql("ca_docs", "doc_id", "text")
+        ).fetchall()
+    }
+    assert got == sql_out
+    assert got[0] == ("", 0) and got[2] == ("", 0)
+
+
+def test_train_ngram_lm_unsafe_corpus_raises(spark):
+    """A corpus with no [a-z0-9 ] trigrams (non-ASCII / too short) must
+    raise a clear ValueError, not ValueError from min() on an empty
+    sequence (the r4 crash)."""
+    import pytest as _pytest
+
+    from bayesianrecordlinkage_jl_spark.operators import corpus as C_
+
+    df = spark.createDataFrame(
+        [(0, "ÄÖÜ ßßß"), (1, "ab")], "doc_id long, text string"
+    )
+    with _pytest.raises(ValueError, match="safe charset"):
+        C_.train_ngram_lm(df, "text")

@@ -717,3 +717,70 @@ def test_wl_roles_determinism(spark):
     a = sorted(map(tuple, LG.wl_host_roles(hg.repartition(3)).collect()))
     b = sorted(map(tuple, LG.wl_host_roles(hg.repartition(19)).collect()))
     assert a == b and len(a) > 0
+
+
+# ---------------------------------------------------------------------------
+# Round-5 ADVICE regressions (scc convergence / node universe / empty input)
+# ---------------------------------------------------------------------------
+
+
+def test_scc_long_cycle_converges(spark):
+    """A directed cycle deeper than the fixed 3*max_rounds inner bound is
+    ONE SCC. The min-label fixpoint now scales its round budget to the
+    active node count, so this must come back as a single component (the
+    ADVICE r4 repro — a 100-cycle at default bounds — returned 100
+    singletons; 30 nodes at max_rounds=5 exercises the same overflow with
+    3x fewer Spark rounds)."""
+    n = 30
+    edges = spark.createDataFrame(
+        [(f"h{i:03d}", f"h{(i + 1) % n:03d}", 1) for i in range(n)],
+        "src_host string, dst_host string, n_links long",
+    )
+    got = dict(map(tuple, LG.scc_hosts(edges, max_rounds=5).collect()))
+    assert got == {f"h{i:03d}": "h000" for i in range(n)}
+
+
+def test_scc_empty_edges(spark):
+    """Empty edge input -> empty (host, scc_id) result, not IndexError."""
+    edges = spark.createDataFrame(
+        [], "src_host string, dst_host string, n_links long"
+    )
+    out = LG.scc_hosts(edges)
+    assert out.columns == ["host", "scc_id"]
+    assert out.count() == 0
+
+
+def test_scc_self_loop_only_host_cross_engine(spark):
+    """A host whose ONLY edge is a self-loop must be a singleton SCC in
+    BOTH engines. The Spark side builds its node universe from raw edges
+    (self-loops included); the SQL twin's nodes CTE must come from the
+    unfiltered graph rows too (the r4 latent parity break)."""
+    import duckdb
+
+    rows = [
+        ("a", "b", 1), ("b", "a", 1),   # 2-cycle SCC {a,b}
+        ("a", "z", 1),                  # DAG edge to singleton z
+        ("s", "s", 3),                  # self-loop-ONLY host s
+    ]
+    edges = spark.createDataFrame(
+        rows, "src_host string, dst_host string, n_links long"
+    )
+    got = sorted(map(tuple, LG.scc_hosts(edges).collect()))
+    want = sorted([("a", "a"), ("b", "a"), ("z", "z"), ("s", "s")])
+    assert got == want
+
+    vals = ", ".join(f"('{s}', '{d}', {w})" for s, d, w in rows)
+    graph_sql = (
+        f"SELECT * FROM (VALUES {vals}) "
+        "AS t(src_host, dst_host, n_links)"
+    )
+    con = duckdb.connect()
+    sql_out = sorted(
+        map(
+            tuple,
+            con.execute(
+                LG.scc_hosts_sql("unused", "unused", "unused", graph_sql)
+            ).fetchall(),
+        )
+    )
+    assert sql_out == want
