@@ -309,12 +309,29 @@ def main() -> None:
         ).count()
     else:
         n_pairs = _pairs_spark(spark, SF_DIR, ("lang",)).count()
-    t0 = time.time()
+    # The headline metric the driver grades gets the SAME protocol as
+    # every catalog query: GC nudge, one untimed warm-up replicate, then
+    # median of REPS timed replicates with the raw samples recorded
+    # (r4 shipped this leg single-shot and the driver run landed on a
+    # cold/noisy sample — VERDICT r4 watch item #1).
+    import gc as _gc
+
+    _gc.collect()
+    spark.sparkContext._jvm.System.gc()
+    clear_upstream_memo()
     force(scoring_throughput_job(spark, SF_DIR, replicate=repl))
-    dt = time.time() - t0
+    scoring_samples: list[float] = []
+    for _ in range(REPS):
+        clear_upstream_memo()
+        t0 = time.time()
+        force(scoring_throughput_job(spark, SF_DIR, replicate=repl))
+        scoring_samples.append(round(time.time() - t0, 3))
+    dt = statistics.median(scoring_samples)
     extras["n_candidate_pairs"] = n_pairs
-    extras["throughput_replicate"] = repl
+    extras["throughput_replicate"] = repl  # corpus replication factor
+    extras["throughput_reps"] = REPS       # timed replicates (median below)
     extras["scoring_job_sec"] = round(dt, 3)
+    extras["scoring_job_samples"] = scoring_samples
     extras["pairs_scored_per_sec"] = round(n_pairs / dt, 1)
 
     # host-noise telemetry: steal%% over the whole bench window + the fixed
