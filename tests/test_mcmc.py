@@ -633,3 +633,36 @@ def test_mh_gibbs_global_matches_exact(spark):
         assert abs(freq[kk] - m_exact) < 0.08, (kk, freq[kk], m_exact)
         if abs(m_exact - 0.5) > band:
             assert (freq[kk] > 0.5) == (m_exact > 0.5), (kk, freq[kk], m_exact)
+
+
+def test_bayes_estimate_matches_exact_on_certified(spark):
+    """The finite-step sampler's Bayes rule (>nsteps/2, README.md:148-151)
+    agrees with the catalog's deterministic limit (exact marginal > 0.5)
+    on every MARGIN-CERTIFIED pair (|marginal - 0.5| > 0.1) of the
+    sf0.001 catalog domain — the r5 contract that let mcmc_bayes_links
+    become value-oracled: the chain stays the big-block library path, and
+    this pin is its agreement evidence. Pairs inside the band (26 of them
+    at +-0.2 on this fixture) are exactly the ones a finite chain may
+    flip, hence excluded by construction."""
+    from bayesianrecordlinkage_jl_spark.plans import oracle_queries as oq
+
+    blocked = oq._ep_blocked_pairs(spark, "/root/testdata/sf0.001")
+    exact = mcmc.exact_posterior_links(
+        blocked, max_pairs_per_block=oq.EP_CAP, threshold=-1.0
+    ).toPandas()
+    ok_blocks = set(exact["block_id"])
+    dom = blocked.where(F.col("block_id").isin([int(b) for b in ok_blocks]))
+    nsteps, burnin = 3600, 150
+    counts = mcmc.mh_gibbs_count(
+        dom.select(
+            "id_a", "id_b", F.log("r").alias("w"), "block_id"
+        ),
+        nsteps=nsteps, burnin=burnin, seed=42,
+    ).toPandas()
+    m = exact.merge(counts, on=["id_a", "id_b", "block_id"])
+    assert len(m) == len(exact)
+    cert = m[(m["marginal"] - 0.5).abs() > 0.1]
+    assert len(cert) > 50  # the certificate must cover a real population
+    chain_in = cert["n_linked"] * 2 > (nsteps - burnin)
+    exact_in = cert["marginal"] > 0.5
+    assert (chain_in == exact_in).all(), cert[chain_in != exact_in]
