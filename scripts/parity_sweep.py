@@ -6,6 +6,15 @@ exact values (floats bitwise). Prints one line per query + a summary.
 
 Usage: python scripts/parity_sweep.py [SF_DIR] [query_name ...]
 (trailing args restrict the sweep to the named queries)
+
+--json OUT writes the sweep as a driver-gradeable artifact in the exact
+CORRECTNESS_r{N}.json schema — per query {rows_match, schema_match,
+hash_match, spark_rows, oracle_rows, err} — so a judge can diff the
+full-catalog repo sweep against the driver's own (subset) artifact
+without re-running the suite (VERDICT r4 next-round #2). hash_match is
+the value-identity check (sorted columns, total row order, floats
+bitwise); rows-only queries (no oracle SQL) record spark_rows with
+oracle_rows/schema_match/hash_match null and "rows_only": true.
 """
 
 from __future__ import annotations
@@ -36,8 +45,17 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 
 
 def main() -> None:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    only = set(sys.argv[2:])
+    import json
+
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i : i + 2]
+    sf = argv[0] if argv else "/root/testdata/sf0.1"
+    only = set(argv[1:])
+    report: dict[str, dict] = {}
     spark = get_spark("parity-sweep")
     con = duckdb.connect()
     for t in TABLES:
@@ -58,6 +76,23 @@ def main() -> None:
         sql = oracles.get(name)
         if sql is None:
             skipped += 1
+            try:
+                n = int(queries[name](spark, sf).count())
+                report[name] = {
+                    "rows_match": True, "schema_match": None,
+                    "hash_match": None, "spark_rows": n,
+                    "oracle_rows": None, "err": None, "rows_only": True,
+                }
+                print(f"ROWS-ONLY {name}: {n} rows", flush=True)
+            except Exception as e:  # noqa: BLE001
+                report[name] = {
+                    "rows_match": False, "schema_match": None,
+                    "hash_match": None, "spark_rows": None,
+                    "oracle_rows": None, "err": str(e)[:500],
+                    "rows_only": True,
+                }
+                bad += 1
+                print(f"FAIL {name}: {e}", flush=True)
             continue
         if cat.get(name, {}).get("gate_only") and not at_gate:
             # data-derived oracle structure: use the twin frozen for THIS
@@ -67,16 +102,28 @@ def main() -> None:
                 sql = by_sf[sf_key]
             else:
                 gate_locked += 1
+                report[name] = {
+                    "rows_match": None, "schema_match": None,
+                    "hash_match": None, "spark_rows": None,
+                    "oracle_rows": None, "err": None, "gate_locked": True,
+                }
                 print(f"SKIP {name}: no oracle structure frozen for {sf_key}")
                 continue
         t0 = time.time()
+        rec = {
+            "rows_match": False, "schema_match": False, "hash_match": False,
+            "spark_rows": None, "oracle_rows": None, "err": None,
+        }
         try:
             a = canon(queries[name](spark, sf).toPandas())
             t1 = time.time()
             b = canon(con.sql(sql).df())
             t2 = time.time()
-            assert list(a.columns) == list(b.columns), "schema"
-            assert len(a) == len(b), f"rows {len(a)} vs {len(b)}"
+            rec["spark_rows"], rec["oracle_rows"] = len(a), len(b)
+            rec["schema_match"] = list(a.columns) == list(b.columns)
+            rec["rows_match"] = len(a) == len(b)
+            assert rec["schema_match"], "schema"
+            assert rec["rows_match"], f"rows {len(a)} vs {len(b)}"
             for c in a.columns:
                 x, y = a[c].values, b[c].values
                 if x.dtype.kind == "f" or y.dtype.kind == "f":
@@ -87,6 +134,7 @@ def main() -> None:
                     assert (
                         pd.Series(x).astype(str) == pd.Series(y).astype(str)
                     ).all(), f"values {c}"
+            rec["hash_match"] = True
             ok += 1
             print(
                 f"PASS {name}: {len(a)} rows "
@@ -95,11 +143,17 @@ def main() -> None:
             )
         except Exception as e:  # noqa: BLE001
             bad += 1
+            rec["err"] = str(e)[:500]
             print(f"FAIL {name}: {e}", flush=True)
+        report[name] = rec
     print(
         f"SUMMARY sf={sf}: {ok} pass, {bad} fail, {skipped} rows-only, "
         f"{gate_locked} gate-locked"
     )
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=1, sort_keys=True)
+        print(f"WROTE {json_out}: {len(report)} queries")
 
 
 if __name__ == "__main__":
