@@ -197,21 +197,27 @@ def size_capped_components(
             F.lit(False).alias("capped"),
         )
         done_parts.append(isolated.localCheckpoint())
-        # pair count per component = edges above threshold per component
+        # pair count per component = edges above threshold per component;
+        # checkpointed (<= #components rows) because it feeds the ok/over
+        # splits AND the round's scalar convergence aggregate
         ec = (
             active.where(F.col("w") > cur_t)
             .join(cc.withColumnRenamed("node", "src"), on="src")
             .groupBy("component")
             .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .localCheckpoint()
         )
         labeled = cc.join(ec, on="component")
         ok = labeled.where(F.col("n_pairs") <= max_pairs).select(
             "node", "component", F.lit(False).alias("capped")
         )
         done_parts.append(ok.localCheckpoint())
-        over = labeled.where(F.col("n_pairs") > max_pairs).select("node")
-        if over.limit(1).count() == 0:
+        # convergence from one tiny aggregate over the per-component
+        # counts, not a probe scan of the node-level labeled join
+        mx = ec.agg(F.max("n_pairs").alias("mx")).collect()[0]["mx"]
+        if mx is None or mx <= max_pairs:
             break
+        over = labeled.where(F.col("n_pairs") > max_pairs).select("node")
         # restrict to edges with BOTH endpoints inside oversized components
         # (a src-only restriction leaks below-threshold edges into nodes
         # already emitted, double-counting them next round); raise threshold
@@ -223,9 +229,17 @@ def size_capped_components(
             .localCheckpoint()
         )
         new_t = cur_t + incr
-        # unsplittable: no edge would be dropped by the higher threshold
-        if active.where((F.col("w") > cur_t) & (F.col("w") <= new_t)).limit(1).count() == 0 and \
-           active.where(F.col("w") <= cur_t).limit(1).count() == 0:
+        # unsplittable: no edge would be dropped by the higher threshold —
+        # ONE aggregate over the (just-checkpointed) restricted edges
+        # supplies both emptiness signals (was two limit(1).count() probe
+        # jobs per round)
+        row = active.agg(
+            F.count(
+                F.when((F.col("w") > cur_t) & (F.col("w") <= new_t), 1)
+            ).alias("drop_next"),
+            F.count(F.when(F.col("w") <= cur_t, 1)).alias("below"),
+        ).collect()[0]
+        if row["drop_next"] == 0 and row["below"] == 0:
             done_parts.append(_flush_capped(active, cur_t))
             break
         cur_t = new_t
@@ -339,14 +353,17 @@ def cannot_link_components(
             .where(F.col("component") == F.col("component_b"))
             .select("component")
             .distinct()
+            .localCheckpoint()  # tiny; consumed by ok / over / the probe
         )
         ok = cc.join(dirty, on="component", how="left_anti").select(
             "node", "component", F.lit(False).alias("violated")
         )
         done_parts.append(ok.localCheckpoint())
-        over = cc.join(dirty, on="component", how="left_semi").select("node")
-        if over.limit(1).count() == 0:
+        # a dirty component always has nodes, so probing the checkpointed
+        # component set replaces the node-level over-join probe
+        if dirty.limit(1).count() == 0:
             break
+        over = cc.join(dirty, on="component", how="left_semi").select("node")
         active = (
             active.join(
                 over.withColumnRenamed("node", "src"), on="src", how="left_semi"
@@ -355,9 +372,16 @@ def cannot_link_components(
             .localCheckpoint()
         )
         new_t = cur_t + incr
-        # unsplittable: raising the threshold would drop no edge
-        if active.where((F.col("w") > cur_t) & (F.col("w") <= new_t)).limit(1).count() == 0 and \
-           active.where(F.col("w") <= cur_t).limit(1).count() == 0:
+        # unsplittable: raising the threshold would drop no edge — ONE
+        # aggregate supplies both emptiness signals (was two
+        # limit(1).count() probe jobs per round)
+        row = active.agg(
+            F.count(
+                F.when((F.col("w") > cur_t) & (F.col("w") <= new_t), 1)
+            ).alias("drop_next"),
+            F.count(F.when(F.col("w") <= cur_t, 1)).alias("below"),
+        ).collect()[0]
+        if row["drop_next"] == 0 and row["below"] == 0:
             done_parts.append(_flush_violated(active, cur_t))
             break
         cur_t = new_t
