@@ -41,7 +41,14 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow for all pandas UDF / applyInPandas paths (no per-row Python).
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # 50k rows/batch: measured sweep (scripts/arrow_batch_sweep.py,
+        # sf1 JW/DL kernels — BENCH/BASELINE.md round-5) shows the
+        # C-kernel comparators want large batches (JW 5.4s@2k ->
+        # 3.4s@10k -> 2.4s@50k; flat beyond), DL is compute-bound
+        # (insensitive). ~50 MB peak Arrow buffer per worker at ~1 KB
+        # rows — safe at 100x partition scale under default
+        # maxPartitionBytes.
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         # Parquet scans: pushdown + pruning are defaults, be explicit anyway.
         .config("spark.sql.parquet.filterPushdown", "true")
         .config("spark.sql.parquet.aggregatePushdown", "true")
