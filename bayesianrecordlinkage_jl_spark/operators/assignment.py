@@ -238,8 +238,21 @@ def one_to_one(
     matching's weight equals the sum of row maxima, an upper bound for any
     matching. Such blocks resolve with two window passes (pure Catalyst,
     SQL-oracle-able, tie-break (w desc, id asc)) and never reach the
-    applyInPandas solver; at web scale this is the vast majority of blocks,
-    so the Python-solver path handles only the ambiguous residue. On
+    applyInPandas solver; on organically-blocked corpora this is the vast
+    majority of blocks (measured r5: 58/61 blocks at sf0.1, 2/2 at
+    sf0.01), so the Python-solver path handles only the ambiguous residue.
+
+    Coverage caveat (measured at sf1, BENCH/BASELINE.md round-5):
+    EXACT-DUPLICATE CLIQUES defeat the fast path — in a k x k equal-weight
+    clique the (w desc, id asc) tie-break makes only (a_min, b_min)
+    mutual, so the clique routes to the solver. A replicated corpus (or a
+    web crawl full of mirrored pages) can therefore send ~all pairs down
+    the solver path; the residue stays CHEAP because blocks are bounded
+    upstream (size-capped CC) and per-block cost is O(n^3) in nodes on
+    <= exact_max_pairs pairs with a greedy fallback above it (sf1
+    evidence: 4,864 solver blocks, max 445 pairs, 227,786 pairs solved in
+    ~10 s at local[32]). Dedup-before-linkage is the real 100 TB answer
+    to mirror cliques, not a faster matcher. On
     tie-degenerate blocks with several optimal matchings the fast path
     DEFINES the output as the mutual-best one (greedy would pick the same;
     Hungarian/auction might pick another equally-optimal set).
