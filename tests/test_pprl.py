@@ -153,3 +153,46 @@ def test_k_anonymity_profile_hand_fixture(spark):
     assert got[2] == (2, 7, 12, 0, 1, 1, 0)
     # L3: everything, 3 distinct bands -> l-diverse at l=3
     assert got[3] == (1, 19, 19, 0, 3, 1, 1)
+
+
+def test_clk_band_salt_cap_recall_contract(spark):
+    """Pin the salt-cap recall contract (VERDICT r4 #8; docstring
+    operators/pprl.py clk_band_pairs): a HOT band bucket (here: 30
+    identical keys, every band bucket 3x over a cap of 10) splits into
+    phash(id)-deterministic salts, and a qualifying pair whose members
+    land in different salts is MISSED in capped mode — while
+    max_bucket_rows=None restores the unconditional pigeonhole
+    guarantee (recall 1.0, all C(30,2) exact-dup pairs found)."""
+    n, cap = 30, 10
+    rows = [(i, "smith robert") for i in range(1, n + 1)]
+    df = spark.createDataFrame(rows, "doc_id long, key string")
+
+    # uncapped: pigeonhole guarantee — every exact-dup pair surfaces
+    unc = {
+        (r["id_a"], r["id_b"])
+        for r in pprl.clk_band_pairs(
+            df, "doc_id", F.col("key"), min_dice_micro=500_000,
+            max_bucket_rows=None,
+        ).collect()
+    }
+    all_pairs = {(a, b) for a in range(1, n + 1) for b in range(a + 1, n + 1)}
+    assert unc == all_pairs
+
+    # capped: identical encodings -> every band bucket has the same 30
+    # members, so nsalts = ceil(30/10) = 3 in every bucket and the salt
+    # phash(id) % 3 is the same in all of them => the found set is
+    # EXACTLY the same-salt pairs (deterministic, no flake)
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in pprl.clk_band_pairs(
+            df, "doc_id", F.col("key"), min_dice_micro=500_000,
+            max_bucket_rows=cap,
+        ).collect()
+    }
+    salt = {i: _ph(str(i)) % 3 for i in range(1, n + 1)}
+    same_salt = {(a, b) for (a, b) in all_pairs if salt[a] == salt[b]}
+    assert capped == same_salt
+    # the documented miss is real: some qualifying pairs are absent
+    assert capped < all_pairs
+    missed = all_pairs - capped
+    assert missed and all(salt[a] != salt[b] for a, b in missed)
