@@ -212,6 +212,159 @@ def ngram_jaccard_pairs_via_lsh_sql(
     """
 
 
+def jaccard_prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_jaccard_pct: int = 50,
+    max_bucket_rows: int | None = None,
+) -> DataFrame:
+    """EXACT-RECALL scale path for global token-set Jaccard self-join via
+    prefix filtering (AllPairs, Bayardo/Ma/Srikant WWW'07; the PPJoin
+    candidate core) — the third leg of the Jaccard family: no blocking
+    key (vs ngram_jaccard_pairs) and no LSH recall curve (vs the
+    _via_lsh path). Returns every (id_a, id_b, jac_pct) with
+    |I|*100 >= |U|*pct over distinct word tokens, id_a < id_b.
+
+    Why it is sub-quadratic: order each document's distinct tokens by a
+    GLOBAL canonical order (document frequency asc, token asc — rarest
+    first) and emit only the first p = n - ceil(n*t) + 1 tokens into the
+    inverted index. For any pair with Jaccard >= t, the canonically
+    SMALLEST intersection token provably lies in BOTH prefixes (if it
+    didn't, the whole intersection would fit in one suffix of size
+    ceil(t*n) - 1 < ceil(t*n) <= |I|), so the prefix-token equi-join
+    loses nothing; rare-token prefixes keep the inverted lists short.
+    Candidates then pass the length filter (min*100 >= pct*max, since
+    J <= min/max) and ONE exact verify. All thresholds are integer
+    arithmetic (ceil(n*pct/100) = (n*pct + 99) div 100) — bit-identical
+    across engines.
+
+    The FINAL pair set is canonical-order-independent (the method is
+    complete at any valid order), so the DuckDB twin replaying the same
+    plan must agree exactly even where string collation could differ.
+
+    Scale shape: token df is one map-side-combined count; ordered arrays
+    build in one aggregate and are localCheckpoint'ed (consumed by the
+    prefix emitter and both verify re-attach joins — the repo's
+    consume-thrice rule); the self-join is NARROW ((id, n, token) rows;
+    arrays never ride the explode); candidates dedup before verify.
+    Empty-token documents never pair (Jaccard undefined; filtered).
+
+    max_bucket_rows: None (default) = the unconditional exactness
+    guarantee. A cap salt-splits degenerate hot prefix tokens
+    (blocking.salt_buckets) at the SAME documented recall trade as
+    clk_band_pairs — only needed on adversarial corpora where even
+    rarest-first prefixes collide (e.g. every document identical)."""
+    from .blocking import salt_buckets
+
+    pct = int(min_jaccard_pct)
+    toks0 = F.array_distinct(T.tokens(F.col(text_col)))
+    docs = (
+        _spread(df, id_col)
+        .select(F.col(id_col).cast("long").alias("_id"), toks0.alias("_t"))
+        .where(F.size("_t") >= 1)
+    )
+    ex = docs.select("_id", F.explode("_t").alias("tok"))
+    dfreq = ex.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+    ordered = (
+        ex.join(dfreq, "tok")
+        .groupBy("_id")
+        .agg(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("_df", "tok"))),
+                lambda s: s["tok"],
+            ).alias("toks")
+        )
+        .withColumn("n", F.size("toks"))
+        .withColumn(
+            "p", F.expr(f"n - (n * {pct} + 99) div 100 + 1").cast("int")
+        )
+        .localCheckpoint()  # consumed by prefix emit + 2 verify joins
+    )
+    pre = ordered.select(
+        "_id", "n", F.explode(F.expr("slice(toks, 1, p)")).alias("tok")
+    )
+    pre = salt_buckets(pre, "tok", "_id", max_bucket_rows)
+    a = pre.select(
+        F.col("_id").alias("id_a"), F.col("n").alias("na"), "tok", "_bsalt"
+    )
+    b = pre.select(
+        F.col("_id").alias("id_b"), F.col("n").alias("nb"), "tok", "_bsalt"
+    )
+    cand = (
+        a.join(b, ["tok", "_bsalt"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .where(
+            F.least("na", "nb") * 100 >= F.greatest("na", "nb") * F.lit(pct)
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    va = ordered.select(F.col("_id").alias("id_a"), F.col("toks").alias("toks_a"))
+    vb = ordered.select(F.col("_id").alias("id_b"), F.col("toks").alias("toks_b"))
+    i = F.size(F.array_intersect(F.col("toks_a"), F.col("toks_b")))
+    u = F.size(F.col("toks_a")) + F.size(F.col("toks_b")) - i
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .where(i * 100 >= u * pct)
+        .select("id_a", "id_b", (i * 100 / u).cast("double").alias("jac_pct"))
+    )
+
+
+def jaccard_prefix_filter_pairs_sql(
+    table: str,
+    id_col: str,
+    text_col: str,
+    min_jaccard_pct: int = 50,
+    max_bucket_rows: int | None = None,
+) -> str:
+    """DuckDB twin: the same plan (df-ordered lists, prefix slice,
+    inverted-index join, length filter, exact verify). The output set is
+    provably order-independent, so the twin is exact regardless of
+    collation differences in the canonical order."""
+    from .blocking import salt_buckets_sql
+
+    pct = int(min_jaccard_pct)
+    toks = f"list_distinct({T.tokens_sql(text_col)})"
+    salt = salt_buckets_sql("tok", "_id", max_bucket_rows)
+    i = "len(list_intersect(va.toks, vb.toks))"
+    u = f"(len(va.toks) + len(vb.toks) - {i})"
+    return f"""
+    WITH docs AS MATERIALIZED (
+      SELECT _id, _t FROM (
+        SELECT CAST({id_col} AS BIGINT) AS _id, {toks} AS _t FROM {table}
+      ) WHERE len(_t) >= 1
+    ),
+    ex AS (SELECT _id, unnest(_t) AS tok FROM docs),
+    dfreq AS (SELECT tok, count(*) AS _df FROM ex GROUP BY tok),
+    ordered AS MATERIALIZED (
+      SELECT _id, toks, len(toks) AS n,
+             len(toks) - (len(toks) * {pct} + 99) // 100 + 1 AS p
+      FROM (
+        SELECT ex._id, list(ex.tok ORDER BY d._df, ex.tok) AS toks
+        FROM ex JOIN dfreq d ON d.tok = ex.tok GROUP BY ex._id
+      )
+    ),
+    pre AS (
+      SELECT _id, n, tok, {salt} AS _bsalt
+      FROM (SELECT _id, n, unnest(toks[1:p]) AS tok FROM ordered)
+    ),
+    cand AS (
+      SELECT DISTINCT a._id AS id_a, b._id AS id_b
+      FROM pre a JOIN pre b ON a.tok = b.tok AND a._bsalt = b._bsalt
+      WHERE a._id < b._id
+        AND least(a.n, b.n) * 100 >= greatest(a.n, b.n) * {pct}
+    )
+    SELECT cand.id_a, cand.id_b,
+           CAST({i} * 100 / {u} AS DOUBLE) AS jac_pct
+    FROM cand
+    JOIN ordered va ON va._id = cand.id_a
+    JOIN ordered vb ON vb._id = cand.id_b
+    WHERE {i} * 100 >= {u} * {pct}
+    """
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,

@@ -1737,6 +1737,20 @@ def build_catalog() -> dict[str, dict]:
         "ref": "n-gram Jaccard verified on MinHash-LSH candidates "
         "(the sub-quadratic scale path for dedup_ngram_jaccard)",
     }
+    # third leg of the Jaccard family (r5): global, blocking-key-free,
+    # EXACT recall via AllPairs prefix filtering (rarest-first canonical
+    # order + length filter + one verify); pct=80 keeps the gate output
+    # bounded (30k rows at sf0.01)
+    cat["dedup_jaccard_prefix"] = {
+        "spark": lambda s, d: dedup.jaccard_prefix_filter_pairs(
+            load(s, d, "documents"), "doc_id", "text", 80
+        ),
+        "sql": dedup.jaccard_prefix_filter_pairs_sql(
+            "documents", "doc_id", "text", 80
+        ),
+        "ref": "AllPairs prefix-filter exact Jaccard self-join "
+        "(Bayardo et al. WWW'07; complements the LSH recall-curve path)",
+    }
     cat["dedup_minhash_lsh"] = {
         "spark": lambda s, d: dedup.minhash_lsh_pairs(
             load(s, d, "documents"), "doc_id", "text"

@@ -252,6 +252,8 @@ def main() -> None:
         "k_anonymity_profile",
         "corruption_augment",
         "embedding_topk_ivfpq",
+        # round-5 additions
+        "dedup_jaccard_prefix",
     ):
         extra_queries[name], _ = timed_reps(name)
     extras["extra_queries"] = extra_queries

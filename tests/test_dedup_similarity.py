@@ -771,3 +771,91 @@ def test_cdc_chunk_dedup_counts(spark):
     assert {r["chunk_hash"] for r in got} == want_hashes
     for r in got:
         assert r["n_occ"] >= 2 and r["n_docs"] == 2
+
+
+# ---------------------------------------------------------------------------
+# Round-5: AllPairs prefix-filter exact Jaccard join
+# ---------------------------------------------------------------------------
+
+
+def test_jaccard_prefix_filter_matches_brute(spark):
+    """Exactness on the real fixture: the prefix-filter join emits EXACTLY
+    the brute-force >= pct pair set with identical jac_pct values (recall
+    1.0 is the operator's contract — no LSH curve, no blocking key)."""
+    import itertools
+    import re
+
+    from bayesianrecordlinkage_jl_spark.functions.text import TOKEN_RE
+    from bayesianrecordlinkage_jl_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {
+        (r["id_a"], r["id_b"]): r["jac_pct"]
+        for r in dedup.jaccard_prefix_filter_pairs(
+            docs, "doc_id", "text", 50
+        ).collect()
+    }
+    rows = [(r["doc_id"], r["text"]) for r in docs.select("doc_id", "text").collect()]
+    ts = {
+        i: set(x for x in re.split(TOKEN_RE, t.lower()) if x != "")
+        for i, t in rows
+    }
+    brute = {}
+    for (a, sa), (b, sb) in itertools.combinations(sorted(ts.items()), 2):
+        if not sa or not sb:
+            continue
+        i_, u_ = len(sa & sb), len(sa | sb)
+        if i_ * 100 >= u_ * 50:
+            brute[(a, b)] = i_ * 100 / u_
+    assert got == brute and len(brute) > 0
+
+
+def test_jaccard_prefix_filter_edge_cases(spark):
+    """Empty-token docs never pair; exact dups score 100; the length
+    filter respects the boundary (3 vs 5 tokens at 60% fails: J<=3/5)."""
+    from bayesianrecordlinkage_jl_spark.operators import dedup
+
+    rows = [
+        (1, "a b c d e"), (2, "a b c d e"),      # exact dup pair
+        (3, "a b c"),                             # J(3,1)=3/5=0.6
+        (4, ""), (5, "???"),                      # tokenless
+        (6, "x y z w"),                           # unrelated
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"]): r["jac_pct"]
+        for r in dedup.jaccard_prefix_filter_pairs(df, "doc_id", "text", 60).collect()
+    }
+    assert got == {(1, 2): 100.0, (1, 3): 60.0, (2, 3): 60.0}
+
+
+def test_jaccard_prefix_filter_salt_cap_contract(spark):
+    """Adversarial corpus (all docs identical): every prefix token bucket
+    is hot. Default (None) keeps exactness; a cap deterministically
+    misses cross-salt pairs — same contract as clk_band_pairs."""
+    import hashlib
+
+    from bayesianrecordlinkage_jl_spark.operators import dedup
+
+    n, cap = 30, 10
+    df = spark.createDataFrame(
+        [(i, "alpha beta gamma") for i in range(1, n + 1)],
+        "doc_id long, text string",
+    )
+    unc = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_prefix_filter_pairs(df, "doc_id", "text", 90).collect()
+    }
+    all_pairs = {(a, b) for a in range(1, n + 1) for b in range(a + 1, n + 1)}
+    assert unc == all_pairs
+    capped = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.jaccard_prefix_filter_pairs(
+            df, "doc_id", "text", 90, max_bucket_rows=cap
+        ).collect()
+    }
+    salt = {
+        i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16) % 3
+        for i in range(1, n + 1)
+    }
+    assert capped == {(a, b) for (a, b) in all_pairs if salt[a] == salt[b]}

@@ -142,6 +142,8 @@ QUERIES = [
     "stable_marriage_links",
     "many_to_many_links",
     "bitext_topk",
+    # round-5 additions
+    "dedup_jaccard_prefix",
 ]
 
 
