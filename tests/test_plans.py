@@ -292,3 +292,21 @@ def test_pq_scan_is_broadcast_over_codes(spark):
 
     join_lines = [ln for ln in plan.splitlines() if "Join" in ln]
     assert join_lines and all("_v#" not in ln for ln in join_lines), plan
+
+
+def test_jaccard_prefix_tokenize_once_behind_checkpoint(spark):
+    """dedup_jaccard_prefix: the tokenize/sort/df-count pipeline lives
+    entirely BELOW the ordered-array localCheckpoint, so the optimized
+    plan above it contains no tokenization (no regexp split) and no
+    sort_array — the prefix join and both verify re-attach joins consume
+    the materialized arrays. Also pins equi-join shape (no cartesian)."""
+    from bayesianrecordlinkage_jl_spark.operators import dedup
+
+    df = dedup.jaccard_prefix_filter_pairs(
+        oq.load(spark, SF, "documents"), "doc_id", "text", 80
+    )
+    opt = _optimized(df)
+    assert "split(" not in opt and "sort_array" not in opt
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
