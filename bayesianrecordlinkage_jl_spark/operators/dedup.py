@@ -9,6 +9,8 @@ bucket keys with bounded bucket sizes.
   - exact_dedup: md5-hash groupBy, canonical representative = min id
   - ngram_jaccard_pairs: near-dup pairs by distinct-token Jaccard within
     equi-join blocks
+  - jaccard_prefix_filter_pairs: EXACT-recall global Jaccard self-join
+    (AllPairs prefix filtering — no blocking key, no LSH recall curve)
   - minhash_lsh_pairs: shingle -> minhash -> band -> bucket equi-self-join
   - simhash_pairs: simhash fingerprint + banded Hamming candidate join
 """
