@@ -643,23 +643,33 @@ def embedding_cosine_pairs_sql(
     from .similarity import band_set_keys_sql, cosine_sql
 
     bucket = band_set_keys_sql("_v0", dim, n_planes, n_band_sets)
-    cos = cosine_sql("va", "vb")
+    cos = cosine_sql("va._v", "vb._v")
     salt = salt_buckets_sql("_bk", "_id", max_bucket_rows)
+    # NARROW-join shape, mirroring the Spark side exactly: the banded
+    # self-join carries (id, key) only, candidates dedup to bare id
+    # pairs, and vectors re-attach via two id-keyed joins so each
+    # survivor pays one cosine. The r4 twin carried both vectors through
+    # the join into a list-payload GROUP BY — measured 124 GB RSS (OOM)
+    # at sf0.1 where this form stays in MBs.
     return f"""
-    WITH base0 AS MATERIALIZED (
-      SELECT {id_col} AS _id, _v0 AS _v, {bucket} AS _bk
+    WITH vecs AS MATERIALIZED (
+      SELECT {id_col} AS _id, {vec_col} AS _v FROM {table}
+    ),
+    base0 AS MATERIALIZED (
+      SELECT {id_col} AS _id, {bucket} AS _bk
       FROM (SELECT {id_col}, {vec_col} AS _v0 FROM {table})
     ),
-    base AS (SELECT _id, _v, _bk, {salt} AS _bsalt FROM base0),
+    base AS (SELECT _id, _bk, {salt} AS _bsalt FROM base0),
     cand AS (
-      SELECT a._id AS id_a, b._id AS id_b,
-             any_value(a._v) AS va, any_value(b._v) AS vb
+      SELECT DISTINCT a._id AS id_a, b._id AS id_b
       FROM base a JOIN base b
         ON a._bk = b._bk AND a._bsalt = b._bsalt AND a._id < b._id
-      GROUP BY a._id, b._id
     )
     SELECT id_a, id_b, sim FROM (
-      SELECT id_a, id_b, {cos} AS sim FROM cand
+      SELECT c.id_a, c.id_b, {cos} AS sim
+      FROM cand c
+      JOIN vecs va ON va._id = c.id_a
+      JOIN vecs vb ON vb._id = c.id_b
     ) WHERE sim >= {min_cosine!r}e0
     """
 

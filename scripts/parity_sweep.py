@@ -58,6 +58,13 @@ def main() -> None:
     report: dict[str, dict] = {}
     spark = get_spark("parity-sweep")
     con = duckdb.connect()
+    # a pathological oracle must FAIL its own row, not OOM-kill the host
+    # (r5: the pre-fix embedding-cosine twin reached 124 GB RSS at sf0.1)
+    con.execute(
+        "SET memory_limit='"
+        + os.environ.get("PARITY_DUCKDB_MEM", "32GB")
+        + "'"
+    )
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
     from bayesianrecordlinkage_jl_spark.plans.oracle_queries import (
